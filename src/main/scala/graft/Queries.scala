@@ -256,13 +256,15 @@ object Queries {
       val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
       val withOrders = orders(s, d).select(col("o_custkey").as("c_custkey"))
-      val withFinal = orders(s, d).filter(col("o_orderstatus") === "F")
+      val withFinal = orders(s, d).filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") >= lit("1999-01-01"))
         .select(col("o_custkey").as("c_custkey"))
       building.intersect(withOrders).except(withFinal)
     },
     Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             INTERSECT SELECT o_custkey FROM orders
-            EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""))
+            EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              AND o_orderdate >= TIMESTAMP '1999-01-01'"""))
 
   // ---------------------------------------------------------------- rollup
   private val rollupAgg = Q(

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "The  Quick   brown FOX jumps over the lazy dog near the river bank"), // exact dup of 1 modulo case/space
+    (5L, "tiny")).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace variants") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val dupGroup = out.filter(col("n_dups") === 2).collect().head
+    assert(dupGroup.getAs[Long]("keep_id") == 1L, "min id is the canonical survivor")
+  }
+
+  test("shingles: short docs fall back to whole text") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val tiny = sh.filter(col("doc_id") === 5).as[(Long, String)].collect()
+    assert(tiny.toSeq == Seq((5L, "tiny")))
+    assert(sh.filter(col("doc_id") === 1).count() == 11, "13 tokens -> 11 trigrams")
+  }
+
+  test("ngram jaccard finds the near-dup pair and only it") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      "1,2 near-dup; 4 is 1 modulo case so joins the clique")
+  }
+
+  test("minhash LSH recovers the high-jaccard pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "identical shingle sets must collide")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "a ~0.8-jaccard pair should survive 16 bands of 2")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc stays out")
+  }
+
+  test("minhash estimate tracks exact jaccard on identical sets") {
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 16, 0.4)
+      .filter(col("id_a") === 1 && col("id_b") === 4)
+      .select("est_jaccard").as[Double].collect().head
+    assert(est == 1.0, "identical shingle sets -> all 32 components agree")
+  }
+
+  test("simhash: case-normalized identical text -> distance 0; near-dup close") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash("text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(4L), "token-identical after lowering")
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <= 16, "one-word change stays close")
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 16, "unrelated text far")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding cosine pairs respect blocking") {
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.999f, 0.04f, 0f), 0),
+      (3L, Array(1f, 0f, 0f), 1), // identical to 1 but different block -> never compared
+      (4L, Array(0f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eval1[T](c: org.apache.spark.sql.Column, input: String): Any = {
+    val r = Seq(input).toDF("s").select(c.as("v")).collect().head
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("parseMagnitude: K/M suffixes, plain numbers, garbage") {
+    assert(eval1(parseMagnitude($"s"), "1.2K") == 1200.0)
+    assert(eval1(parseMagnitude($"s"), "3M") == 3000000.0)
+    assert(eval1(parseMagnitude($"s"), "991") == 991.0)
+    assert(eval1(parseMagnitude($"s"), "12.5M") == 1.25e7)
+    assert(eval1(parseMagnitude($"s"), "junk") == null)
+    assert(eval1(parseMagnitude($"s"), "1.2B") == null)
+  }
+
+  test("parsePercent / parseGroupedCount") {
+    assert(eval1(parsePercent($"s"), "57%") == 57)
+    assert(eval1(parsePercent($"s"), "Tomatometer 93% fresh") == 93)
+    assert(eval1(parsePercent($"s"), "no score") == null)
+    assert(eval1(parseGroupedCount($"s"), "1,234 Reviews") == 1234L)
+    assert(eval1(parseGroupedCount($"s"), "987") == 987L)
+    assert(eval1(parseGroupedCount($"s"), "none") == null)
+  }
+
+  test("scaleScore: fractional 0-10 scale x10, integral passthrough") {
+    assert(eval1(scaleScore($"s"), "8.4") == 84)
+    assert(eval1(scaleScore($"s"), "75") == 75)
+    assert(eval1(scaleScore($"s"), "10.0") == 100)
+  }
+
+  test("gender decode totality") {
+    val out = Seq(0, 1, 2, 3, 9).toDF("g")
+      .select(decodeGender($"g").as("v")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq == Seq("Not specified", "Female", "Male", "Non-binary", null))
+  }
+
+  test("department routing covers all 11 departments") {
+    val depts = Seq("Writing", "Editing", "Crew", "Directing", "Camera",
+      "Lighting", "Costume & Make-Up", "Sound", "Production", "Art",
+      "Visual Effects")
+    val out = depts.toDF("d").select(departmentToRelType($"d").as("v"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("WRITTEN_BY", "EDITED_BY", "CREW_BY", "DIRECTED_BY",
+      "CAMERA_BY", "LIGHTNING_BY", "COSTUMED_AND_MAKEUP_BY", "SOUND_BY",
+      "PRODUCED_BY", "ART_BY", "VISUAL_EFFECTS_BY"))
+  }
+
+  test("relationshipId concatenation") {
+    assert(eval1(relationshipId(lit(912649), lit(558216)), "x") == "912649-558216")
+  }
+
+  test("normalizeText canonicalization") {
+    assert(eval1(normalizeText($"s"), "  Héllo,  WORLD!! 42 ") == "h llo world 42")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clean, Graph}
+import graft.schema.TmdbCorpus
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("J3: edge builder drops edges with missing endpoints (MATCH semantics)") {
+    val cands = Seq((1L, 10L), (1L, 99L), (7L, 10L)).toDF("head_id", "tail_id")
+    val heads = Seq(Tuple1(1L), Tuple1(2L)).toDF("head_id")
+    val tails = Seq(Tuple1(10L), Tuple1(11L)).toDF("tail_id")
+    val edges = Graph.buildEdges(cands, heads, tails, "head_id", "tail_id", "HAS")
+    val got = edges.select("relationship_id").as[String].collect().toSet
+    assert(got == Set("1-10"), "missing head 7 and missing tail 99 must drop")
+    assert(edges.columns.toSet ==
+      Set("head_id", "tail_id", "relationship_id", "rel_type"))
+  }
+
+  test("J3: duplicate candidates collapse to one edge (first-write-wins)") {
+    val cands = Seq((1L, 10L), (1L, 10L)).toDF("head_id", "tail_id")
+    val nodes1 = Seq(Tuple1(1L)).toDF("head_id")
+    val nodes2 = Seq(Tuple1(10L)).toDF("tail_id")
+    assert(Graph.buildEdges(cands, nodes1, nodes2, "head_id", "tail_id", "HAS").count() == 1)
+  }
+
+  test("J4: company ancestor closure 21 -> 20 -> 10 with depths") {
+    val companies = Clean.companyDetails(TmdbCorpus.companies(spark))
+    val edges = companies.filter(col("parent_company_id").isNotNull)
+      .select(col("company_id").as("child"), col("parent_company_id").as("parent"))
+    val closure = Graph.ancestorClosure(edges)
+    val got = closure.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((21L, 20L, 1), (20L, 10L, 1), (21L, 10L, 2)))
+  }
+
+  test("J4: cycle terminates (the reference would loop forever)") {
+    val cyclic = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val closure = Graph.ancestorClosure(cyclic, maxDepth = 10)
+    // every node reaches every node (incl itself) exactly once
+    assert(closure.count() == 9)
+    assert(closure.groupBy("child", "ancestor").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("K3: upsert converges on re-run (idempotent dup-tolerant sink)") {
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
+    val once = Graph.upsertNodes(batch, None, "id")
+    assert(once.count() == 2)
+    val twice = Graph.upsertNodes(batch, Some(once), "id")
+    assert(twice.count() == 2, "re-running the same batch must not grow the table")
+    // first write wins: the original value survives
+    val v1 = twice.filter(col("id") === 1).select("v").as[String].collect().head
+    assert(v1 == "a")
+  }
+
+  test("K8: delete-by-key anti-join rewrite") {
+    val t = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("movie_id", "v")
+    val victims = Seq(Tuple1(2L)).toDF("movie_id")
+    assert(Graph.deleteByKey(t, victims, "movie_id").count() == 2)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Property tests for the structural invariants the oracle can't express.
+  * Raw ScalaCheck generators sampled with fixed seeds (the scalatest
+  * bridge artifact isn't in the offline cache).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "the", "la", "der")
+  private val textGen = Gen.chooseNum(1, 30)
+    .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("explode bridge round-trip: bridge rows == sum of array sizes") {
+    samples(Gen.listOfN(8, Gen.listOf(Gen.chooseNum(1L, 50L))), 5).foreach { arrays =>
+      val df = arrays.zipWithIndex
+        .map { case (a, i) => (i.toLong, a) }.toDF("movie_id", "genres")
+      val bridged = df.select(col("movie_id"), explode(col("genres")).as("genre_id"))
+      assert(bridged.count() == arrays.map(_.size).sum)
+    }
+  }
+
+  test("C8 inversion preserves (provider, type, region) triples") {
+    // regroup(explode(x)) flattens back to exactly the input triple set
+    val offers = Seq(
+      (1L, "US", 2L, "buy"), (1L, "US", 8L, "subscription"),
+      (1L, "FR", 8L, "subscription"), (2L, "DE", 3L, "rent"))
+      .toDF("movie_id", "region", "provider_id", "type")
+    val regrouped = offers.groupBy("movie_id", "provider_id", "type")
+      .agg(sort_array(collect_list(col("region"))).as("regions"))
+    val back = regrouped.select(col("movie_id"), explode(col("regions")).as("region"),
+      col("provider_id"), col("type"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+      == offers.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet)
+  }
+
+  test("minhash estimate within tolerance of exact jaccard") {
+    samples(Gen.listOfN(4, textGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.0)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+      val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 32, 0.0)
+        .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+      est.foreach { case (pair, e) =>
+        val ex = exact.getOrElse(pair, 0.0)
+        assert(math.abs(e - ex) <= 0.35,
+          s"pair $pair est=$e exact=$ex — 64 perms should land within 0.35")
+      }
+    }
+  }
+
+  test("simhash is order-insensitive (bag-of-words sum)") {
+    val df = Seq((1L, "x y z w"), (2L, "w z y x")).toDF("doc_id", "text")
+    val sims = df.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+  }
+
+  test("fingerprint invariant under whitespace/case noise") {
+    samples(textGen, 5).foreach { t =>
+      val noisy = "  " + t.toUpperCase.replace(" ", "   ") + " "
+      val df = Seq((1L, t), (2L, noisy)).toDF("doc_id", "text")
+      val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .as[String].collect()
+      assert(fps(0) == fps(1))
+    }
+  }
+
+  test("token counts: subtokens >= words; distinct <= words") {
+    samples(textGen, 5).foreach { t =>
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val r = TextAnalysis.tokenCounts(df, "doc_id", "text").collect().head
+      val (words, distinct, sub) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      assert(distinct <= words)
+      assert(sub >= words, "every word contributes at least one subtoken")
+    }
+  }
+}
