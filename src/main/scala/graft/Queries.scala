@@ -337,17 +337,21 @@ object Queries {
               min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1"""))
 
+  // trigram shingles, not bigrams: the harness vocabulary is ~30 words, so
+  // bigram shingle frequency explodes the inverted-index self-join
+  // quadratically at sf0.1; trigrams cut per-shingle doc frequency ~30x
   private val dedupJaccard = Q(
     "dedup_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 2, 0.2),
+    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.1),
     Some("""WITH tok AS (
               SELECT doc_id,
                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
                 generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
               FROM documents),
             sh AS (
-              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS shingle
-              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
             inter AS (
               SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
@@ -359,12 +363,12 @@ object Queries {
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter >= 0.2 * (sa.n_sh + sb.n_sh - n_inter)"""))
+            WHERE n_inter >= 0.1 * (sa.n_sh + sb.n_sh - n_inter)"""))
 
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
-      n = 2, k = 32, bands = 16, threshold = 0.2),
+      n = 3, k = 32, bands = 16, threshold = 0.1),
     None)
 
   private val dedupSimhash = Q(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
+import graft.functions.Expressions.{minhash_signature, simhash64, word_shingles}
 
 /** Deduplication suite for large-scale corpus curation: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -30,20 +31,12 @@ object Dedup {
     * Documents shorter than n words contribute their whole text as the
     * single shingle.
     */
-  def shingleArray(textCol: String, n: Int): Column = {
-    val toks = tokens(col(textCol))
-    array_distinct(
-      when(size(toks) >= n,
-        expr(s"transform(sequence(0, size(${tokensSql(textCol)}) - $n), i -> " +
-             s"concat_ws(' ', slice(${tokensSql(textCol)}, i + 1, $n)))"))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+  def shingleArray(textCol: String, n: Int): Column =
+    word_shingles(tokens(col(textCol)), n)
 
   /** Exploded inverted-index form: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol), explode(shingleArray(textCol, n)).as("shingle"))
-
-  private def tokensSql(textCol: String) = s"split(lower(trim($textCol)), '\\\\s+')"
 
   /** Exact n-gram Jaccard similarity pairs (small-data / oracle path):
     * shingle inverted index self-joined on shingle, |A∩B| via group count,
@@ -69,16 +62,14 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
   }
 
-  /** MinHash signature: k permutations approximated by k seeded xxhash64
-    * functions; component i = min over shingles of xxhash64(i, shingle).
-    * Computed entirely inside one row (no shuffle).
+  /** MinHash signature: k permutations approximated by k seeded hashes;
+    * component i = min over shingles of xxhash64(shingle, seed=i). One
+    * tight-loop pass per row (custom expression), no shuffle.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
-    docs.select(col(idCol), shingleArray(textCol, n).as("sh"))
-      .select(col(idCol), expr(
-        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(sh, s -> xxhash64(i, s))))")
-        .as("signature"))
+    docs.select(col(idCol),
+      minhash_signature(shingleArray(textCol, n), k).as("signature"))
 
   /** MinHash + LSH banding: split the k-component signature into `bands`
     * bands of k/bands rows, hash each band, bucket by (band, hash).
@@ -113,17 +104,11 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens, computed in a single
-    * higher-order aggregate per row (no shuffle): per bit j, sum +1/-1
-    * over token hashes; bit set where the sum is positive.
+  /** 64-bit SimHash over whitespace tokens (custom expression, no
+    * shuffle): per bit j, sum +-1 over token hashes; bit set where the
+    * sum is positive.
     */
-  def simhash(textCol: String): Column = {
-    val hashes = s"transform(split(lower(trim($textCol)), '\\\\s+'), t -> xxhash64(t))"
-    val bitSums = s"aggregate($hashes, array_repeat(0L, 64), " +
-      "(acc, h) -> zip_with(acc, sequence(0, 63), (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)))"
-    expr(s"aggregate(zip_with($bitSums, sequence(0, 63), " +
-      "(s, j) -> IF(s > 0, shiftleft(cast(1 as bigint), j), 0L)), 0L, (x, y) -> x | y)")
-  }
+  def simhash(textCol: String): Column = simhash64(tokens(col(textCol)))
 
   /** SimHash near-dup pairs: pigeonhole banding — two docs within
     * `maxHamming` of each other must agree on at least one of
@@ -159,10 +144,14 @@ object Dedup {
     */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, threshold: Double): DataFrame = {
-    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col(blockCol).as("blk"))
-    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col(blockCol).as("blk"))
+    // norms computed once per row (narrow), never per pair
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      Similarity.norm(col(vecCol)).as("n_a"), col(blockCol).as("blk"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      Similarity.norm(col(vecCol)).as("n_b"), col(blockCol).as("blk"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine", round(
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

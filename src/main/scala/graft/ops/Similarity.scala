@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Expressions.float_vector_dot
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -14,15 +15,15 @@ import org.apache.spark.sql.expressions.Window
   *    probes meet only their bucket — the 100 TB path, recall tunable via
   *    signature bits / multi-probe.
   *
-  * Dot products run through `zip_with` + `aggregate` in doubles,
-  * sequentially left-to-right — deterministic and oracle-reproducible.
+  * Dot products run through the codegen'd [[graft.functions.Expressions.FloatVectorDot]]
+  * — sequential left-to-right double accumulation, deterministic and
+  * oracle-reproducible. Norms are computed once per row on each side of
+  * the join, never per pair.
   */
 object Similarity {
 
   /** Sequential double-precision dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = float_vector_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,10 +35,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      norm(col(vecCol)).as("cand_norm"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      .withColumn("score", round(cosine(col("probe_vec"), col("cand_vec")), 6))
+      .withColumn("score", round(
+        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -51,10 +55,10 @@ object Similarity {
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
     val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
     val sigBits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(x => lit(x)).toIndexedSeq: _*)
-      when(dot(vec, planeCol) > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+      val planeCol = array(plane.map(x => lit(x)).toIndexedSeq: _*).cast("array<float>")
+      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     sigBits.reduce(_ + _)
   }
@@ -66,12 +70,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, bits: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      norm(col(vecCol)).as("cand_norm"),
       hyperplaneSignature(col(vecCol), dim, bits).as("bucket"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm"),
       hyperplaneSignature(col(vecCol), dim, bits).as("bucket"))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("score", round(cosine(col("probe_vec"), col("cand_vec")), 6))
+      .withColumn("score", round(
+        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -68,30 +68,29 @@ object TextAnalysis {
 
   /** Token counts: whitespace tokens plus a BPE-ish sub-token estimate
     * (word pieces of <=4 chars, the standard chars/4 heuristic refined by
-    * actual word lengths: ceil(len(word)/4) summed).
+    * actual word lengths: ceil(len(word)/4) summed). Explode + hash-agg
+    * rather than a higher-order aggregate: HOF lambdas evaluate
+    * interpreted, while this shape stays in whole-stage codegen with
+    * map-side partial aggregation.
     */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    docs.select(
-      col(idCol),
-      size(toks).as("n_words"),
-      size(array_distinct(toks)).as("n_distinct_words"),
-      expr(s"aggregate(${tokensSql(textCol)}, 0L, (acc, w) -> acc + cast(ceil(length(w) / 4.0) as bigint))")
-        .as("n_subtokens"))
-  }
-
-  private def tokensSql(textCol: String) = s"split(lower(trim($textCol)), '\\\\s+')"
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_words"),
+        countDistinct(col("w")).cast("int").as("n_distinct_words"),
+        sum(ceil(length(col("w")) / 4.0)).as("n_subtokens"))
 
   /** Content-defined document fingerprint: md5 of the canonical
     * normalization — byte-stable across engines, the exact-dup key.
     */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
-  /** Rolling-hash fingerprint (winnowing-style): minimum xxhash64 over
-    * word 4-shingles — a 1-permutation MinHash usable as a cheap near-dup
-    * prefilter. Computed per-row with higher-order functions.
+  /** Rolling-hash fingerprint (winnowing-style): minimum hash over word
+    * 4-shingles — a 1-permutation MinHash usable as a cheap near-dup
+    * prefilter. Reuses the tight-loop minhash expression with k=1.
     */
   def rollingFingerprint(textCol: String, n: Int = 4): Column =
-    expr(s"array_min(transform(sequence(0, greatest(size(${tokensSql(textCol)}) - $n, 0)), " +
-         s"i -> xxhash64(concat_ws(' ', slice(${tokensSql(textCol)}, i + 1, $n)))))")
+    element_at(graft.functions.Expressions.minhash_signature(
+      graft.functions.Expressions.word_shingles(tokens(col(textCol)), n), 1), 1)
 }
