@@ -48,9 +48,11 @@ object Graph {
     candidates
       .join(heads.select(headKey), Seq(headKey), "left_semi")
       .join(t, Seq(tailKey), "left_semi")
+      // dedup on the narrow key pair BEFORE deriving the string id — the
+      // uniqueness shuffle moves two longs, not a concatenated string
+      .dropDuplicates(headKey, tailKey)
       .withColumn("relationship_id", relationshipId(col(headKey), col(tailKey)))
       .withColumn("rel_type", lit(relType))
-      .dropDuplicates("rel_type", "relationship_id")
   }
 
   /** J4 parent-hierarchy expansion (etl_flow.py:359-414): the reference

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Sink semantics (SURVEY.md §2.5, K1-K8): the reference's dup-tolerant
+  * INSERT/CREATE family == first-write-wins append. Re-expressed as
+  * dedup-before-append on parquet tables so overlapping incremental runs
+  * converge instead of multiplying rows.
+  */
+object Sinks {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** K1/K2/K3: append rows whose key is not already present (duplicate-key
+    * tolerant insert). Batch-internal dups collapse first; the anti-join
+    * against the current table enforces cross-run idempotency.
+    */
+  def appendDedup(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val batch = df.dropDuplicates(keys)
+    val fresh =
+      if (exists(spark, path)) {
+        val current = spark.read.parquet(path).select(keys.map(col): _*)
+        batch.join(current, keys, "left_anti")
+      } else batch
+    // localCheckpoint: materialize the anti-join BEFORE the write opens the
+    // target for append — otherwise the scan of `current` races the writer
+    val toWrite = fresh.localCheckpoint(true)
+    toWrite.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** K4: edge append keyed on (rel_type, relationship_id). */
+  def appendEdges(df: DataFrame, path: String): Unit =
+    appendDedup(df, path, Seq("rel_type", "relationship_id"))
+
+  /** K5: bulk seed from CSV with an explicit schema (LOAD CSV ... MERGE). */
+  def seedFromCsv(spark: SparkSession, path: String, schema: StructType,
+                  keys: Seq[String]): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .dropDuplicates(keys)
+
+  /** K7: column-projected CSV export. */
+  def writeCsv(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.select(cols.map(col): _*).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** Write a whole graph build (node + edge tables) idempotently. */
+  def writeGraph(tables: graft.pipeline.MovieGraph.GraphTables, baseDir: String,
+                 nodeKeys: Map[String, String]): Unit = {
+    tables.nodes.foreach { case (label, df) =>
+      appendDedup(df, s"$baseDir/nodes_$label", Seq(nodeKeys(label)))
+    }
+    tables.edges.foreach { case (relType, df) =>
+      appendEdges(df, s"$baseDir/edges_$relType")
+    }
+  }
+
+  /** Default node-label -> key-column mapping for the movie graph. */
+  val movieGraphKeys: Map[String, String] = Map(
+    "Movie" -> "movie_id", "Collection" -> "collection_id",
+    "Company" -> "company_id", "Person" -> "person_id",
+    "Genre" -> "genre_id", "Language" -> "language_id",
+    "Country" -> "country_id", "WatchProvider" -> "provider_id")
+}
