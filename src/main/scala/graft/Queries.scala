@@ -41,6 +41,21 @@ object Queries {
               AND o_orderdate <= TIMESTAMP '1998-03-31'
               AND o_totalprice >= 10000"""))
 
+  // ---------------------------------------------------------------- S2
+  // keyed point-lookup of a small id list against the source == the
+  // reference's per-id GET (etl_task.py:78-109): broadcast the id list,
+  // never shuffle the fact side
+  private val s2PointLookup = Q(
+    "s2_point_lookup",
+    (s, d) => {
+      import s.implicits._
+      val ids = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L).toDF("o_orderkey")
+      orders(s, d).join(broadcast(ids), Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+            WHERE o_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)"""))
+
   // ---------------------------------------------------------------- C1
   private val c1CleanProject = Q(
     "c1_clean_project",
@@ -122,6 +137,17 @@ object Queries {
       .select("c_custkey", "c_name"),
     Some("""SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01')"""))
+
+  // ---------------------------------------------------------------- J1
+  private val j1SemiProbe = Q(
+    "j1_semi_probe",
+    (s, d) => Graph.existing(customer(s, d),
+        orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")), "c_custkey")
+      .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
               WHERE o_orderdate >= TIMESTAMP '2000-01-01')"""))
 
   // ---------------------------------------------------------------- J3
@@ -293,6 +319,28 @@ object Queries {
             WHERE ts > TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
               AND ts <= TIMESTAMP '2024-01-15 00:00:00'
             GROUP BY 1, 2"""))
+
+  // session_window (declarative gap sessionization) against a lag/cumsum
+  // oracle: new session when the inter-event gap >= 30 min (micros exact)
+  private val sessionize = Q(
+    "sessionize_gap",
+    (s, d) => graft.streaming.Sessionize.sessionWindows(events(s, d), "ts", "user_id"),
+    Some("""WITH t AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) < 1800000000
+                  THEN 0 ELSE 1 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t)
+            SELECT user_id,
+              CAST(min(ts) AS TIMESTAMP) AS session_start,
+              CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+              count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid"""))
 
   private val weeklyAgg = Q(
     "weekly_agg",
@@ -505,10 +553,10 @@ object Queries {
 
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
-    s1DiscoverScan, c1CleanProject, c5GenderDecode, c6DeptRoute,
-    c7ExplodeBridge, c8Regroup, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
+    s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
+    c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     q1Agg, q3TopkJoin, aggDistinct, windowRank, windowRunning, topkSort,
-    setOps, rollupAgg, incrWindow, weeklyAgg, parseRatings,
+    setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBrute, annLsh,
     textLangid, textQuality, textTokens, textFingerprint,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DataSourceV2 discover source: filter + column pushdown must reach the
+  * scan, and results must match the same predicates applied post-hoc.
+  */
+class DiscoverSourceSpec extends SparkTestBase {
+
+  private def read(pages: Int = 5) = spark.read
+    .format("graft.sources.DiscoverDataSource")
+    .option("pages", pages).option("pageSize", 20).load()
+
+  test("full scan yields pages x pageSize deterministic rows") {
+    val df = read()
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 5, "one partition per page")
+    val first = df.filter(col("id") === 1000).collect().head
+    assert(first.getAs[String]("title") == "Movie 1000")
+  }
+
+  test("supported predicates are pushed into the scan") {
+    val df = read(10)
+      .filter(col("vote_count") >= 1000 && !col("adult") &&
+        col("original_language") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(vote_count,1000"),
+      s"vote_count floor must be pushed; plan:\n$plan")
+    assert(plan.contains("EqualTo(original_language,en)"))
+    // ground truth: same predicates on an un-filtered materialized copy
+    val all = read(10).collect()
+    val expected = all.count(r => r.getAs[Long]("vote_count") >= 1000 &&
+      !r.getAs[Boolean]("adult") && r.getAs[String]("original_language") == "en")
+    assert(df.count() == expected)
+  }
+
+  test("unsupported predicates still evaluate (post-scan)") {
+    val df = read().filter(col("title").endsWith("7") && col("vote_average") > 5.0)
+    val expected = read().collect().count(r =>
+      r.getAs[String]("title").endsWith("7") && r.getAs[Double]("vote_average") > 5.0)
+    assert(df.count() == expected)
+  }
+
+  test("column pruning reaches the reader (ids-only projection)") {
+    val df = read().select("id")
+    assert(df.queryExecution.executedPlan.toString.contains("ReadSchema: struct<id:bigint>") ||
+      df.schema.fieldNames.sameElements(Array("id")))
+    assert(df.distinct().count() == 100)
+  }
+
+  test("S1 semantics end-to-end: windowed, vote-floored, sorted id scan") {
+    val ids = graft.operators.Discover.idsSorted(
+      graft.operators.Discover.scan(read(10), "release_date", "2024-03-01",
+        "2024-06-30", "vote_count", 500,
+        extraFilter = Some(!col("adult"))),
+      "id", "release_date")
+    val rows = ids.collect()
+    assert(rows.nonEmpty)
+    val dates = rows.map(_.getAs[java.sql.Date]("release_date").toString)
+    assert(dates.sameElements(dates.sorted), "source-side sort order preserved")
+  }
+}

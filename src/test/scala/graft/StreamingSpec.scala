@@ -60,6 +60,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session windows match batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessed = graft.streaming.Sessionize.streamingSessions(
+      mem.toDF(), "ts", "user_id", gap = "30 minutes")
+    val q = sessed.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    try {
+      val burst = Seq(
+        Ev(10, ts("2024-02-01 10:00:00"), 5, "click", 1.0),
+        Ev(11, ts("2024-02-01 10:10:00"), 5, "click", 2.0), // same session
+        Ev(12, ts("2024-02-01 11:30:00"), 5, "click", 4.0), // new session
+        Ev(13, ts("2024-02-01 10:05:00"), 6, "view", 8.0))
+      mem.addData(burst: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      val batch = graft.streaming.Sessionize.sessionWindows(
+          burst.toDF(), "ts", "user_id", "30 minutes")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(got == batch)
+      assert(got.size == 3)
+      val s1 = got.find(s => s._1 == 5L && s._4 == 2).get
+      assert(s1._3 == ts("2024-02-01 10:40:00"), "session end = last event + gap")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize.{SessionEvent, statefulSessions}
+    val mem = MemoryStream[SessionEvent]
+    val q = statefulSessions(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("state_sess").start()
+    try {
+      mem.addData(
+        SessionEvent(5, ts("2024-02-01 10:00:00"), 1.0),
+        SessionEvent(5, ts("2024-02-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sess").count() == 0, "open session not yet emitted")
+      // second batch: an event past the gap closes the first session
+      mem.addData(SessionEvent(5, ts("2024-02-01 12:00:00"), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("state_sess")
+        .as[graft.streaming.Sessionize.SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.sum_value == 3.0)
+      assert(closed.head.session_end == ts("2024-02-01 10:40:00"))
+    } finally q.stop()
+  }
+
   test("trailing window filter bounds (exclusive start, inclusive end)") {
     val df = rows.toDF()
     val got = Incremental.trailingWindow(df, "ts", "2024-01-10 10:00:00", 7)
