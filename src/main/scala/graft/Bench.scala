@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first measured query doesn't absorb
+    // classloading + first-job scheduling cost
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

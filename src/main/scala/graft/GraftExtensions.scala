@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.Expressions._
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions so `spark.sql` users get the
+  * same tight-loop implementations as the Column API.
+  *
+  * Activate with:
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions") ...
+  * or programmatically via `.withExtensions(new GraftExtensions)`.
+  */
+object GraftExtensions {
+  /** Runtime registration for sessions that already exist (builder
+    * extensions only apply at construction time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge.registerFunction
+    registerFunction(spark, "float_vector_dot", args => FloatVectorDot(args(0), args(1)))
+    registerFunction(spark, "minhash_signature", args => MinHashSignature(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
+    registerFunction(spark, "simhash64", args => SimHash64(args(0)))
+    registerFunction(spark, "word_shingles", args => WordShingles(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("float_vector_dot"),
+      info("float_vector_dot", "_FUNC_(a, b) - sequential double dot product of two float vectors"),
+      (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "_FUNC_(tokens, k) - k-component minhash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(tokens) - 64-bit simhash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

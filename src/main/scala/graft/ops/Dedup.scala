@@ -88,13 +88,17 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), c -> " +
         s"struct(c as band, hash(slice(signature, c * $r + 1, $r)) as bh))")).as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
-    val pairs = buckets
-      .groupBy("band", "bh").agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    // degenerate-bucket guard, then codegen'd self-join for pair generation
+    // (a collect_set + lambda comprehension would evaluate interpreted)
+    val bounded = buckets.join(
+      buckets.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn").between(2, maxBucket)).drop("__bn"),
+      Seq("band", "bh"), "left_semi")
+    val pairs = bounded.alias("x").join(bounded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
     pairs
       .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
@@ -124,15 +128,16 @@ object Dedup {
         s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"struct(c as chunk, shiftright(simhash, c * $width) & ${(1L << width) - 1} as cv))")).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk"), col("b.cv"))
-    buckets
-      .groupBy("chunk", "cv")
-      .agg(sort_array(collect_set(struct(col(idCol), col("simhash")))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        "flatten(transform(members, (x, i) -> transform(slice(members, i + 2, size(members)), " +
-        s"y -> struct(x.$idCol as id_a, y.$idCol as id_b, " +
-        "bit_count(x.simhash ^ y.simhash) as hamming))))")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+    // bounded buckets -> codegen'd self-join; hamming via bit_count(xor)
+    val bounded = buckets.join(
+      buckets.groupBy("chunk", "cv").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn").between(2, maxBucket)).drop("__bn"),
+      Seq("chunk", "cv"), "left_semi")
+    bounded.alias("x").join(bounded.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

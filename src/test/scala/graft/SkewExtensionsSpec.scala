@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+class SkewExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted sum/count equals plain aggregation") {
+    val df = (1 to 10000).map(i => (if (i <= 9000) 1L else i.toLong, i.toDouble))
+      .toDF("k", "v") // key 1 holds 90% of rows — the hot-key shape
+    val plain = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(df, $"k", "v", $"v", salts = 16)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n == plain(k)._2)
+      assert(math.abs(s - plain(k)._1) < 1e-6)
+    }
+  }
+
+  test("salted join equals plain join") {
+    val large = (1 to 5000).map(i => (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+    val medium = (1L to 500L).map(k => (k, s"m$k")).toDF("k", "name")
+    val plain = large.join(medium, "k").count()
+    val salted = Skew.saltedJoin(large, medium, "k", col("v"), salts = 8).count()
+    assert(salted == plain)
+  }
+
+  test("extensions register SQL functions with tight-loop implementations") {
+    // getOrCreate returns the suite session, so use runtime registration
+    // (the builder-extensions path is exercised at session construction)
+    val s2 = spark
+    GraftExtensions.register(s2)
+    val r = s2.sql(
+        """SELECT float_vector_dot(array(cast(1.0 as float), cast(2.0 as float)),
+          |                        array(cast(3.0 as float), cast(4.0 as float))) AS d,
+          |       simhash64(array('a','b')) AS sh,
+          |       size(minhash_signature(array('x','y'), 8)) AS mk,
+          |       size(word_shingles(array('a','b','c'), 2)) AS ws
+          |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 8)
+    assert(r.getInt(3) == 2)
+  }
+}
