@@ -226,6 +226,66 @@ object Queries {
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
 
+  // five-table join chain with two broadcast dims — the TPC-H Q5 shape
+  private val q5JoinChain = Q(
+    "q5_join_chain",
+    (s, d) => customer(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01")), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"), count(lit(1)).as("n")),
+    Some("""SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1"""))
+
+  private val havingAgg = Q(
+    "having_agg",
+    (s, d) => orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") >= 15),
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 HAVING count(*) >= 15"""))
+
+  // conditional-aggregation pivot: one row per user, one column per event type
+  private val casePivot = Q(
+    "case_pivot",
+    (s, d) => {
+      val e = events(s, d)
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      e.groupBy(col("user_id")).agg(
+        count(when(col("event_type") === types.head, 1)).as(s"n_${types.head}"),
+        (types.tail.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")) :+
+          round(sum(when(col("event_type") === "purchase", col("value"))), 2)
+            .as("purchase_value")): _*)
+    },
+    Some("""SELECT user_id,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+              count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+              count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+              round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+                AS purchase_value
+            FROM events GROUP BY 1"""))
+
   private val aggDistinct = Q(
     "agg_distinct",
     (s, d) => lineitem(s, d)
@@ -463,6 +523,15 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  private val annIvf = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, kCells = 8, nProbe = 3)
+    },
+    None)
+
   private val annLsh = Q(
     "ann_lsh_topk",
     (s, d) => {
@@ -517,7 +586,11 @@ object Queries {
               / greatest(length(text), 1) AS punct_ratio,
             CAST($stops AS DOUBLE)
               / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
-              AS stopword_ratio
+              AS stopword_ratio,
+            100.0 * (0.3 * least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+              + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+              + 0.3 * (1.0 - least((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)))
+              AS quality_score
           FROM documents"""
     })
 
@@ -555,10 +628,11 @@ object Queries {
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
-    q1Agg, q3TopkJoin, aggDistinct, windowRank, windowRunning, topkSort,
+    q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
+    aggDistinct, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBrute, annLsh,
+    annBrute, annIvf, annLsh,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFeatures)
 }

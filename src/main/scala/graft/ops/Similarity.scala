@@ -63,6 +63,83 @@ object Similarity {
     sigBits.reduce(_ + _)
   }
 
+  // ---- IVF (inverted-file) index ----
+
+  /** Argmin cell id for a vector against a centroid codebook, computed as
+    * argmin over cells of (||c||^2 - 2<v,c>) — the ||v||^2 term is
+    * constant per row and drops out. First-match ties, deterministic.
+    */
+  private def nearestCellExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scores = centroids.map { c =>
+      val cCol = array(c.map(lit).toIndexedSeq: _*).cast("array<float>")
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      lit(c2) - lit(2.0) * dot(vec, cCol)
+    }
+    val arr = array(scores.toIndexedSeq: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** Train a tiny IVF codebook: deterministic init (lowest-id vectors),
+    * `iters` Lloyd rounds with element-wise mean updates. The codebook is
+    * driver-held model state (kCells x dim floats — bytes, not data), the
+    * standard IVF shape: training touches the corpus `iters` times, each
+    * round one narrow assignment pass + one (cell, dim)-keyed mean.
+    */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               kCells: Int, iters: Int = 2): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(kCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        nearestCellExpr(col(vecCol), centroids).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val updated = centroids.map(_.clone())
+      means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      centroids = updated
+    }
+    centroids
+  }
+
+  /** ANN via IVF: corpus assigned to its nearest cell once; each probe
+    * visits only its `nProbe` closest cells and re-ranks exactly inside
+    * them. Recall grows with nProbe; brute force is the recall oracle.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+              k: Int, kCells: Int = 16, nProbe: Int = 3,
+              codebook: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = codebook.getOrElse(trainIvf(corpus, idCol, vecCol, kCells))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      norm(col(vecCol)).as("cand_norm"),
+      nearestCellExpr(col(vecCol), centroids).as("cell"))
+    // probe side: nProbe nearest cells via the same score array, ranked
+    val probeScores = centroids.zipWithIndex.map { case (cent, i) =>
+      val cCol = array(cent.map(lit).toIndexedSeq: _*).cast("array<float>")
+      val c2 = cent.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * dot(col("probe_vec"), cCol)).as("score"),
+        lit(i).as("cell"))
+    }
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        norm(col(vecCol)).as("probe_norm"),
+        slice(array_sort(array(probeScores.toIndexedSeq: _*)), 1, nProbe).as("cells"))
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
+        explode(col("cells.cell")).as("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("score", round(
+        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "cand_id", "score", "rank")
+  }
+
   /** ANN via LSH buckets: corpus signed once, candidates = same-bucket
     * rows, exact re-rank inside the bucket. Recall < 1 by design; the
     * bruteForceTopK path is the recall oracle.

@@ -63,7 +63,21 @@ object TextAnalysis {
       (nChars.cast("double") / greatest(nToks, lit(1))).as("mean_token_len"),
       (alpha.cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
       (punct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
-      (stops.cast("double") / greatest(nToks, lit(1))).as("stopword_ratio"))
+      (stops.cast("double") / greatest(nToks, lit(1))).as("stopword_ratio"),
+      qualityScore(nToks, alpha, punct, nChars).as("quality_score"))
+  }
+
+  /** Blended 0-100 quality score: length saturation (0.3), alphabetic
+    * density (0.4), punctuation-noise penalty (0.3). Pure row-level
+    * arithmetic in a fixed op order so the oracle reproduces it bit-exact.
+    */
+  private def qualityScore(nToks: Column, alpha: Column, punct: Column,
+                           nChars: Column): Column = {
+    val lenSat = least(nToks.cast("double") / lit(100.0), lit(1.0))
+    val alphaR = alpha.cast("double") / greatest(nChars, lit(1))
+    val punctPen = lit(1.0) - least(
+      (punct.cast("double") / greatest(nChars, lit(1))) * lit(10.0), lit(1.0))
+    lit(100.0) * (lit(0.3) * lenSat + lit(0.4) * alphaR + lit(0.3) * punctPen)
   }
 
   /** Token counts: whitespace tokens plus a BPE-ish sub-token estimate

@@ -23,7 +23,8 @@ class EntrySmokeSpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs))
     assert((qs -- os) ==
-      Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "multimodal_features"),
+      Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+        "multimodal_features"),
       "rows-only set is exactly the LSH/banding + stubbed-codec queries")
   }
 

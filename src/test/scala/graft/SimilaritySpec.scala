@@ -48,6 +48,34 @@ class SimilaritySpec extends SparkTestBase {
     assert((lshSet -- bruteSet).forall(_ => true)) // lsh may differ; scores checked above
   }
 
+  test("IVF: clustered corpus, high recall vs brute force at nProbe=2") {
+    // 3 tight clusters around orthogonal axes; IVF cells should align
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 120).map { i =>
+      val base = Array.fill(8)(0f)
+      base(i % 3) = 1f
+      val v = base.map(x => x + (rng.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") < 6)
+    val brute = Similarity.bruteForceTopK(corpus, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, probes, "vec_id", "embedding",
+        k = 5, kCells = 6, nProbe = 2)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+  }
+
+  test("IVF codebook training is deterministic") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(j => math.cos(i * 3 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.trainIvf(corpus, "vec_id", "embedding", 4)
+    val c2 = Similarity.trainIvf(corpus, "vec_id", "embedding", 4)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("hyperplane signature is deterministic") {
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("id", "v")
     val s1 = df.select(Similarity.hyperplaneSignature(col("v"), 16, 8).as("s"))
