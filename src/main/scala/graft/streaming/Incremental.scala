@@ -50,4 +50,15 @@ object Incremental {
                   watermark: String = "1 day"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Streaming -> idempotent table: each micro-batch lands through the
+    * dup-tolerant first-write-wins sink (K1/K3 semantics), so replayed or
+    * overlapping batches converge — the streaming form of the reference's
+    * weekly re-runnable load.
+    */
+  def foreachBatchAppend(stream: DataFrame, path: String, keys: Seq[String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => graft.operators.Sinks.appendDedup(batch, path, keys)
+    }
 }
