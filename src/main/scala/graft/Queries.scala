@@ -301,7 +301,7 @@ object Queries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
       orders(s, d)
-        .withColumn("rk", rank().over(w))
+        .withColumn("rk", rank().over(w).cast("long")) // DuckDB rank() is BIGINT
         .filter(col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     },
@@ -553,7 +553,8 @@ object Queries {
   private val textLangid = Q(
     "text_langid",
     (s, d) => {
-      val scores = langNames.map(l => TextAnalysis.langScore("text", l).as(s"s_$l"))
+      val scores = langNames.map(l =>
+        TextAnalysis.langScore("text", l).cast("long").as(s"s_$l")) // len() is BIGINT
       documents(s, d).select(
         (col("doc_id") +: scores :+ TextAnalysis.langId("text").as("lang_pred")): _*)
     },

@@ -58,8 +58,8 @@ object TextAnalysis {
     // values is implementation-defined and would diverge from the oracle
     docs.select(
       col(idCol),
-      nChars.as("n_chars"),
-      nToks.as("n_tokens"),
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
       (nChars.cast("double") / greatest(nToks, lit(1))).as("mean_token_len"),
       (alpha.cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
       (punct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
@@ -91,8 +91,8 @@ object TextAnalysis {
     docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).cast("int").as("n_words"),
-        countDistinct(col("w")).cast("int").as("n_distinct_words"),
+        count(lit(1)).as("n_words"),
+        countDistinct(col("w")).as("n_distinct_words"),
         sum(ceil(length(col("w")) / 4.0)).as("n_subtokens"))
 
   /** Content-defined document fingerprint: md5 of the canonical

@@ -82,7 +82,7 @@ class PropertySpec extends SparkTestBase {
     samples(textGen, 5).foreach { t =>
       val df = Seq((1L, t)).toDF("doc_id", "text")
       val r = TextAnalysis.tokenCounts(df, "doc_id", "text").collect().head
-      val (words, distinct, sub) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      val (words, distinct, sub) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(distinct <= words)
       assert(sub >= words, "every word contributes at least one subtoken")
     }

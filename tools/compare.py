@@ -59,6 +59,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  !! {name}: oracle SQL failed: {e}")
             failures += 1
             continue
+        for c in sorted(set(got.columns) & set(exp.columns)):
+            if str(got[c].dtype) != str(exp[c].dtype):
+                print(f"  ~~ {name}: dtype diff col={c} spark={got[c].dtype} duck={exp[c].dtype}")
         g, e = normalize(got.copy()), normalize(exp.copy())
         if list(g.columns) != list(e.columns):
             print(f"  !! {name}: schema mismatch spark={list(g.columns)} duck={list(e.columns)}")
