@@ -294,6 +294,23 @@ object Queries {
     Some("""SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
             FROM lineitem GROUP BY 1"""))
 
+  // exact interpolated percentiles: Spark percentile() and DuckDB
+  // quantile_cont share the linear-interpolation definition, so values
+  // are reproducible (index = p*(n-1) over the sorted run)
+  private val percentileAgg = Q(
+    "percentile_agg",
+    (s, d) => events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.9) AS p90,
+              count(*) AS n
+            FROM events GROUP BY 1"""))
+
   // ---------------------------------------------------------------- windows
   private val windowRank = Q(
     "window_rank",
@@ -630,7 +647,7 @@ object Queries {
     s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
-    aggDistinct, windowRank, windowRunning, topkSort,
+    aggDistinct, percentileAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBrute, annIvf, annLsh,

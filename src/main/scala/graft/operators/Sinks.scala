@@ -60,6 +60,22 @@ object Sinks {
     }
   }
 
+  /** Bucketed table write: co-locates join keys so equi-joins between
+    * tables bucketed the same way need NO shuffle — the batch analog of
+    * pre-partitioning a 100 TB fact table once to serve many joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Partitioned-by-value write: predicates on the partition column prune
+    * whole directories at planning time (PartitionFilters), the coarse
+    * data-skipping layer under the parquet min/max stats.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
   /** Default node-label -> key-column mapping for the movie graph. */
   val movieGraphKeys: Map[String, String] = Map(
     "Movie" -> "movie_id", "Collection" -> "collection_id",

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sinks
+
+/** Plan-shape regression tests: the physical properties that keep the
+  * engine viable at 100 TB must hold, not just the row values —
+  * shuffle-free bucketed joins, partition pruning, filter pushdown,
+  * broadcast dims, whole-stage codegen over the custom dot product.
+  */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    // clear stale managed-table locations from previous JVMs (the
+    // in-memory catalog forgets them, so Overwrite alone cannot)
+    Seq("bk_left", "bk_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val left = (1 to 10000).map(i => (i.toLong % 500, i)).toDF("k", "v1")
+    val right = (1 to 8000).map(i => (i.toLong % 500, i * 2)).toDF("k", "v2")
+    Sinks.writeBucketed(left, "bk_left", "k", 8)
+    Sinks.writeBucketed(right, "bk_right", "k", 8)
+    // merge hint pins sort-merge join (no global conf mutation): with both
+    // sides bucketed+sorted on k, neither side needs an exchange
+    val joined = spark.table("bk_left")
+      .join(spark.table("bk_right").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle; plan:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("partitioned write prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString + "/events"
+    Sinks.writePartitioned(Tables.events(spark, sf("sf0.001")), dir, "event_type")
+    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter must prune directories; plan:\n$scan")
+    val all = spark.read.parquet(dir).count()
+    assert(one.count() < all)
+  }
+
+  test("s1 scan pushes all predicates and prunes columns") {
+    val q = Queries.all.find(_.name == "s1_discover_scan").get
+    val plan = q.fn(spark, sf("sf0.001")).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice"))
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate"))
+  }
+
+  test("q5 join chain broadcasts the dimension sides") {
+    val q = Queries.all.find(_.name == "q5_join_chain").get
+    val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dims must broadcast; plan:\n$plan")
+  }
+
+  test("custom dot product participates in whole-stage codegen") {
+    // non-literal input so the projection cannot constant-fold away
+    val df = spark.range(3).select(
+      array(col("id").cast("float"), lit(2f)).as("a"),
+      array(lit(3f), lit(4f)).as("b"))
+      .select(col("a"), graft.functions.Expressions.float_vector_dot(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"expected codegen span; plan:\n$plan")
+    assert(df.filter(col("d") === 11.0).count() == 1) // id=1: 1*3 + 2*4
+  }
+}
