@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKStrategy)
     e.injectFunction((FunctionIdentifier("float_vector_dot"),
       info("float_vector_dot", "_FUNC_(a, b) - sequential double dot product of two float vectors"),
       (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))))

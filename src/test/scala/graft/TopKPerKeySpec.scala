@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.TopKPerKey
+
+/** The custom group-wise top-k physical operator: equivalence with the
+  * window formulation, planner integration (exchange inserted only when
+  * needed), and bounded-state behavior.
+  */
+class TopKPerKeySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def data = (1 to 5000).map { i =>
+    (i % 20L, i.toLong, (i * 2654435761L % 100003).toDouble) // unique scores
+  }.toDF("k", "id", "score")
+
+  test("matches the window row_number formulation (unique scores)") {
+    val viaOperator = TopKPerKey(data, Seq("k"), "score", 5)
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"score".desc)
+    val viaWindow = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select("k", "id").as[(Long, Long)].collect().toSet
+    assert(viaOperator == viaWindow)
+    assert(viaOperator.size == 100) // 20 keys x 5
+  }
+
+  test("smallest mode flips the selection") {
+    val smallest = TopKPerKey(data, Seq("k"), "score", 3, smallest = true)
+    val joined = smallest.groupBy("k").agg(max("score").as("worst_kept"))
+      .join(data.groupBy("k").agg(expr("percentile(score, 0.5)").as("median")), "k")
+    assert(joined.filter($"worst_kept" > $"median").isEmpty,
+      "3 smallest of 250 per key must sit far below the median")
+  }
+
+  test("plan shows the custom exec and a single hash exchange") {
+    val plan = TopKPerKey(data, Seq("k"), "score", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), s"plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one exchange to cluster by key; plan:\n$plan")
+  }
+
+  test("pre-partitioned input needs no extra exchange") {
+    val pre = data.repartition($"k")
+    val plan = TopKPerKey(pre, Seq("k"), "score", 5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the explicit repartition exchange; plan:\n$plan")
+  }
+
+  test("null scores are dropped, not ranked") {
+    val withNulls = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(1.0)))
+      .toDF("k", "id", "score")
+    val out = TopKPerKey(withNulls, Seq("k"), "score", 2)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+}
