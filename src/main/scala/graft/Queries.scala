@@ -540,6 +540,15 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  private val annTopkOperator = Q(
+    "ann_topk_operator",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopKOperator(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    },
+    None)
+
   private val annIvf = Q(
     "ann_ivf_topk",
     (s, d) => {
@@ -650,7 +659,7 @@ object Queries {
     aggDistinct, percentileAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBrute, annIvf, annLsh,
+    annBrute, annTopkOperator, annIvf, annLsh,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFeatures)
 }

@@ -140,6 +140,25 @@ object Similarity {
       .select("probe_id", "cand_id", "score", "rank")
   }
 
+  /** Brute-force top-k through the custom bounded-heap operator
+    * (graftbridge.TopKPerKey) instead of a window sort: same candidate
+    * generation, O(n log k) selection with no per-partition sort buffer.
+    * Rank-less output (heap order unspecified); the window-based
+    * [[bruteForceTopK]] remains the deterministic/oracle path.
+    */
+  def bruteForceTopKOperator(corpus: DataFrame, probes: DataFrame, idCol: String,
+                             vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      norm(col(vecCol)).as("cand_norm"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("score",
+        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")))
+      .select("probe_id", "cand_id", "score")
+    org.apache.spark.sql.graftbridge.TopKPerKey(scored, Seq("probe_id"), "score", k)
+  }
+
   /** ANN via LSH buckets: corpus signed once, candidates = same-bucket
     * rows, exact re-rank inside the bucket. Recall < 1 by design; the
     * bruteForceTopK path is the recall oracle.

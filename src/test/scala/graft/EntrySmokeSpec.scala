@@ -24,7 +24,7 @@ class EntrySmokeSpec extends SparkTestBase {
     assert(os.subsetOf(qs))
     assert((qs -- os) ==
       Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
-        "multimodal_features"),
+        "ann_topk_operator", "multimodal_features"),
       "rows-only set is exactly the LSH/banding + stubbed-codec queries")
   }
 
