@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators.WelfordStats
+
+class AggregatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("welford aggregator matches built-in avg/var_samp per group") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val ours = events
+      .groupBy($"event_type")
+      .agg(udaf(WelfordStats).apply($"value").as("mv"))
+      .select($"event_type", $"mv._1".as("m"), $"mv._2".as("v"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = events.groupBy($"event_type")
+      .agg(avg($"value").as("m"), var_samp($"value").as("v"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, (m, v)) =>
+      assert(math.abs(m - builtin(k)._1) < 1e-9, s"mean for $k")
+      assert(math.abs(v - builtin(k)._2) / builtin(k)._2 < 1e-9, s"variance for $k")
+    }
+  }
+
+  test("merge form is order-insensitive (partial aggregation safe)") {
+    val xs = (1 to 1000).map(_.toDouble * 1.7)
+    val a = xs.take(300).foldLeft(WelfordStats.zero)(WelfordStats.reduce)
+    val b = xs.drop(300).foldLeft(WelfordStats.zero)(WelfordStats.reduce)
+    val ab = WelfordStats.finish(WelfordStats.merge(a, b))
+    val ba = WelfordStats.finish(WelfordStats.merge(b, a))
+    val serial = WelfordStats.finish(xs.foldLeft(WelfordStats.zero)(WelfordStats.reduce))
+    assert(math.abs(ab._2 - serial._2) / serial._2 < 1e-12)
+    assert(math.abs(ba._2 - serial._2) / serial._2 < 1e-12)
+  }
+}
