@@ -311,6 +311,18 @@ object Queries {
               count(*) AS n
             FROM events GROUP BY 1"""))
 
+  // sketch aggregates (HLL++ distinct, approximate quantile): algorithms
+  // are engine-specific so there is no value oracle — correctness is the
+  // tolerance-vs-exact ScalaTest; the driver records a rows-only check
+  private val sketchAgg = Q(
+    "sketch_agg",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
+    None)
+
   // ---------------------------------------------------------------- windows
   private val windowRank = Q(
     "window_rank",
@@ -656,7 +668,7 @@ object Queries {
     s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
-    aggDistinct, percentileAgg, windowRank, windowRunning, topkSort,
+    aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh,

@@ -23,6 +23,22 @@ class AggregatorsSpec extends SparkTestBase {
     }
   }
 
+  test("sketch aggregates land within tolerance of exact") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+    val approx = SparkEntry.queries("sketch_agg")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    approx.foreach { case (k, (n, med)) =>
+      assert(math.abs(n - exact(k)._1).toDouble / exact(k)._1 < 0.05,
+        s"HLL distinct for $k off by >5%")
+      assert(math.abs(med - exact(k)._2) / exact(k)._2 < 0.05,
+        s"approx median for $k off by >5%")
+    }
+  }
+
   test("merge form is order-insensitive (partial aggregation safe)") {
     val xs = (1 to 1000).map(_.toDouble * 1.7)
     val a = xs.take(300).foldLeft(WelfordStats.zero)(WelfordStats.reduce)

@@ -24,8 +24,8 @@ class EntrySmokeSpec extends SparkTestBase {
     assert(os.subsetOf(qs))
     assert((qs -- os) ==
       Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
-        "ann_topk_operator", "multimodal_features"),
-      "rows-only set is exactly the LSH/banding + stubbed-codec queries")
+        "ann_topk_operator", "multimodal_features", "sketch_agg"),
+      "rows-only set is exactly the LSH/banding/sketch + stubbed-codec queries")
   }
 
   test("multimodal feature extraction preserves batch shape and schema") {
