@@ -514,6 +514,12 @@ object Queries {
       maxHamming = 7),
     None)
 
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    (s, d) => Dedup.nearDupClusters(documents(s, d), "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.1),
+    None)
+
   private val dedupEmbedding = Q(
     "dedup_embedding_cosine",
     (s, d) => Dedup.embeddingCosinePairs(embeddings(s, d), "vec_id", "embedding",
@@ -670,7 +676,8 @@ object Queries {
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
-    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
+    dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFeatures)

@@ -85,6 +85,44 @@ object Graph {
     closure
   }
 
+  /** Connected components by iterative min-label propagation: every node
+    * adopts the smallest id reachable so far; converges in O(diameter)
+    * rounds (near-dup clusters are shallow, so typically 2-4). Each round
+    * is two keyed joins + a min-aggregate — no driver-side state beyond
+    * the loop counter and the convergence check.
+    *
+    * `edges` needs (src, dst) columns; output (node, component) where
+    * component = min node id in the cluster. Isolated nodes only appear
+    * if present as self-edges or in `extraNodes`.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          extraNodes: Option[DataFrame] = None): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
+        edges.sparkSession.emptyDataFrame.withColumn("node", lit(0L)).limit(0)))
+      .distinct()
+    var labels = nodes.withColumn("component", col("node")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val candidates = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("component"))
+        .unionByName(labels)
+      val next = candidates.groupBy("node")
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** K8 rollback semantics: cascading delete of one key across child
     * tables = anti-join rewrite (utils/etl.py:87-120).
     */

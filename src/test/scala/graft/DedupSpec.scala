@@ -62,6 +62,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("near-dup clusters: pairs collapse to one canonical survivor") {
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.4)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    // 1, 2, 4 form one near-dup cluster with 1 canonical
+    assert(rows(1L)._1 == 1L && rows(1L)._2)
+    assert(rows(4L)._1 == 1L && !rows(4L)._2)
+    assert(rows(1L)._3 >= 2, "cluster size counts its members")
+    // 3 and 5 are singletons and self-canonical
+    assert(rows(3L)._2 && rows(3L)._3 == 1)
+    assert(rows(5L)._2 && rows(5L)._3 == 1)
+    assert(out.filter(col("is_canonical")).count() >= 3)
+  }
+
   test("embedding cosine pairs respect blocking") {
     val embs = Seq(
       (1L, Array(1f, 0f, 0f), 0),

@@ -54,6 +54,22 @@ class GraphSpec extends SparkTestBase {
     assert(v1 == "a")
   }
 
+  test("connected components: chains, cliques, singletons") {
+    // component {1,2,3} via chain, {10,11} direct, 99 isolated
+    val edges = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("node")
+    val comps = Graph.connectedComponents(edges, extraNodes = Some(nodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components converge on a long path within diameter rounds") {
+    val path = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comps = Graph.connectedComponents(path, maxIter = 25)
+    assert(comps.select("component").distinct().count() == 1)
+    assert(comps.filter(col("component") =!= 1L).isEmpty)
+  }
+
   test("K8: delete-by-key anti-join rewrite") {
     val t = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("movie_id", "v")
     val victims = Seq(Tuple1(2L)).toDF("movie_id")
