@@ -187,6 +187,28 @@ object Queries {
             SELECT a.child, b.parent AS ancestor, 2 AS depth
             FROM e a JOIN e b ON a.parent = b.child"""))
 
+  // as-of join: attribute each purchase to the most recent prior click by
+  // the same user (DuckDB ASOF JOIN oracle; >= tie semantics)
+  private val asofJoin = Q(
+    "asof_join",
+    (s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event"),
+          col("ts").as("click_ts"))
+      graft.operators.AsOf.joinMatched(purchases, clicks, "user_id", "ts",
+          Seq("click_event" -> "click_id", "click_ts" -> "matched_ts"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("matched_ts"))).as("gap_us"))
+    },
+    Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id,
+              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+
   // ---------------------------------------------------------------- aggregates
   private val q1Agg = Q(
     "q1_agg",
@@ -673,6 +695,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
+    asofJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
