@@ -97,8 +97,12 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           extraNodes: Option[DataFrame] = None): DataFrame = {
+    // materialize the symmetric edge set ONCE — it is referenced in every
+    // propagation round, and without this the full upstream pipeline
+    // (e.g. LSH pair generation) would re-execute per iteration
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     val nodes = sym.select(col("src").as("node")).distinct()
       .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
         edges.sparkSession.emptyDataFrame.withColumn("node", lit(0L)).limit(0)))
