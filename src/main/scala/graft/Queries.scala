@@ -418,6 +418,80 @@ object Queries {
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)"""))
 
+  // GROUPING SETS through the spark.sql entry path (the one aggregation
+  // shape the DataFrame API doesn't expose directly)
+  private val groupingSets = Q(
+    "grouping_sets",
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("gs_customer")
+      nation(s, d).createOrReplaceTempView("gs_nation")
+      s.sql("""SELECT n_name, c_mktsegment, count(*) AS n_cust,
+                 round(sum(c_acctbal), 2) AS acctbal
+               FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+               GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
+    },
+    Some("""SELECT n_name, c_mktsegment, count(*) AS n_cust,
+              round(sum(c_acctbal), 2) AS acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())"""))
+
+  // unpivot / melt: wide measures -> (measure, value) rows
+  private val unpivotMeasures = Q(
+    "unpivot_measures",
+    (s, d) => lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+              l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem"""))
+
+  // scalar string-function battery incl. edit distance (same algorithm in
+  // both engines -> exact integer parity)
+  private val stringFuncs = Q(
+    "string_funcs",
+    (s, d) => customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      length(col("c_name")).cast("long").as("name_len"),
+      levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("edit_dist"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated")),
+    Some("""SELECT c_custkey,
+              upper(c_name) AS uname,
+              substring(c_name, 1, 8) AS prefix,
+              length(c_name) AS name_len,
+              levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+              translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+            FROM customer"""))
+
+  // date-part extraction battery (dow conventions differ: Spark
+  // dayofweek is 1=Sunday, DuckDB dow is 0=Sunday)
+  private val dateParts = Q(
+    "date_parts",
+    (s, d) => orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow1"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      weekofyear(col("o_orderdate")).cast("long").as("woy")),
+    Some("""SELECT o_orderkey,
+              EXTRACT(year FROM o_orderdate) AS y,
+              EXTRACT(month FROM o_orderdate) AS m,
+              EXTRACT(day FROM o_orderdate) AS dom,
+              EXTRACT(dow FROM o_orderdate) + 1 AS dow1,
+              EXTRACT(quarter FROM o_orderdate) AS q,
+              EXTRACT(week FROM o_orderdate) AS woy
+            FROM orders"""))
+
   // ---------------------------------------------------------------- incremental / temporal
   private val incrWindow = Q(
     "incr_trailing_window",
@@ -698,7 +772,8 @@ object Queries {
     asofJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
-    setOps, rollupAgg, incrWindow, sessionize, weeklyAgg, parseRatings,
+    setOps, rollupAgg, groupingSets, unpivotMeasures, stringFuncs, dateParts,
+    incrWindow, sessionize, weeklyAgg, parseRatings,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh,
