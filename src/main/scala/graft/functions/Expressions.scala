@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Expressions {
 
+  /** splitmix64 — deterministic per-index constants for hash families. */
+  private[functions] def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Sequential double-precision dot product over two float vectors.
     * Accumulation order is left-to-right, matching the HOF formulation
     * and the DuckDB oracle exactly (bit-identical).
@@ -67,6 +75,12 @@ object Expressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
+    // per-component odd multipliers/offsets (splitmix64 of the index):
+    // each element is hashed ONCE, then the k permutations are affine
+    // mixes + an avalanche finalizer — 32x fewer byte hashes per row
+    private val mixA: Array[Long] = Array.tabulate(k)(j => Expressions.splitmix64(2L * j + 1) | 1L)
+    private val mixB: Array[Long] = Array.tabulate(k)(j => Expressions.splitmix64(2L * j + 2))
+
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -75,10 +89,12 @@ object Expressions {
       while (i < n) {
         val s = arr.getUTF8String(i)
         if (s != null) {
+          val h = XXH64.hashUTF8String(s, 42L)
           var j = 0
           while (j < k) {
-            val h = XXH64.hashUTF8String(s, j.toLong)
-            if (h < mins(j)) mins(j) = h
+            var z = h * mixA(j) + mixB(j)
+            z ^= (z >>> 33); z *= 0xff51afd7ed558ccdL; z ^= (z >>> 33)
+            if (z < mins(j)) mins(j) = z
             j += 1
           }
         }
