@@ -209,6 +209,30 @@ object Queries {
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts"""))
 
+  // binned range join: which sampled order windows does each sampled
+  // shipment date fall into — equi-join on bin + residual BETWEEN, never
+  // a nested loop
+  private val rangeJoin = Q(
+    "range_join",
+    (s, d) => {
+      val intervals = orders(s, d).filter(col("o_orderkey") % 149 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("lo"),
+          (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("hi"))
+      val points = lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      graft.operators.RangeJoin.pointInInterval(points, "l_shipdate",
+          intervals, "lo", "hi", binWidth = 7L * 24 * 3600 * 1000000)
+        .groupBy(col("o_orderkey"), col("lo"))
+        .agg(count(lit(1)).as("n_shipments"))
+    },
+    Some("""SELECT o_orderkey, lo, count(*) AS n_shipments
+            FROM (SELECT o_orderkey, o_orderdate AS lo,
+                    o_orderdate + INTERVAL 14 DAY AS hi
+                  FROM orders WHERE o_orderkey % 149 = 0) i
+            JOIN (SELECT l_shipdate FROM lineitem WHERE l_partkey % 10 = 0) p
+              ON p.l_shipdate >= i.lo AND p.l_shipdate < i.hi
+            GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- aggregates
   private val q1Agg = Q(
     "q1_agg",
@@ -769,7 +793,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
-    asofJoin,
+    asofJoin, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, groupingSets, unpivotMeasures, stringFuncs, dateParts,
