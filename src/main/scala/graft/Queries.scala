@@ -585,6 +585,23 @@ object Queries {
               (event_id % 9 + 1) * 1000 + event_id % 1000 AS grouped_count
             FROM events"""))
 
+  // JSON document access: typed extraction from the semi-structured props
+  // column (from_json with a pinned schema — the engine's explicit-schema
+  // stance from SURVEY.md §1.4 applied to JSON scalars)
+  private val jsonExtract = Q(
+    "json_extract",
+    (s, d) => events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType))))
+        .getField("k").as("k_val"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_str_val")),
+    Some("""SELECT event_id,
+              CAST(props->>'$.k' AS INTEGER) AS k_val,
+              CAST(props->>'$.k' AS BIGINT) AS k_str_val
+            FROM events"""))
+
   // ---------------------------------------------------------------- dedup suite
   private val dedupExact = Q(
     "dedup_exact",
@@ -797,7 +814,7 @@ object Queries {
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
     setOps, rollupAgg, groupingSets, unpivotMeasures, stringFuncs, dateParts,
-    incrWindow, sessionize, weeklyAgg, parseRatings,
+    incrWindow, sessionize, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh,

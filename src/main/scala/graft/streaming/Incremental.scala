@@ -51,6 +51,23 @@ object Incremental {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: attribute each purchase to clicks by
+    * the same user within the trailing `horizon`. Both sides watermarked
+    * so join state is bounded — the state-retention condition Spark
+    * requires for stream-stream joins (click state expires once the
+    * purchase-side watermark passes click.ts + horizon).
+    */
+  def streamStreamAttribution(clicks: DataFrame, purchases: DataFrame,
+                              horizon: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    p.join(c,
+      expr(s"""click_user = purchase_user AND
+               click_ts <= purchase_ts AND
+               click_ts >= purchase_ts - INTERVAL $horizon"""))
+  }
+
   /** Streaming -> idempotent table: each micro-batch lands through the
     * dup-tolerant first-write-wins sink (K1/K3 semantics), so replayed or
     * overlapping batches converge — the streaming form of the reference's

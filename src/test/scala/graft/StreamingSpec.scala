@@ -112,6 +112,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = graft.streaming.Incremental.streamStreamAttribution(
+      clicks.toDF().toDF("click_user", "click_ts"),
+      purchases.toDF().toDF("purchase_user", "purchase_ts", "amount"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attrib_out").start()
+    try {
+      clicks.addData((1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 10:05:00")))
+      purchases.addData(
+        (1L, ts("2024-03-01 10:30:00"), 9.99),   // in horizon of user 1's click
+        (2L, ts("2024-03-01 12:00:00"), 5.00))   // click 2h earlier -> outside 1h horizon
+      q.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .select("purchase_user", "click_user", "amount")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("trailing window filter bounds (exclusive start, inclusive end)") {
     val df = rows.toDF()
     val got = Incremental.trailingWindow(df, "ts", "2024-01-10 10:00:00", 7)
