@@ -76,6 +76,30 @@ object Queries {
               l_returnflag AS returnflag
             FROM lineitem"""))
 
+  // null-semantics battery: the ""/0 -> NULL conventions interact with
+  // three-valued logic; null-safe equality (Spark <=>, DuckDB IS NOT
+  // DISTINCT FROM) is the join-key-safe comparison
+  private val nullLogic = Q(
+    "null_logic",
+    (s, d) => lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("tax_or_sentinel"),
+      (nullif(col("l_tax"), lit(0.0)) <=> nullif(col("l_discount"), lit(0.0)))
+        .as("tax_eq_disc_nullsafe"),
+      nullif(col("l_tax"), lit(0.0)).isNull.as("tax_missing"),
+      when(nullif(col("l_tax"), lit(0.0)) > nullif(col("l_discount"), lit(0.0)), "tax")
+        .when(nullif(col("l_tax"), lit(0.0)) < nullif(col("l_discount"), lit(0.0)), "disc")
+        .otherwise("tie_or_unknown").as("larger")),
+    Some("""SELECT l_orderkey, l_linenumber,
+              coalesce(nullif(l_tax, 0.0), -1.0) AS tax_or_sentinel,
+              nullif(l_tax, 0.0) IS NOT DISTINCT FROM nullif(l_discount, 0.0)
+                AS tax_eq_disc_nullsafe,
+              nullif(l_tax, 0.0) IS NULL AS tax_missing,
+              CASE WHEN nullif(l_tax, 0.0) > nullif(l_discount, 0.0) THEN 'tax'
+                   WHEN nullif(l_tax, 0.0) < nullif(l_discount, 0.0) THEN 'disc'
+                   ELSE 'tie_or_unknown' END AS larger
+            FROM lineitem"""))
+
   // ---------------------------------------------------------------- C5
   private val c5GenderDecode = Q(
     "c5_gender_decode",
@@ -808,7 +832,8 @@ object Queries {
 
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
-    s1DiscoverScan, s2PointLookup, c1CleanProject, c5GenderDecode, c6DeptRoute,
+    s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
+    c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     asofJoin, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,

@@ -61,4 +61,24 @@ object Multimodal {
   def featureTable(media: Dataset[MediaRow]): DataFrame =
     extractFeatures(media).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"), col("feature"))
+
+  case class FrameFeatures(media_id: Long, frame_idx: Int, offset_bytes: Long,
+                           frame_checksum: Long)
+
+  /** ======= STUB: frame sampling =======
+    * The 1 -> N media expansion: sample every `stride`-th "frame" of a
+    * video payload and emit one feature row per frame. A real deployment
+    * decodes keyframes here; the stub slices the payload at fixed strides
+    * so the flatMap batch shape, row multiplication, and downstream
+    * schema are the real thing.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 16): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      r.payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+        FrameFeatures(r.media_id, i, i.toLong * stride,
+          chunk.foldLeft(0L)((acc, b) => acc * 31 + b))
+      }
+    }
+  }
 }

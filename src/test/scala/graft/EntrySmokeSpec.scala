@@ -29,6 +29,19 @@ class EntrySmokeSpec extends SparkTestBase {
       "rows-only set is exactly the LSH/banding/sketch + stubbed-codec queries")
   }
 
+  test("frame sampling expands each video into stride-spaced feature rows") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, stride = 16).collect()
+    val videos = media.collect().filter(_.kind == "video")
+    assert(frames.map(_.media_id).distinct.length == videos.length)
+    videos.foreach { v =>
+      val expected = (v.payload.length + 15) / 16
+      assert(frames.count(_.media_id == v.media_id) == expected,
+        s"video ${v.media_id}: payload ${v.payload.length}B -> $expected frames")
+    }
+    assert(frames.forall(f => f.offset_bytes == f.frame_idx.toLong * 16))
+  }
+
   test("multimodal feature extraction preserves batch shape and schema") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val feats = Multimodal.extractFeatures(media, partitions = 4)
