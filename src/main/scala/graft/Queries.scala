@@ -424,6 +424,28 @@ object Queries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
             FROM events"""))
 
+  // analytic window battery: offset functions + tiling + first-value over
+  // a deterministic (ts, event_id) order
+  private val windowAnalytics = Q(
+    "window_analytics",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d).select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("value")).over(w).as("first_value"))
+    },
+    Some("""SELECT user_id, event_id,
+              lag(value, 1) OVER w AS prev_value,
+              lead(value, 1) OVER w AS next_value,
+              ntile(4) OVER w AS quartile,
+              first_value(value) OVER w AS first_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   // ---------------------------------------------------------------- sort / top-k
   private val topkSort = Q(
     "topk_sort",
@@ -837,7 +859,8 @@ object Queries {
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     asofJoin, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
-    aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning, topkSort,
+    aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning,
+    windowAnalytics, topkSort,
     setOps, rollupAgg, groupingSets, unpivotMeasures, stringFuncs, dateParts,
     incrWindow, sessionize, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
