@@ -61,6 +61,14 @@ class ScaleSpec extends SparkTestBase {
       s"dims must broadcast; plan:\n$plan")
   }
 
+  test("no query ever plans a cartesian product") {
+    Queries.all.foreach { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n$plan")
+    }
+  }
+
   test("custom dot product participates in whole-stage codegen") {
     // non-literal input so the projection cannot constant-fold away
     val df = spark.range(3).select(

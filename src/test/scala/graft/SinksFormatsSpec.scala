@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Sinks
+import graft.schema.Dimensions
+
+/** Sink/source format coverage: CSV seed round trip (K5/K7), ORC round
+  * trip, and the typed Dataset twin of the q1 aggregation.
+  */
+class SinksFormatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("K7/K5: CSV export and seed re-import round trip (with dup collapse)") {
+    val dir = Files.createTempDirectory("graft_csv_").toString + "/genres"
+    val dims = Dimensions.genres(spark)
+    Sinks.writeCsv(dims.unionByName(dims), dir, Seq("genre_id", "name")) // duplicated rows
+    val schema = StructType(Seq(
+      StructField("genre_id", LongType), StructField("name", StringType)))
+    val back = Sinks.seedFromCsv(spark, dir, schema, Seq("genre_id"))
+    assert(back.count() == dims.count(), "MERGE semantics collapse duplicate seed rows")
+    val got = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(878L) == "Science Fiction")
+  }
+
+  test("ORC round trip preserves rows and schema") {
+    val dir = Files.createTempDirectory("graft_orc_").toString + "/li"
+    val src = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("l_quantity")).collect().head.getDouble(0)
+      == src.agg(sum("l_quantity")).collect().head.getDouble(0))
+  }
+
+  test("typed Dataset aggregation matches the untyped plan") {
+    val typed = TypedApi.returnFlagTotals(spark, sf("sf0.001"))
+      .collect().map(t => t.flag -> (t.totalQty, t.n)).toMap
+    val untyped = Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(typed.keySet == untyped.keySet)
+    typed.foreach { case (k, (q, n)) =>
+      assert(n == untyped(k)._2)
+      assert(math.abs(q - untyped(k)._1) < 1e-6)
+    }
+  }
+}
