@@ -77,6 +77,37 @@ class DedupSpec extends SparkTestBase {
     assert(out.filter(col("is_canonical")).count() >= 3)
   }
 
+  test("incremental minhash: only new-vs-all pairs, store grows idempotently") {
+    val store = java.nio.file.Files.createTempDirectory("graft_sigs_").toString + "/sigs"
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different content about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val p1 = Dedup.incrementalMinhashPairs(batch1, "doc_id", "text", store,
+        n = 3, k = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 2L)))
+
+    val batch2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of 1,2
+      (5L, "fresh unrelated words that match nothing else in the corpus"))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.incrementalMinhashPairs(batch2, "doc_id", "text", store,
+        n = 3, k = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 4L), (2L, 4L)),
+      "second run scores only pairs touching the new batch — (1,2) is not re-emitted")
+    assert(spark.read.parquet(store).count() == 5)
+
+    // replaying batch2 must not grow the store or invent pairs
+    val p2b = Dedup.incrementalMinhashPairs(batch2, "doc_id", "text", store,
+        n = 3, k = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2b == p2)
+    assert(spark.read.parquet(store).count() == 5)
+  }
+
   test("embedding cosine pairs respect blocking") {
     val embs = Seq(
       (1L, Array(1f, 0f, 0f), 0),
