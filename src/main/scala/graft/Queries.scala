@@ -562,6 +562,37 @@ object Queries {
               EXTRACT(week FROM o_orderdate) AS woy
             FROM orders"""))
 
+  // CUBE: all grouping combinations (rollup's sibling)
+  private val cubeAgg = Q(
+    "cube_agg",
+    (s, d) => orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
+
+  // array-function battery over collected groups: sort, slice, contains,
+  // size — emitted as scalars/strings so hashing is representation-free
+  private val arrayFuncs = Q(
+    "array_funcs",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        concat_ws(",", transform(slice(col("lines"), 1, 2), _.cast("string")))
+          .as("first2"),
+        size(col("lines")).cast("long").as("n"),
+        array_contains(col("lines"), 3).as("has3"),
+        element_at(col("lines"), -1).cast("long").as("last_line")),
+    Some("""SELECT l_orderkey,
+              array_to_string(list_sort(list(l_linenumber))[1:2], ',') AS first2,
+              len(list(l_linenumber)) AS n,
+              list_contains(list(l_linenumber), 3) AS has3,
+              CAST(list_sort(list(l_linenumber))[-1] AS BIGINT) AS last_line
+            FROM lineitem GROUP BY 1"""))
+
   // ---------------------------------------------------------------- incremental / temporal
   private val incrWindow = Q(
     "incr_trailing_window",
@@ -861,7 +892,8 @@ object Queries {
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning,
     windowAnalytics, topkSort,
-    setOps, rollupAgg, groupingSets, unpivotMeasures, stringFuncs, dateParts,
+    setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
+    stringFuncs, dateParts,
     incrWindow, sessionize, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
