@@ -393,6 +393,36 @@ object Queries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
     None)
 
+  // statistical aggregates: correlation / covariance / stddev (continuous
+  // values -> rounding at 6 decimals is far from any FP divergence)
+  private val statsProfile = Q(
+    "stats_profile",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max")),
+    Some("""SELECT l_returnflag,
+              round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+              round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+              min(l_extendedprice) AS price_min,
+              max(l_extendedprice) AS price_max
+            FROM lineitem GROUP BY 1"""))
+
+  // fixed-width histogram: integer binning, engine-independent
+  private val histogramFixed = Q(
+    "histogram_fixed",
+    (s, d) => orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+              count(*) AS n
+            FROM orders GROUP BY 1"""))
+
   // ---------------------------------------------------------------- windows
   private val windowRank = Q(
     "window_rank",
@@ -890,7 +920,8 @@ object Queries {
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     asofJoin, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
-    aggDistinct, percentileAgg, sketchAgg, windowRank, windowRunning,
+    aggDistinct, percentileAgg, sketchAgg, statsProfile, histogramFixed,
+    windowRank, windowRunning,
     windowAnalytics, topkSort,
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
