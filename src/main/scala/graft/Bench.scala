@@ -15,7 +15,11 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration; the driver
+    // leaves this unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -88,40 +88,62 @@ object Graph {
   /** Connected components by iterative min-label propagation: every node
     * adopts the smallest id reachable so far; converges in O(diameter)
     * rounds (near-dup clusters are shallow, so typically 2-4). Each round
-    * is two keyed joins + a min-aggregate — no driver-side state beyond
-    * the loop counter and the convergence check.
+    * is one keyed join + a min-aggregate; the previous label rides along
+    * through that same aggregate, so convergence is a cheap scan of the
+    * already-materialized round output — no extra join, no recompute.
+    *
+    * Fault tolerance: each round is persisted as a parquet table under
+    * `workDir` (reliable storage, single computation per round) rather
+    * than `localCheckpoint` — an executor loss at 100 TB replays from the
+    * last round's files instead of failing the job on truncated lineage.
+    * Pass `workDir` on a cluster (HDFS/object store); the tmp-dir default
+    * is for local runs.
     *
     * `edges` needs (src, dst) columns; output (node, component) where
     * component = min node id in the cluster. Isolated nodes only appear
     * if present as self-edges or in `extraNodes`.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          extraNodes: Option[DataFrame] = None): DataFrame = {
+                          extraNodes: Option[DataFrame] = None,
+                          workDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val base = workDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-cc").toString)
+    // write-then-read materialization: one job computes and lands the
+    // round on reliable storage; downstream rounds read the files
+    def save(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
     // materialize the symmetric edge set ONCE — it is referenced in every
     // propagation round, and without this the full upstream pipeline
     // (e.g. LSH pair generation) would re-execute per iteration
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val sym = save(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))), "sym")
     val nodes = sym.select(col("src").as("node")).distinct()
       .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
         edges.sparkSession.emptyDataFrame.withColumn("node", lit(0L)).limit(0)))
       .distinct()
-    var labels = nodes.withColumn("component", col("node")).localCheckpoint(true)
+    var labels = save(nodes.withColumn("component", col("node")), "labels-0")
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // neighbor-propagated candidates carry prev=null; each node's own
+      // row carries prev=its current label. min(prev) ignores nulls and
+      // every node has exactly one own-row, so prev survives the groupBy
+      // and the changed-test needs no second join.
       val candidates = sym.join(labels, sym("dst") === labels("node"))
-        .select(sym("src").as("node"), col("component"))
-        .unionByName(labels)
-      val next = candidates.groupBy("node")
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+        .select(sym("src").as("node"), col("component"),
+          lit(null).cast("long").as("prev"))
+        .unionByName(labels.select(col("node"), col("component"),
+          col("component").as("prev")))
+      val next = save(candidates.groupBy("node")
+        .agg(min(col("component")).as("component"), min(col("prev")).as("prev")),
+        s"labels-${iter + 1}")
+      // single cheap action over the files just written — no join
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("component"))
       iter += 1
     }
     labels
