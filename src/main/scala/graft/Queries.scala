@@ -825,7 +825,8 @@ object Queries {
     (s, d) => {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-        "embedding", dim = 64, k = 5, bits = 8)
+        "embedding", dim = 64, k = 5, bits = 10, bands = 4,
+        maxBucket = 2000, multiProbe = true)
     },
     None)
 

@@ -178,6 +178,54 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Random-hyperplane LSH signatures for a float vector: `bands`
+    * independent `bits`-bit signatures, bit i of band b = sign of the dot
+    * product with a Gaussian plane drawn from Random(seed + b). All
+    * bands x bits planes live in the expression (model constants, not
+    * plan literals) — one tight loop per row replaces bands x bits
+    * separate literal-array dot expressions, which bloated planning and
+    * codegen far beyond the actual math.
+    */
+  case class HyperplaneSignatures(child: Expression, dim: Int, bits: Int,
+                                  bands: Int, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dim > 0 && bits > 0 && bits <= 63 && bands > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hyperplane_signatures"
+
+    // flat [bits * dim] per band for locality; identical draw order to a
+    // per-band Array.fill(bits)(Array.fill(dim)(nextGaussian)) codebook
+    @transient private lazy val planes: Array[Array[Float]] = Array.tabulate(bands) { b =>
+      val rng = new scala.util.Random(seed + b)
+      Array.fill(bits * dim)(rng.nextGaussian().toFloat)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        val pl = planes(b)
+        var sig = 0L
+        var i = 0
+        while (i < bits) {
+          val off = i * dim
+          var s = 0d
+          var j = 0
+          while (j < n) { s += v.getFloat(j).toDouble * pl(off + j); j += 1 }
+          if (s > 0) sig |= (1L << i)
+          i += 1
+        }
+        out(b) = sig
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // -------- Column-facing wrappers --------
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
@@ -187,4 +235,7 @@ object Expressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
+  def hyperplane_signatures(vec: Column, dim: Int, bits: Int, bands: Int,
+                            seed: Int = 42): Column =
+    column(HyperplaneSignatures(expression(vec), dim, bits, bands, seed))
 }

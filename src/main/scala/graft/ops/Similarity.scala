@@ -52,16 +52,12 @@ object Similarity {
   /** Random-hyperplane signature: bit i = sign(dot(v, r_i)) where r_i is a
     * deterministic pseudo-random hyperplane derived from (seed, i, dim) —
     * reproducible across runs and cluster sizes with no model state.
+    * Computed by the single tight-loop
+    * [[graft.functions.Expressions.HyperplaneSignatures]] expression.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
-    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(x => lit(x)).toIndexedSeq: _*).cast("array<float>")
-      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    sigBits.reduce(_ + _)
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column =
+    element_at(graft.functions.Expressions.hyperplane_signatures(
+      vec, dim, bits, bands = 1, seed), 1)
 
   // ---- IVF (inverted-file) index ----
 
@@ -159,20 +155,54 @@ object Similarity {
     org.apache.spark.sql.graftbridge.TopKPerKey(scored, Seq("probe_id"), "score", k)
   }
 
-  /** ANN via LSH buckets: corpus signed once, candidates = same-bucket
-    * rows, exact re-rank inside the bucket. Recall < 1 by design; the
-    * bruteForceTopK path is the recall oracle.
+  /** Per-band (band, bucket) rows for every input row: `bands`
+    * independent `bits`-bit hyperplane signatures, seeds offset per band,
+    * all computed in one expression pass then position-exploded.
+    */
+  private def bandBuckets(df: DataFrame, idCol: String, vecCol: String,
+                          outId: String, dim: Int, bits: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+        posexplode(graft.functions.Expressions.hyperplane_signatures(
+          col(vecCol), dim, bits, bands)).as(Seq("band", "bucket")))
+
+  /** ANN via multi-band LSH: `bands` independent random-hyperplane
+    * signatures; a candidate is any corpus row sharing a (band, bucket)
+    * with the probe in ANY band (union across bands — recall compounds per
+    * band where a single wide signature only shrinks it). `multiProbe`
+    * additionally visits every 1-bit-flip neighbor bucket per band.
+    * Candidates are deduped as bare (probe_id, cand_id) pairs before
+    * vectors are joined back, so the bucket shuffle carries ids only, and
+    * corpus buckets larger than `maxBucket` are dropped entirely (the
+    * degenerate-bucket/spam safety valve, same contract as
+    * [[Dedup.minhashLshPairs]]). Recall < 1 by design; the bruteForceTopK
+    * path is the recall oracle.
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, dim: Int, k: Int, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
-      norm(col(vecCol)).as("cand_norm"),
-      hyperplaneSignature(col(vecCol), dim, bits).as("bucket"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-      norm(col(vecCol)).as("probe_norm"),
-      hyperplaneSignature(col(vecCol), dim, bits).as("bucket"))
-    val scored = c.join(broadcast(p), Seq("bucket"))
+              vecCol: String, dim: Int, k: Int, bits: Int = 8,
+              bands: Int = 4, maxBucket: Int = 2000,
+              multiProbe: Boolean = false): DataFrame = {
+    val cB = bandBuckets(corpus, idCol, vecCol, "cand_id", dim, bits, bands)
+    // hot-bucket guard: buckets over maxBucket are degenerate regions
+    // whose candidates would explode the join — exclude, don't truncate.
+    // One window count over the bucket shuffle (a single pass) instead of
+    // a groupBy + anti-join re-scan of the signature computation.
+    val bounded = cB.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val pB0 = bandBuckets(probes, idCol, vecCol, "probe_id", dim, bits, bands)
+    val pB = if (!multiProbe) pB0 else
+      pB0.select(col("probe_id"), col("band"), explode(array(
+          (col("bucket") +: (0 until bits).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    // bucket join + dedup move (probe_id, cand_id) only — never vectors
+    val cand = bounded.join(broadcast(pB), Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val cVec = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      norm(col(vecCol)).as("cand_norm"))
+    val pVec = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm"))
+    val scored = cand.join(cVec, Seq("cand_id")).join(broadcast(pVec), Seq("probe_id"))
       .withColumn("score", round(
         dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))

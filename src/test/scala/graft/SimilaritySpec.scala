@@ -48,6 +48,39 @@ class SimilaritySpec extends SparkTestBase {
     assert((lshSet -- bruteSet).forall(_ => true)) // lsh may differ; scores checked above
   }
 
+  test("LSH multi-band + multi-probe recall beats a lone band and clears 0.6") {
+    val corpus = (0 until 200).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(corpus, probes, "vec_id", "embedding", 3)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recallOf(bands: Int, mp: Boolean) =
+      (Similarity.lshTopK(corpus, probes, "vec_id", "embedding", dim = 8, k = 3,
+          bits = 6, bands = bands, multiProbe = mp)
+        .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+        & brute).size.toDouble / brute.size
+    val multi = recallOf(4, true)
+    assert(multi >= recallOf(1, false), "band union must not lose recall")
+    assert(multi >= 0.6, s"multi-band recall $multi too low")
+  }
+
+  test("LSH hot-bucket guard drops a degenerate all-identical region") {
+    // 500 copies of one direction (a spam cluster) + 20 distinct rows
+    val spam = (0 until 500).map(i => (1000L + i, Array(1f, 0f, 0f, 0f)))
+    val rest = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 5 + j).toFloat))
+    }
+    val corpus = (spam ++ rest).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1000L)
+    val out = Similarity.lshTopK(corpus, probes, "vec_id", "embedding",
+      dim = 4, k = 5, bits = 4, bands = 2, maxBucket = 100)
+    // every bucket holding the spam cluster exceeds maxBucket in every
+    // band, so the probe sees no candidates at all — bounded, not exploded
+    assert(out.count() == 0)
+  }
+
   test("IVF: clustered corpus, high recall vs brute force at nProbe=2") {
     // 3 tight clusters around orthogonal axes; IVF cells should align
     val rng = new scala.util.Random(7)
