@@ -732,7 +732,12 @@ object Queries {
             sh AS (
               SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
               FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-                         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+                         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              UNION
+              SELECT doc_id,
+                array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS shingle
+              FROM documents
+              WHERE len(string_split_regex(lower(trim(text)), '\s+')) < 3),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
             inter AS (
               SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter

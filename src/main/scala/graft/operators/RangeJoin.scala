@@ -23,10 +23,17 @@ object RangeJoin {
                       binWidth: Long): DataFrame = {
     require(binWidth > 0)
     val p = points.withColumn("__bin", floor(unix_micros(col(pointTs).cast("timestamp")) / binWidth))
-    val i = intervals.withColumn("__bin", explode(sequence(
-      floor(unix_micros(col(loCol).cast("timestamp")) / binWidth),
-      // hi is exclusive: the last overlapped bin is the one containing hi-1us
-      floor((unix_micros(col(hiCol).cast("timestamp")) - 1) / binWidth))))
+    // hi is exclusive: the last overlapped bin is the one containing hi-1us.
+    // Degenerate intervals (hi <= lo) can match nothing, but an unguarded
+    // sequence(lo, hi) with start > stop generates a DESCENDING range —
+    // replicating the inverted interval into every bin between the
+    // reversed endpoints (possible OOM) instead of zero rows. Guard to an
+    // empty array, which explode() drops.
+    val loBin = floor(unix_micros(col(loCol).cast("timestamp")) / binWidth)
+    val hiBin = floor((unix_micros(col(hiCol).cast("timestamp")) - 1) / binWidth)
+    val i = intervals.withColumn("__bin", explode(
+      when(col(hiCol) > col(loCol), sequence(loBin, hiBin))
+        .otherwise(array().cast("array<bigint>"))))
     p.join(i, Seq("__bin"))
       .filter(col(pointTs) >= col(loCol) && col(pointTs) < col(hiCol))
       .drop("__bin")

@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -31,10 +31,12 @@ class DiscoverDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DiscoverDataSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new DiscoverTable(
-      Option(properties.get("pages")).map(_.toInt).getOrElse(5),
-      Option(properties.get("pagesize")).map(_.toInt).getOrElse(20))
+                        properties: util.Map[String, String]): Table = {
+    // getTable receives reader options with their original case preserved;
+    // re-wrap so the documented .option("pageSize", N) spelling works
+    val opts = new CaseInsensitiveStringMap(properties)
+    new DiscoverTable(opts.getInt("pages", 5), opts.getInt("pageSize", 20))
+  }
 }
 
 object DiscoverDataSource {
@@ -71,10 +73,13 @@ private class DiscoverTable(pages: Int, pageSize: Int) extends Table with Suppor
 }
 
 private class DiscoverScanBuilder(pages: Int, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownTopN with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = DiscoverDataSource.schema
+  private var topN: Option[(Array[SortOrder], Int)] = None
+  private var pushedLimit: Int = -1
 
   /** The API accepts exactly these predicate shapes as query params. */
   private def supported(f: Filter): Boolean = f match {
@@ -95,32 +100,66 @@ private class DiscoverScanBuilder(pages: Int, pageSize: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(required: StructType): Unit = { requiredSchema = required }
 
+  /** S1's sort_by=...&page=N contract (etl_task.py:44-72): ORDER BY +
+    * LIMIT travels with the request. Partially pushed: each page returns
+    * its own sorted top-N and Spark does the final merge, which is
+    * exactly the shape a paginated API gives a distributed reader.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val ok = orders.nonEmpty && orders.forall(_.expression() match {
+      case nr: NamedReference => nr.fieldNames.length == 1 &&
+        DiscoverDataSource.schema.fieldNames.contains(nr.fieldNames()(0))
+      case _ => false
+    })
+    if (ok) topN = Some((orders, limit))
+    ok
+  }
+
+  /** Plain LIMIT without a sort: stop generating after `limit` matches
+    * per page; Spark applies the global limit on top.
+    */
+  override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; true }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = requiredSchema
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       (0 until pages).map(p => DiscoverPartition(p, pageSize): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new DiscoverReaderFactory(pushed, requiredSchema)
-    override def description(): String =
-      s"DiscoverScan pushed=[${pushed.mkString(", ")}]"
+      new DiscoverReaderFactory(pushed, requiredSchema, topN, pushedLimit)
+    override def description(): String = {
+      val tn = topN.map { case (o, n) =>
+        s" pushedTopN=[${o.map(_.describe).mkString(", ")} LIMIT $n]" }.getOrElse("")
+      val lim = if (pushedLimit >= 0 && topN.isEmpty) s" pushedLimit=$pushedLimit" else ""
+      s"DiscoverScan pushed=[${pushed.mkString(", ")}]$tn$lim"
+    }
   }
 }
 
 private case class DiscoverPartition(page: Int, pageSize: Int) extends InputPartition
 
-private class DiscoverReaderFactory(pushed: Array[Filter], required: StructType)
+private class DiscoverReaderFactory(pushed: Array[Filter], required: StructType,
+                                    topN: Option[(Array[SortOrder], Int)],
+                                    pushedLimit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DiscoverPartition]
-    new DiscoverReader(p.page, p.pageSize, pushed, required)
+    new DiscoverReader(p.page, p.pageSize, pushed, required, topN, pushedLimit)
   }
 }
 
 private class DiscoverReader(page: Int, pageSize: Int, pushed: Array[Filter],
-                             required: StructType) extends PartitionReader[InternalRow] {
+                             required: StructType,
+                             topN: Option[(Array[SortOrder], Int)],
+                             pushedLimit: Int) extends PartitionReader[InternalRow] {
+  private type R = (Long, String, Int, Long, Double, Boolean, String)
   private var i = -1
-  private var current: (Long, String, Int, Long, Double, Boolean, String) = _
+  private var emitted = 0
+  private var current: R = _
+  // topN path: the page's matching rows, sorted and truncated up front
+  // (the "server" answering sort_by + page in one response)
+  private var sortedRows: Iterator[R] = _
 
   private def dateDays(v: Any): Int = v match {
     case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
@@ -142,13 +181,47 @@ private class DiscoverReader(page: Int, pageSize: Int, pushed: Array[Filter],
       case _ => true
     }
 
-  override def next(): Boolean = {
-    while (i < pageSize - 1) {
-      i += 1
-      val r = DiscoverDataSource.row(page.toLong * pageSize + i)
-      if (matches(r)) { current = r; return true }
+  private def fieldCmp(name: String)(a: R, b: R): Int = name match {
+    case "id"                => java.lang.Long.compare(a._1, b._1)
+    case "title"             => a._2.compareTo(b._2)
+    case "release_date"      => Integer.compare(a._3, b._3)
+    case "vote_count"        => java.lang.Long.compare(a._4, b._4)
+    case "vote_average"      => java.lang.Double.compare(a._5, b._5)
+    case "adult"             => java.lang.Boolean.compare(a._6, b._6)
+    case "original_language" => a._7.compareTo(b._7)
+  }
+
+  private def ordering(orders: Array[SortOrder]): Ordering[R] = new Ordering[R] {
+    def compare(a: R, b: R): Int = {
+      orders.foreach { o =>
+        val name = o.expression().asInstanceOf[NamedReference].fieldNames()(0)
+        val c = fieldCmp(name)(a, b)
+        if (c != 0)
+          return if (o.direction() == SortDirection.ASCENDING) c else -c
+      }
+      0
     }
-    false
+  }
+
+  override def next(): Boolean = topN match {
+    case Some((orders, limit)) =>
+      if (sortedRows == null) {
+        val all = (0 until pageSize).iterator
+          .map(j => DiscoverDataSource.row(page.toLong * pageSize + j))
+          .filter(matches).toArray
+        sortedRows = all.sorted(ordering(orders)).iterator.take(limit)
+      }
+      val has = sortedRows.hasNext
+      if (has) current = sortedRows.next()
+      has
+    case None =>
+      if (pushedLimit >= 0 && emitted >= pushedLimit) return false
+      while (i < pageSize - 1) {
+        i += 1
+        val r = DiscoverDataSource.row(page.toLong * pageSize + i)
+        if (matches(r)) { current = r; emitted += 1; return true }
+      }
+      false
   }
 
   override def get(): InternalRow = {

@@ -33,13 +33,15 @@ object Incremental {
 
   /** Streaming variant with event-time watermark: late rows beyond the
     * watermark are dropped, matching the reference's "window closed, rerun
-    * appends are deduped" behavior.
+    * appends are deduped" behavior. window() is epoch-aligned and
+    * 1970-01-01 was a Thursday, so a 4-day startTime offset Monday-aligns
+    * the buckets to agree with [[weeklyCounts]]'s date_trunc('week').
     */
   def streamingWeeklyCounts(events: DataFrame, tsCol: String, keyCol: String,
                             watermark: String = "1 day"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), "7 days"), col(keyCol))
+      .groupBy(window(col(tsCol), "7 days", "7 days", "4 days"), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
   /** At-least-once -> exactly-once: drop duplicate event ids within the

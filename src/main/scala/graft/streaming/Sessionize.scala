@@ -49,12 +49,20 @@ object Sessionize {
                         session_end: Timestamp, n_events: Long, sum_value: Double)
 
   /** flatMapGroupsWithState sessionizer: one state object per user, closed
-    * sessions emitted on gap break or processing-time timeout. The
-    * imperative twin of [[sessionWindows]] for when per-session state
-    * must carry custom structure.
+    * sessions emitted on gap break or event-time timeout. The imperative
+    * twin of [[sessionWindows]] for when per-session state must carry
+    * custom structure.
+    *
+    * Timeouts are event-time, not processing-time: the session closes
+    * once the watermark passes last-event + gap, which (a) emits the
+    * final session per key and expires its state — unbounded state growth
+    * otherwise — and (b) is deterministic under replay. (Processing-time
+    * timeouts also make `shouldRunAnotherBatch` true on every batch,
+    * which livelocks drain-style consumers like processAllAvailable.)
     */
   def statefulSessions(events: Dataset[SessionEvent],
-                       gapMinutes: Long = 30): Dataset[SessionOut] = {
+                       gapMinutes: Long = 30,
+                       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
 
@@ -65,26 +73,42 @@ object Sessionize {
       t
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var cur = state.getOption.orNull
-          sorted.foreach { e =>
-            val m = micros(e.ts)
-            cur match {
-              case null =>
-                cur = SessionState(m, m, 1, e.value)
-              case s if m - s.lastMicros < gapMicros =>
-                cur = SessionState(s.start, m, s.n + 1, s.sum + e.value)
-              case s =>
-                out += SessionOut(user, toTs(s.start), toTs(s.lastMicros + gapMicros), s.n, s.sum)
-                cur = SessionState(m, m, 1, e.value)
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and emit the open
+            // session, drop its state
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, toTs(s.start), toTs(s.lastMicros + gapMicros), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val m = micros(e.ts)
+              cur match {
+                case null =>
+                  cur = SessionState(m, m, 1, e.value)
+                case s if m - s.lastMicros < gapMicros =>
+                  cur = SessionState(s.start, m, s.n + 1, s.sum + e.value)
+                case s =>
+                  out += SessionOut(user, toTs(s.start), toTs(s.lastMicros + gapMicros), s.n, s.sum)
+                  cur = SessionState(m, m, 1, e.value)
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              // close time must sit past the current watermark or Spark
+              // rejects it; late stragglers can only push it forward
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, (cur.lastMicros + gapMicros) / 1000L))
+            }
+            out.iterator
           }
-          if (cur != null) state.update(cur)
-          out.iterator
       }
   }
 

@@ -48,6 +48,31 @@ class DiscoverSourceSpec extends SparkTestBase {
     assert(df.distinct().count() == 100)
   }
 
+  test("non-default pageSize is honored (camelCase option spelling)") {
+    val df = spark.read.format("graft.sources.DiscoverDataSource")
+      .option("pages", 3).option("pageSize", 7).load()
+    assert(df.count() == 21)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("ORDER BY + LIMIT is pushed to the scan as TopN") {
+    val df = read(10).orderBy(col("vote_count").desc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTopN=") && plan.contains("vote_count") &&
+      plan.contains("LIMIT 5"), s"TopN must reach the scan; plan:\n$plan")
+    // partial pushdown: Spark's final merge still yields the true top 5
+    val expected = read(10).collect().map(_.getAs[Long]("vote_count"))
+      .sorted(Ordering[Long].reverse).take(5).toSeq
+    assert(df.collect().map(_.getAs[Long]("vote_count")).toSeq == expected)
+  }
+
+  test("bare LIMIT is pushed (per-page early stop)") {
+    val df = read(10).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=3"), s"plan:\n$plan")
+    assert(df.count() == 3)
+  }
+
   test("S1 semantics end-to-end: windowed, vote-floored, sorted id scan") {
     val ids = graft.operators.Discover.idsSorted(
       graft.operators.Discover.scan(read(10), "release_date", "2024-03-01",

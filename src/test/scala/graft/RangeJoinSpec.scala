@@ -30,6 +30,20 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!naive.exists(_._2 == 3L))
   }
 
+  test("degenerate interval (hi <= lo) yields zero rows, not a reversed bin range") {
+    val points = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("pid", "pts")
+    val intervals = Seq(
+      // badly inverted: a year-long descending range if unguarded
+      (1L, ts("2025-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00")), // empty
+      (3L, ts("2024-01-04 00:00:00"), ts("2024-01-06 00:00:00"))  // real match
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "pts", intervals, "lo", "hi",
+        binWidth = 24L * 3600 * 1000000)
+      .select("iid").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+
   test("boundary semantics: lo inclusive, hi exclusive") {
     val points = Seq((1L, ts("2024-01-05 00:00:00")), (2L, ts("2024-01-09 00:00:00")))
       .toDF("pid", "pts")

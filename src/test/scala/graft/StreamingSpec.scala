@@ -36,12 +36,16 @@ class StreamingSpec extends SparkTestBase {
         .select(col("window.start").as("ws"), col("event_type"), col("n_events"), col("sum_value"))
         .as[(Timestamp, String, Long, Double)].collect().toSet
       val batch = rows.toDF()
-        .groupBy(window(col("ts"), "7 days"), col("event_type"))
+        .groupBy(window(col("ts"), "7 days", "7 days", "4 days"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("v"))
         .select(col("window.start"), col("event_type"), col("n"), col("v"))
         .as[(Timestamp, String, Long, Double)].collect().toSet
       assert(got == batch)
       assert(got.toSeq.map(_._3).sum == 4)
+      // streaming buckets must share the batch weeklyCounts Monday anchor
+      val wk = Incremental.weeklyCounts(rows.toDF(), "ts", "event_type")
+        .select(col("week_start")).as[Timestamp].collect().toSet
+      assert(got.map(_._1) == wk, "streaming weeks must be Monday-aligned like date_trunc")
     } finally q.stop()
   }
 
@@ -107,6 +111,32 @@ class StreamingSpec extends SparkTestBase {
       val closed = spark.table("state_sess")
         .as[graft.streaming.Sessionize.SessionOut].collect()
       assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.sum_value == 3.0)
+      assert(closed.head.session_end == ts("2024-02-01 10:40:00"))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits the final session on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize.{SessionEvent, statefulSessions}
+    val mem = MemoryStream[SessionEvent]
+    val q = statefulSessions(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("timeout_sess").start()
+    try {
+      mem.addData(
+        SessionEvent(7, ts("2024-02-01 10:00:00"), 1.0),
+        SessionEvent(7, ts("2024-02-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sess").count() == 0, "still open")
+      // an unrelated key far in the future advances the watermark past
+      // 10:40 (last event + gap); key 7's open session must close
+      mem.addData(SessionEvent(8, ts("2024-02-01 13:00:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(8, ts("2024-02-01 13:01:00"), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("timeout_sess")
+        .as[graft.streaming.Sessionize.SessionOut].collect()
+      assert(closed.length == 1 && closed.head.user_id == 7)
       assert(closed.head.n_events == 2 && closed.head.sum_value == 3.0)
       assert(closed.head.session_end == ts("2024-02-01 10:40:00"))
     } finally q.stop()
