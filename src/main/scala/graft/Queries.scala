@@ -100,6 +100,54 @@ object Queries {
                    ELSE 'tie_or_unknown' END AS larger
             FROM lineitem"""))
 
+  // ---------------------------------------------------------------- C2
+  // harness analog of Clean.collectionDetails (etl_task.py:205-219): the
+  // id-rename + name + ""->NULL projection shape on the part table
+  private val c2CleanCollection = Q(
+    "c2_clean_collection",
+    (s, d) => part(s, d).select(
+      col("p_partkey").as("collection_id"),
+      col("p_name").as("name"),
+      nullIfEmpty(col("p_brand")).as("overview")),
+    Some("""SELECT p_partkey AS collection_id, p_name AS name,
+              nullif(p_brand, '') AS overview
+            FROM part"""))
+
+  // ---------------------------------------------------------------- C3
+  // harness analog of Clean.companyDetails (etl_task.py:221-238): id +
+  // parent-id + 0->NULL / ""->NULL batteries on the supplier table
+  private val c3CleanCompany = Q(
+    "c3_clean_company",
+    (s, d) => supplier(s, d).select(
+      col("s_suppkey").as("company_id"),
+      nullIfZero(col("s_nationkey")).as("parent_company_id"),
+      col("s_name").as("name"),
+      nullif(col("s_acctbal"), lit(0.0)).as("account_balance")),
+    Some("""SELECT s_suppkey AS company_id,
+              nullif(s_nationkey, 0) AS parent_company_id,
+              s_name AS name,
+              nullif(s_acctbal, 0.0) AS account_balance
+            FROM supplier"""))
+
+  // ---------------------------------------------------------------- C4
+  // harness analog of Clean.personDetails (etl_task.py:240-259): id +
+  // name + gender decode + ""/0->NULL batteries on the customer table
+  private val c4CleanPerson = Q(
+    "c4_clean_person",
+    (s, d) => customer(s, d).select(
+      col("c_custkey").as("person_id"),
+      col("c_name").as("name"),
+      decodeGender(col("c_custkey") % 4).as("gender"),
+      nullIfEmpty(col("c_mktsegment")).as("segment"),
+      nullif(col("c_acctbal"), lit(0.0)).as("popularity")),
+    Some("""SELECT c_custkey AS person_id, c_name AS name,
+              CASE c_custkey % 4 WHEN 0 THEN 'Not specified'
+                WHEN 1 THEN 'Female' WHEN 2 THEN 'Male'
+                WHEN 3 THEN 'Non-binary' END AS gender,
+              nullif(c_mktsegment, '') AS segment,
+              nullif(c_acctbal, 0.0) AS popularity
+            FROM customer"""))
+
   // ---------------------------------------------------------------- C5
   private val c5GenderDecode = Q(
     "c5_gender_decode",
@@ -922,6 +970,7 @@ object Queries {
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
+    c2CleanCollection, c3CleanCompany, c4CleanPerson,
     c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     asofJoin, rangeJoin,
