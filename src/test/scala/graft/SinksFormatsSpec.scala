@@ -24,6 +24,29 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(got(878L) == "Science Fiction")
   }
 
+  test("K1/K2 JDBC sink: dup-tolerant insert converges under replay (Derby)") {
+    val dbDir = Files.createTempDirectory("graft_derby_").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      "CREATE TABLE movies (movie_id BIGINT PRIMARY KEY, title VARCHAR(100), popularity DOUBLE)")
+    setup.close()
+    // in-batch duplicate (2) and a NULL column value (3)
+    val batch = Seq((1L, "A", 1.0), (2L, "B", 2.0), (2L, "B", 2.0),
+      (3L, null.asInstanceOf[String], 0.5)).toDF("movie_id", "title", "popularity")
+    Sinks.appendJdbc(batch, url, "movies")
+    Sinks.appendJdbc(batch, url, "movies") // full replay: must converge
+    val props = new java.util.Properties
+    assert(spark.read.jdbc(url, "movies", props).count() == 3)
+    // overlapping incremental batch: only the new key lands; first write wins
+    val next = Seq((3L, "C", 9.9), (4L, "D", 4.0)).toDF("movie_id", "title", "popularity")
+    Sinks.appendJdbc(next, url, "movies")
+    val back = spark.read.jdbc(url, "movies", props)
+    assert(back.count() == 4)
+    assert(back.filter(col("movie_id") === 3).collect().head.isNullAt(1),
+      "replayed key 3 keeps its first-written NULL title")
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc_").toString + "/li"
     val src = Tables.lineitem(spark, sf("sf0.001"))
