@@ -855,6 +855,8 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  // oracled since round 2: the heap operator's tie-break (score desc,
+  // cand_id asc) makes its row set identical to the window formulation
   private val annTopkOperator = Q(
     "ann_topk_operator",
     (s, d) => {
@@ -862,7 +864,19 @@ object Queries {
       Similarity.bruteForceTopKOperator(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
     },
-    None)
+    Some("""WITH scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                  AS score
+              FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id < 10)
+            SELECT probe_id, cand_id, score FROM (
+              SELECT probe_id, cand_id, score,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, cand_id) AS rank
+              FROM scored) WHERE rank <= 5"""))
 
   private val annIvf = Q(
     "ann_ivf_topk",

@@ -139,8 +139,9 @@ object Similarity {
   /** Brute-force top-k through the custom bounded-heap operator
     * (graftbridge.TopKPerKey) instead of a window sort: same candidate
     * generation, O(n log k) selection with no per-partition sort buffer.
-    * Rank-less output (heap order unspecified); the window-based
-    * [[bruteForceTopK]] remains the deterministic/oracle path.
+    * Scores are rounded and ties broken on cand_id exactly like
+    * [[bruteForceTopK]], so the output ROW SET matches the window path
+    * (only the rank column and row order differ) and is oracle-checkable.
     */
   def bruteForceTopKOperator(corpus: DataFrame, probes: DataFrame, idCol: String,
                              vecCol: String, k: Int): DataFrame = {
@@ -149,10 +150,11 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       norm(col(vecCol)).as("probe_norm"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      .withColumn("score",
-        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")))
+      .withColumn("score", round(
+        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
       .select("probe_id", "cand_id", "score")
-    org.apache.spark.sql.graftbridge.TopKPerKey(scored, Seq("probe_id"), "score", k)
+    org.apache.spark.sql.graftbridge.TopKPerKey(scored, Seq("probe_id"), "score", k,
+      tieBreakCol = Some("cand_id"))
   }
 
   /** Per-band (band, bucket) rows for every input row: `bands`

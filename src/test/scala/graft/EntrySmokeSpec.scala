@@ -25,7 +25,7 @@ class EntrySmokeSpec extends SparkTestBase {
     assert((qs -- os) ==
       Set("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
         "ann_lsh_topk", "ann_ivf_topk",
-        "ann_topk_operator", "multimodal_features", "sketch_agg"),
+        "multimodal_features", "sketch_agg"),
       "rows-only set is exactly the LSH/banding/sketch + stubbed-codec queries")
   }
 

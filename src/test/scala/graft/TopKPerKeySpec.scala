@@ -49,6 +49,35 @@ class TopKPerKeySpec extends SparkTestBase {
       s"only the explicit repartition exchange; plan:\n$plan")
   }
 
+  test("spill fallback past the key-cardinality cap returns the same rows") {
+    // cap of 7 keys per partition forces the ExternalSorter path on the
+    // 20-key data; result must be identical to the heap path
+    val viaHeap = TopKPerKey(data, Seq("k"), "score", 5)
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    val viaSpill = TopKPerKey(data, Seq("k"), "score", 5, maxKeys = 7)
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    assert(viaSpill == viaHeap)
+    assert(viaSpill.size == 100)
+  }
+
+  test("tie-break keeps the smallest id on equal scores (deterministic set)") {
+    val tied = (1 to 100).map(i => (i % 4L, i.toLong, (i % 2).toDouble))
+      .toDF("k", "id", "score")
+    val out = TopKPerKey(tied, Seq("k"), "score", 3, tieBreakCol = Some("id"))
+      .select("k", "id", "score").as[(Long, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"score".desc, $"id")
+    val viaWindow = tied.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).select("k", "id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == viaWindow)
+    // and the spill path honors the same tie-break
+    val spill = TopKPerKey(tied, Seq("k"), "score", 3,
+      tieBreakCol = Some("id"), maxKeys = 2)
+      .select("k", "id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(spill == viaWindow)
+  }
+
   test("null scores are dropped, not ranked") {
     val withNulls = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(1.0)))
       .toDF("k", "id", "score")
