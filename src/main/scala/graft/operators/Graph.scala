@@ -66,18 +66,31 @@ object Graph {
     * the whole closure), so work is proportional to path count; maxDepth
     * bounds the number of shuffles.
     */
-  def ancestorClosure(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
-    val base = edges.select(col("child"), col("parent").as("ancestor"), lit(1).as("depth"))
-    var closure = base
-    var frontier = base
+  def ancestorClosure(edges: DataFrame, maxDepth: Int = 20,
+                      workDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val base = workDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-closure").toString)
+    // write-then-read: one computation per frontier, lineage truncated via
+    // reliable files (an executor loss replays from the last frontier,
+    // where localCheckpoint would fail the job)
+    def save(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val first = save(edges.select(col("child"), col("parent").as("ancestor"),
+      lit(1).as("depth")), "frontier-1")
+    var closure = first
+    var frontier = first
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
-      val next = frontier.alias("f")
+      val next = save(frontier.alias("f")
         .join(edges.alias("e"), col("f.ancestor") === col("e.child"))
         .select(col("f.child"), col("e.parent").as("ancestor"), (col("f.depth") + 1).as("depth"))
         // cycle guard: never revisit a (child, ancestor) pair
-        .join(closure, Seq("child", "ancestor"), "left_anti")
-        .localCheckpoint(eager = true) // truncate lineage per iteration
+        .join(closure, Seq("child", "ancestor"), "left_anti"),
+        s"frontier-${depth + 1}")
       closure = closure.unionByName(next)
       frontier = next
       depth += 1

@@ -19,19 +19,40 @@ object Sinks {
   /** K1/K2/K3: append rows whose key is not already present (duplicate-key
     * tolerant insert). Batch-internal dups collapse first; the anti-join
     * against the current table enforces cross-run idempotency.
+    *
+    * At 100 TB the anti-join must not scan the whole store per batch:
+    * pass `partitionCol` (a column of `df`, used as the store's
+    * partitionBy key) and the store read is pruned to only the partition
+    * values present in the incoming batch — a weekly batch then probes
+    * ~one partition, not the full history. Without a transactional table
+    * format this is the standard idempotent-append shape; Delta/Iceberg
+    * MERGE is the production upgrade path.
     */
-  def appendDedup(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+  def appendDedup(df: DataFrame, path: String, keys: Seq[String],
+                  partitionCol: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val batch = df.dropDuplicates(keys)
     val fresh =
       if (exists(spark, path)) {
-        val current = spark.read.parquet(path).select(keys.map(col): _*)
-        batch.join(current, keys, "left_anti")
+        val current = spark.read.parquet(path)
+        val pruned = partitionCol match {
+          case Some(pc) =>
+            // driver-held partition-value list (small by construction: a
+            // batch touches few partitions); becomes a PartitionFilter on
+            // the store scan so untouched partitions are never read
+            val vals = batch.select(col(pc)).distinct().collect().map(_.get(0))
+            current.filter(col(pc).isInCollection(vals.toSeq))
+          case None => current
+        }
+        batch.join(pruned.select(keys.map(col): _*), keys, "left_anti")
       } else batch
     // localCheckpoint: materialize the anti-join BEFORE the write opens the
     // target for append — otherwise the scan of `current` races the writer
     val toWrite = fresh.localCheckpoint(true)
-    toWrite.write.mode(SaveMode.Append).parquet(path)
+    partitionCol match {
+      case Some(pc) => toWrite.write.mode(SaveMode.Append).partitionBy(pc).parquet(path)
+      case None     => toWrite.write.mode(SaveMode.Append).parquet(path)
+    }
   }
 
   /** K1/K2 JDBC parity: dup-tolerant insert into a relational table with a

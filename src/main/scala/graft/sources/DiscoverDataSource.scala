@@ -35,7 +35,8 @@ class DiscoverDataSource extends TableProvider {
     // getTable receives reader options with their original case preserved;
     // re-wrap so the documented .option("pageSize", N) spelling works
     val opts = new CaseInsensitiveStringMap(properties)
-    new DiscoverTable(opts.getInt("pages", 5), opts.getInt("pageSize", 20))
+    new DiscoverTable(opts.getInt("pages", 5), opts.getInt("pageSize", 20),
+      opts.getInt("maxRowsPerSec", 0))
   }
 }
 
@@ -63,16 +64,17 @@ object DiscoverDataSource {
     langs((i % langs.length).toInt))
 }
 
-private class DiscoverTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+private class DiscoverTable(pages: Int, pageSize: Int, maxRowsPerSec: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"discover(pages=$pages, pageSize=$pageSize)"
   override def schema(): StructType = DiscoverDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DiscoverScanBuilder(pages, pageSize)
+    new DiscoverScanBuilder(pages, pageSize, maxRowsPerSec)
 }
 
-private class DiscoverScanBuilder(pages: Int, pageSize: Int)
+private class DiscoverScanBuilder(pages: Int, pageSize: Int, maxRowsPerSec: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownTopN with SupportsPushDownLimit {
 
@@ -127,7 +129,7 @@ private class DiscoverScanBuilder(pages: Int, pageSize: Int)
     override def planInputPartitions(): Array[InputPartition] =
       (0 until pages).map(p => DiscoverPartition(p, pageSize): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new DiscoverReaderFactory(pushed, requiredSchema, topN, pushedLimit)
+      new DiscoverReaderFactory(pushed, requiredSchema, topN, pushedLimit, maxRowsPerSec)
     override def description(): String = {
       val tn = topN.map { case (o, n) =>
         s" pushedTopN=[${o.map(_.describe).mkString(", ")} LIMIT $n]" }.getOrElse("")
@@ -141,18 +143,20 @@ private case class DiscoverPartition(page: Int, pageSize: Int) extends InputPart
 
 private class DiscoverReaderFactory(pushed: Array[Filter], required: StructType,
                                     topN: Option[(Array[SortOrder], Int)],
-                                    pushedLimit: Int)
+                                    pushedLimit: Int, maxRowsPerSec: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DiscoverPartition]
-    new DiscoverReader(p.page, p.pageSize, pushed, required, topN, pushedLimit)
+    new DiscoverReader(p.page, p.pageSize, pushed, required, topN, pushedLimit,
+      maxRowsPerSec)
   }
 }
 
 private class DiscoverReader(page: Int, pageSize: Int, pushed: Array[Filter],
                              required: StructType,
                              topN: Option[(Array[SortOrder], Int)],
-                             pushedLimit: Int) extends PartitionReader[InternalRow] {
+                             pushedLimit: Int,
+                             maxRowsPerSec: Int) extends PartitionReader[InternalRow] {
   private type R = (Long, String, Int, Long, Double, Boolean, String)
   private var i = -1
   private var emitted = 0
@@ -203,7 +207,22 @@ private class DiscoverReader(page: Int, pageSize: Int, pushed: Array[Filter],
     }
   }
 
-  override def next(): Boolean = topN match {
+  // token-bucket throttle, the engine-side analog of the reference's
+  // sleep-per-request politeness (etl_task.py:75,108,143): emission is
+  // paced so this PARTITION never exceeds maxRowsPerSec; with one
+  // partition per API page, the per-endpoint budget is rate x pages
+  private val throttleStartNs = System.nanoTime()
+  private var throttled = 0L
+  private def throttle(): Unit = if (maxRowsPerSec > 0) {
+    throttled += 1
+    val dueNs = throttleStartNs + throttled * 1000000000L / maxRowsPerSec
+    val waitNs = dueNs - System.nanoTime()
+    if (waitNs > 0) Thread.sleep(waitNs / 1000000, (waitNs % 1000000).toInt)
+  }
+
+  override def next(): Boolean = { throttle(); nextUnthrottled() }
+
+  private def nextUnthrottled(): Boolean = topN match {
     case Some((orders, limit)) =>
       if (sortedRows == null) {
         val all = (0 until pageSize).iterator

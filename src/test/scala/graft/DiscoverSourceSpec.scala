@@ -73,6 +73,21 @@ class DiscoverSourceSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("maxRowsPerSec throttles partition emission (token bucket)") {
+    def timed(opts: Map[String, String]): Long = {
+      var r = spark.read.format("graft.sources.DiscoverDataSource")
+        .option("pages", 1).option("pageSize", 30)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val t0 = System.nanoTime()
+      assert(r.load().count() == 30)
+      (System.nanoTime() - t0) / 1000000
+    }
+    val unthrottled = timed(Map.empty)
+    val throttled = timed(Map("maxRowsPerSec" -> "100")) // 30 rows -> >= ~290ms
+    assert(throttled >= 250, s"expected pacing, got ${throttled}ms")
+    assert(unthrottled < throttled)
+  }
+
   test("S1 semantics end-to-end: windowed, vote-floored, sorted id scan") {
     val ids = graft.operators.Discover.idsSorted(
       graft.operators.Discover.scan(read(10), "release_date", "2024-03-01",

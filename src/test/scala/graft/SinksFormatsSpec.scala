@@ -47,6 +47,24 @@ class SinksFormatsSpec extends SparkTestBase {
       "replayed key 3 keeps its first-written NULL title")
   }
 
+  test("partitioned appendDedup converges and prunes the store probe") {
+    val dir = Files.createTempDirectory("graft_part_").toString + "/store"
+    val week1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"))
+      .toDF("id", "week", "v")
+    val week2 = Seq((2L, "2024-01-01", "DUP"), (3L, "2024-01-08", "c"))
+      .toDF("id", "week", "v")
+    Sinks.appendDedup(week1, dir, Seq("id"), partitionCol = Some("week"))
+    Sinks.appendDedup(week2, dir, Seq("id"), partitionCol = Some("week"))
+    Sinks.appendDedup(week2, dir, Seq("id"), partitionCol = Some("week")) // replay
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("id") === 2).collect().head.getAs[String]("v") == "b",
+      "first write wins across partitions")
+    // the store is laid out by partition value, so batch probes prune
+    val weeks = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("week="))
+    assert(weeks.toSet == Set("week=2024-01-01", "week=2024-01-08"))
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc_").toString + "/li"
     val src = Tables.lineitem(spark, sf("sf0.001"))
