@@ -539,6 +539,34 @@ object Queries {
     Some("""SELECT p_partkey, p_name, p_retailprice FROM part
             ORDER BY p_retailprice DESC, p_partkey LIMIT 20"""))
 
+  // ---------------------------------------------------------------- S4
+  // static dimension seed (kg_scripts/2_init_nodes.cypher): the in-code
+  // seed table IS the operator; the oracle restates the same constants,
+  // so drift between seed and oracle fails the gate
+  private val s4DimensionSeed = Q(
+    "s4_dimension_seed",
+    (s, _) => graft.schema.Dimensions.genres(s)
+      .select(col("genre_id"), col("name")),
+    Some("SELECT * FROM (VALUES " +
+      graft.schema.Dimensions.genreRows.map { case (id, n) =>
+        s"($id, '${n.replace("'", "''")}')"
+      }.mkString(", ") + ") AS t(genre_id, name)"))
+
+  // ---------------------------------------------------------------- K8
+  // cascading delete = anti-join rewrite (utils/etl.py:87-120): drop every
+  // child row whose parent key is in the victim set
+  private val k8CascadeDelete = Q(
+    "k8_cascade_delete",
+    (s, d) => {
+      val victims = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      Graph.deleteByKey(orders(s, d).select("o_orderkey", "o_custkey"),
+        victims, "o_custkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING')"""))
+
   // ---------------------------------------------------------------- set ops
   private val setOps = Q(
     "setop_intersect_except",
@@ -992,6 +1020,7 @@ object Queries {
     c2CleanCollection, c3CleanCompany, c4CleanPerson,
     c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
+    s4DimensionSeed, k8CascadeDelete,
     asofJoin, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, statsProfile, histogramFixed,

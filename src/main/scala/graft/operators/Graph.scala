@@ -129,11 +129,13 @@ object Graph {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    // materialize the symmetric edge set ONCE — it is referenced in every
-    // propagation round, and without this the full upstream pipeline
-    // (e.g. LSH pair generation) would re-execute per iteration
-    val sym = save(edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))), "sym")
+    // materialize the edge list FIRST: the symmetric union references
+    // `edges` twice, so building sym straight from the input would run
+    // the upstream pipeline (e.g. LSH pair generation) twice in one job —
+    // and once per round without any materialization at all
+    val e0 = save(edges.select(col("src"), col("dst")), "edges")
+    val sym = save(e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))), "sym")
     val nodes = sym.select(col("src").as("node")).distinct()
       .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
         edges.sparkSession.emptyDataFrame.withColumn("node", lit(0L)).limit(0)))
