@@ -996,6 +996,19 @@ object Queries {
                 AS n_subtokens
             FROM documents"""))
 
+  private val textTfidf = Q(
+    "text_tfidf",
+    (s, d) => TextAnalysis.termRelevance(documents(s, d), "doc_id", "text"),
+    Some("""WITH terms AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n"""))
+
   private val textFingerprint = Q(
     "text_fingerprint",
     (s, d) => documents(s, d).select(
@@ -1032,6 +1045,6 @@ object Queries {
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh,
-    textLangid, textQuality, textTokens, textFingerprint,
+    textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     multimodalFeatures)
 }

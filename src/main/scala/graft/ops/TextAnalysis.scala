@@ -95,6 +95,26 @@ object TextAnalysis {
         countDistinct(col("w")).as("n_distinct_words"),
         sum(ceil(length(col("w")) / 4.0)).as("n_subtokens"))
 
+  /** Term relevance (TF-IDF family) over the corpus: per (doc, term)
+    * frequency, document frequency, and a log-free inverse-document-
+    * frequency weight `tf * (N / df)`. Log-free on purpose: `ln` differs
+    * across libm implementations in the last ulp, while one int-to-double
+    * division and one multiply are bit-identical everywhere — the oracle
+    * reproduces the score exactly. Two shuffles (doc-term counts, term
+    * df), both map-side combinable; N is a broadcast scalar.
+    */
+  def termRelevance(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * (col("n_docs").cast("double") / col("df")))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Content-defined document fingerprint: md5 of the canonical
     * normalization — byte-stable across engines, the exact-dup key.
     */
