@@ -69,6 +69,19 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("multi-band LSH plans bucket equi-joins with broadcast probes, never all-pairs") {
+    import spark.implicits._
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i + j).toFloat))).toDF("vec_id", "embedding")
+    val plan = graft.ops.Similarity.lshTopK(corpus, corpus.limit(5), "vec_id",
+        "embedding", dim = 8, k = 3, bits = 6, bands = 4, multiProbe = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"probe side must broadcast; plan:\n$plan")
+    // the candidate join is keyed on (band, bucket) — a hash join, not NLJ
+    assert(plan.contains("band"), s"bucket join key missing; plan:\n$plan")
+  }
+
   test("custom dot product participates in whole-stage codegen") {
     // non-literal input so the projection cannot constant-fold away
     val df = spark.range(3).select(
