@@ -182,13 +182,25 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, bits: Int = 8,
               bands: Int = 4, maxBucket: Int = 2000,
-              multiProbe: Boolean = false): DataFrame = {
-    val cB = bandBuckets(corpus, idCol, vecCol, "cand_id", dim, bits, bands)
+              multiProbe: Boolean = false): DataFrame =
+    lshTopKFrom(
+      bandBuckets(corpus, idCol, vecCol, "cand_id", dim, bits, bands),
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+        norm(col(vecCol)).as("cand_norm")),
+      probes, idCol, vecCol, dim, k, bits, bands, maxBucket, multiProbe)
+
+  /** Shared bucket-probe + re-rank core over an already-available corpus
+    * index (freshly signed or read back from a persisted store).
+    */
+  private def lshTopKFrom(corpusBuckets: DataFrame, corpusVecs: DataFrame,
+                          probes: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, k: Int, bits: Int, bands: Int,
+                          maxBucket: Int, multiProbe: Boolean): DataFrame = {
     // hot-bucket guard: buckets over maxBucket are degenerate regions
     // whose candidates would explode the join — exclude, don't truncate.
     // One window count over the bucket shuffle (a single pass) instead of
     // a groupBy + anti-join re-scan of the signature computation.
-    val bounded = cB.withColumn("__bn",
+    val bounded = corpusBuckets.withColumn("__bn",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__bn") <= maxBucket).drop("__bn")
     val pB0 = bandBuckets(probes, idCol, vecCol, "probe_id", dim, bits, bands)
@@ -200,11 +212,9 @@ object Similarity {
     val cand = bounded.join(broadcast(pB), Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id").distinct()
-    val cVec = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
-      norm(col(vecCol)).as("cand_norm"))
     val pVec = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       norm(col(vecCol)).as("probe_norm"))
-    val scored = cand.join(cVec, Seq("cand_id")).join(broadcast(pVec), Seq("probe_id"))
+    val scored = cand.join(corpusVecs, Seq("cand_id")).join(broadcast(pVec), Seq("probe_id"))
       .withColumn("score", round(
         dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
@@ -212,5 +222,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "cand_id", "score", "rank")
+  }
+
+  /** Incremental ANN maintenance: sign ONLY the incoming batch and append
+    * its vectors + band buckets to a persisted index, idempotently
+    * (first-write-wins on id — replayed batches converge). Per batch the
+    * work is O(new), never O(corpus): the existing index is not re-read
+    * and not re-signed. This is the weekly-ingest shape at 100 TB.
+    */
+  def appendLshIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                     storeDir: String, dim: Int, bits: Int = 10,
+                     bands: Int = 4): Unit = {
+    graft.operators.Sinks.appendDedup(
+      newVectors.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+        norm(col(vecCol)).as("cand_norm")),
+      s"$storeDir/vectors", Seq("cand_id"))
+    graft.operators.Sinks.appendDedup(
+      bandBuckets(newVectors, idCol, vecCol, "cand_id", dim, bits, bands),
+      s"$storeDir/buckets", Seq("cand_id", "band"))
+  }
+
+  /** ANN lookup against the persisted index written by [[appendLshIndex]]:
+    * probes are signed fresh; the corpus side is the stored bucket table
+    * (narrow: id, band, bucket) and vector table. `bits`/`bands` must
+    * match the values the index was built with.
+    */
+  def lshTopKIndexed(probes: DataFrame, idCol: String, vecCol: String,
+                     storeDir: String, dim: Int, k: Int, bits: Int = 10,
+                     bands: Int = 4, maxBucket: Int = 2000,
+                     multiProbe: Boolean = false): DataFrame = {
+    val spark = probes.sparkSession
+    lshTopKFrom(spark.read.parquet(s"$storeDir/buckets"),
+      spark.read.parquet(s"$storeDir/vectors"),
+      probes, idCol, vecCol, dim, k, bits, bands, maxBucket, multiProbe)
   }
 }

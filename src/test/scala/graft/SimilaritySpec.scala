@@ -81,6 +81,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("incremental LSH index: two batches + replay == fresh full index") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lsh_idx_").toString
+    val all = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val batch1 = all.filter(col("vec_id") < 70)
+    val batch2 = all.filter(col("vec_id") >= 70)
+    Similarity.appendLshIndex(batch1, "vec_id", "embedding", store, dim = 8, bits = 6)
+    Similarity.appendLshIndex(batch2, "vec_id", "embedding", store, dim = 8, bits = 6)
+    Similarity.appendLshIndex(batch2, "vec_id", "embedding", store, dim = 8, bits = 6) // replay
+    val probes = all.filter(col("vec_id") < 5)
+    val indexed = Similarity.lshTopKIndexed(probes, "vec_id", "embedding", store,
+        dim = 8, k = 3, bits = 6)
+      .select("probe_id", "cand_id", "score").as[(Long, Long, Double)].collect().toSet
+    val fresh = Similarity.lshTopK(all, probes, "vec_id", "embedding",
+        dim = 8, k = 3, bits = 6)
+      .select("probe_id", "cand_id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(indexed == fresh, "persisted index must answer like a fresh full signing")
+    assert(indexed.nonEmpty)
+  }
+
   test("IVF: clustered corpus, high recall vs brute force at nProbe=2") {
     // 3 tight clusters around orthogonal axes; IVF cells should align
     val rng = new scala.util.Random(7)
