@@ -911,6 +911,29 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  // int8 quantization profile: floor(x/scale + 0.5) half-up on explicit
+  // doubles (both engines' round() builtins disagree on halves), scale
+  // emitted raw (single division — bit-identical), stats as BIGINTs
+  private val embQuantize = Q(
+    "embedding_quantize",
+    (s, d) => Similarity.quantizeInt8Stats(embeddings(s, d), "vec_id", "embedding"),
+    Some("""WITH base AS (
+              SELECT vec_id, embedding,
+                coalesce(nullif(CAST(list_max([abs(CAST(e AS DOUBLE)) FOR e IN embedding])
+                    AS DOUBLE), 0.0) / 127.0, 0.0) AS scale
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, scale,
+                [CAST(coalesce(floor(CAST(e AS DOUBLE) / nullif(scale, 0.0) + 0.5), 0.0)
+                  AS BIGINT) FOR e IN embedding] AS qs
+              FROM base)
+            SELECT vec_id, scale,
+              CAST(list_sum(qs) AS BIGINT) AS q_sum,
+              list_min(qs) AS q_min,
+              list_max(qs) AS q_max,
+              CAST(len(list_filter(qs, qv -> abs(qv) >= 127)) AS BIGINT) AS n_saturated
+            FROM q"""))
+
   private val annIvf = Q(
     "ann_ivf_topk",
     (s, d) => {
@@ -1044,7 +1067,7 @@ object Queries {
     incrWindow, sessionize, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
-    annBrute, annTopkOperator, annIvf, annLsh,
+    annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     multimodalFeatures)
 }

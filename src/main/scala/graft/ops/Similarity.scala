@@ -59,6 +59,32 @@ object Similarity {
     element_at(graft.functions.Expressions.hyperplane_signatures(
       vec, dim, bits, bands = 1, seed), 1)
 
+  /** Symmetric int8 quantization profile of an embedding column: per
+    * vector, scale = max|x| / 127 and q_i = floor(x_i / scale + 0.5)
+    * (half-up via floor — explicit, so both engines agree; banker's
+    * `round` differs between them). All-zero vectors quantize to zeros
+    * via the nullif(scale, 0) guard. Emitted as per-vector stats (sum /
+    * min / max / saturation count) rather than the int8 array itself:
+    * integer aggregates compare engine-exactly, and at 100 TB the stats
+    * are the validation artifact while the arrays stay columnar.
+    */
+  def quantizeInt8Stats(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qArr = """transform(v, x -> CAST(coalesce(
+                    floor(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5D),
+                    0.0) AS BIGINT))"""
+    embs
+      .select(col(idCol), col(vecCol).as("v"),
+        expr("CAST(array_max(transform(v, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)")
+          .as("max_abs"))
+      .withColumn("scale",
+        coalesce(nullif(col("max_abs"), lit(0.0)) / lit(127.0), lit(0.0)))
+      .select(col(idCol), col("scale"),
+        expr(s"aggregate($qArr, CAST(0 AS BIGINT), (acc, q) -> acc + q)").as("q_sum"),
+        expr(s"array_min($qArr)").as("q_min"),
+        expr(s"array_max($qArr)").as("q_max"),
+        expr(s"size(filter($qArr, q -> abs(q) >= 127))").cast("long").as("n_saturated"))
+  }
+
   // ---- IVF (inverted-file) index ----
 
   /** Argmin cell id for a vector against a centroid codebook, computed as
