@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -69,8 +68,15 @@ object Expressions {
     * minimum of xxhash64(element, seed = i) over the array. One pass per
     * element; element bytes hashed k times with no per-hash allocation.
     */
+  /** Codegen note (applies to every expression below): instead of
+    * CodegenFallback — which knocks the WHOLE operator out of whole-stage
+    * codegen — each expression generates a call to its own compiled
+    * `compute` method via `ctx.addReferenceObj`. The tight primitive loop
+    * runs as plain JIT-compiled bytecode and the surrounding projection
+    * stays inside the WholeStageCodegen span.
+    */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0 && k <= 1024)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
@@ -81,8 +87,7 @@ object Expressions {
     private val mixA: Array[Long] = Array.tabulate(k)(j => Expressions.splitmix64(2L * j + 1) | 1L)
     private val mixB: Array[Long] = Array.tabulate(k)(j => Expressions.splitmix64(2L * j + 2))
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val mins = Array.fill(k)(Long.MaxValue)
       var i = 0
@@ -103,6 +108,13 @@ object Expressions {
       new GenericArrayData(mins)
     }
 
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -111,12 +123,11 @@ object Expressions {
     * positive.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): Long = {
       val n = arr.numElements()
       val sums = new Array[Int](64)
       var i = 0
@@ -135,7 +146,15 @@ object Expressions {
       var out = 0L
       var j = 0
       while (j < 64) { if (sums(j) > 0) out |= (1L << j); j += 1 }
-      java.lang.Long.valueOf(out)
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -146,13 +165,12 @@ object Expressions {
     * transform(sequence…, slice…) HOF chain.
     */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val cnt = arr.numElements()
       val toks = new Array[UTF8String](cnt)
       var i = 0
@@ -175,6 +193,13 @@ object Expressions {
       new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
     }
 
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -188,7 +213,7 @@ object Expressions {
     */
   case class HyperplaneSignatures(child: Expression, dim: Int, bits: Int,
                                   bands: Int, seed: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(dim > 0 && bits > 0 && bits <= 63 && bands > 0)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "hyperplane_signatures"
@@ -200,8 +225,7 @@ object Expressions {
       Array.fill(bits * dim)(rng.nextGaussian().toFloat)
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
+    def compute(v: ArrayData): ArrayData = {
       val n = math.min(dim, v.numElements())
       val out = new Array[Long](bands)
       var b = 0
@@ -221,6 +245,13 @@ object Expressions {
         b += 1
       }
       new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplanes", this, classOf[HyperplaneSignatures].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

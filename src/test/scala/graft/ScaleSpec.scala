@@ -82,6 +82,21 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("band"), s"bucket join key missing; plan:\n$plan")
   }
 
+  test("signature expressions stay inside whole-stage codegen (no fallback)") {
+    val df = spark.range(100).select(
+      col("id"),
+      graft.functions.Expressions.minhash_signature(
+        array(concat(lit("tok"), col("id") % 7), concat(lit("w"), col("id") % 3)), 8).as("mh"),
+      graft.functions.Expressions.simhash64(
+        array(concat(lit("tok"), col("id") % 7))).as("sh"),
+      graft.functions.Expressions.hyperplane_signatures(
+        array((col("id") % 5).cast("float"), lit(1f)), 2, 4, 2).as("hp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"signing projection must stay in a codegen span; plan:\n$plan")
+    assert(df.count() == 100)
+  }
+
   test("custom dot product participates in whole-stage codegen") {
     // non-literal input so the projection cannot constant-fold away
     val df = spark.range(3).select(
