@@ -739,6 +739,32 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, sid"""))
 
+  // salting is an execution-strategy choice, not a semantic one, so the
+  // salted plans oracle against the PLAIN formulations — the gate proves
+  // the skew mitigation changes nothing but the shuffle layout
+  private val skewSaltedAgg = Q(
+    "skew_salted_agg",
+    (s, d) => graft.ops.Skew.saltedSumCount(
+        lineitem(s, d), col("l_returnflag"), "l_quantity",
+        col("l_orderkey"), salts = 16)
+      .select(col("key"), round(col("sum_l_quantity"), 2).as("sum_qty"), col("n")),
+    Some("""SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS sum_qty,
+              count(*) AS n
+            FROM lineitem GROUP BY 1"""))
+
+  private val skewSaltedJoin = Q(
+    "skew_salted_join",
+    (s, d) => graft.ops.Skew.saltedJoin(
+        lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey", col("l_quantity"), salts = 8)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty")),
+    Some("""SELECT l_orderkey, count(*) AS n_lines,
+              round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1"""))
+
   private val weeklyAgg = Q(
     "weekly_agg",
     (s, d) => Incremental.weeklyCounts(events(s, d), "ts", "event_type"),
@@ -1064,6 +1090,7 @@ object Queries {
     windowAnalytics, topkSort,
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
+    skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
