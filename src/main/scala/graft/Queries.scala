@@ -1045,6 +1045,30 @@ object Queries {
                 AS n_subtokens
             FROM documents"""))
 
+  private val textRedact = Q(
+    "text_redact",
+    (s, d) => documents(s, d).select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("redacted"),
+      (TextAnalysis.redactPii(col("text")) =!= col("text")).as("was_redacted")),
+    Some("""SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                'https?://[^\s]+', '<URL>', 'g'),
+                '[0-9][0-9 ()\-]{6,}[0-9]', '<NUMBER>', 'g') AS redacted,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                'https?://[^\s]+', '<URL>', 'g'),
+                '[0-9][0-9 ()\-]{6,}[0-9]', '<NUMBER>', 'g') <> text AS was_redacted
+            FROM documents"""))
+
+  private val corpusSample = Q(
+    "corpus_sample",
+    (s, d) => TextAnalysis.sampleByContent(documents(s, d), "text", "0123")
+      .select(col("doc_id"), substring(md5(col("text")), 1, 1).as("bucket")),
+    Some("""SELECT doc_id, substr(md5(text), 1, 1) AS bucket
+            FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"""))
+
   private val textTfidf = Q(
     "text_tfidf",
     (s, d) => TextAnalysis.termRelevance(documents(s, d), "doc_id", "text"),
@@ -1096,5 +1120,6 @@ object Queries {
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
+    textRedact, corpusSample,
     multimodalFeatures)
 }

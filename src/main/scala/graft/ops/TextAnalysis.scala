@@ -115,6 +115,29 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII scrub for training corpora: emails, URLs, and long digit runs
+    * (phone/account numbers) replaced by typed placeholder tokens. Pure
+    * per-row regex chain — narrow, codegen'd, no shuffle. Patterns are
+    * deliberately simple/recall-oriented: at corpus scale a missed
+    * obfuscated email matters less than a quadratic regex.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9][0-9 ()\\-]{6,}[0-9]", "<NUMBER>")
+  }
+
+  /** Deterministic corpus sampling: keep a document iff the leading hex
+    * nibble of md5(text) falls under the sample bound (p = bound/16).
+    * Content-keyed (not id-keyed) so re-crawled duplicates sample
+    * identically, md5-based so every engine/run draws the same subset —
+    * the reproducibility property rand()-sampling can never give a
+    * training pipeline.
+    */
+  def sampleByContent(docs: DataFrame, textCol: String, hexNibbles: String): DataFrame =
+    docs.filter(substring(md5(col(textCol)), 1, 1).isin(hexNibbles.split(""): _*))
+
   /** Content-defined document fingerprint: md5 of the canonical
     * normalization — byte-stable across engines, the exact-dup key.
     */
