@@ -86,10 +86,50 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            checksum: Long, feature: Array[Float])
 
+  /** Minimal binary PPM (P6, maxval 255) codec — the simplest real image
+    * container; zero dependencies, readable by any image tool.
+    */
+  object PpmCodec {
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Decode P6 -> (width, height, rgb bytes). Tolerates comment lines
+      * and arbitrary whitespace, per the netpbm spec.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var pos = 0
+      def token(): String = {
+        // skip whitespace and #-comments
+        while (pos < bytes.length &&
+               (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+          if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        new String(bytes, start, pos - start, "US-ASCII")
+      }
+      require(token() == "P6", "not a P6 PPM")
+      val w = token().toInt
+      val h = token().toInt
+      require(token() == "255", "only maxval 255 supported")
+      pos += 1 // exactly one whitespace byte after maxval
+      val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)
+      (w, h, rgb)
+    }
+  }
+
   /** Synthesize a small deterministic media table keyed by media_id.
     * Audio rows are REAL WAV files (PCM16 mono tone + seeded noise via
-    * [[WavCodec.encodePcm16]]); image/video payloads remain seeded
-    * pseudo-random bytes for the stubbed codecs.
+    * [[WavCodec.encodePcm16]]); image rows are REAL PPM (P6) gradients
+    * via [[PpmCodec.encode]]; video payloads remain seeded pseudo-random
+    * bytes for the stubbed frame decoder.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -97,28 +137,44 @@ object Multimodal {
       val rnd = new scala.util.Random(id)
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val sampleRate = 16000
-      val payload =
-        if (kind == "audio") {
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id % 24).toInt
+      val payload = kind match {
+        case "audio" =>
           val freq = 200.0 + (id % 20) * 50.0
           val samples = Array.tabulate(256 + (id % 128).toInt) { i =>
             val tone = math.sin(2 * math.Pi * freq * i / sampleRate) * 8000
             (tone + rnd.nextInt(501) - 250).toShort
           }
           WavCodec.encodePcm16(samples, sampleRate)
-        } else Array.fill(64 + (id % 64).toInt)(rnd.nextInt().toByte)
-      MediaRow(id, kind, payload, 16 + (id % 32).toInt, 16 + (id % 24).toInt, sampleRate)
+        case "image" =>
+          // deterministic gradient + seeded noise per channel
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          for (y <- 0 until h; x <- 0 until w) {
+            rgb(p) = (x * 255 / w).toByte
+            rgb(p + 1) = (y * 255 / h).toByte
+            rgb(p + 2) = rnd.nextInt(256).toByte
+            p += 3
+          }
+          PpmCodec.encode(w, h, rgb)
+        case _ => Array.fill(64 + (id % 64).toInt)(rnd.nextInt().toByte)
+      }
+      MediaRow(id, kind, payload, w, h, sampleRate)
     }
   }
 
-  /** Decode / feature-extract. AUDIO is real: the WAV payload is parsed
-    * and an 8-dim acoustic feature is computed from the decoded samples
-    * (RMS, zero-crossing rate, peak, mean, energy split, duration).
+  /** Decode / feature-extract. AUDIO and IMAGE are real codecs: WAV
+    * payloads yield 8-dim acoustic features (RMS, zero-crossing rate,
+    * peak, mean, energy split, duration) from decoded samples; PPM
+    * payloads yield per-channel means, luma mean/variance, and
+    * dimensions from decoded pixels.
     *
-    * ======= STUB: image/video decode =======
-    * A real deployment would decode JPEG/frames here. The container has
-    * no image/video codecs, so those kinds get a deterministic fake
-    * 8-dim byte-sum feature — preserving the exact batch shape, schema,
-    * and partition behavior of the real operator.
+    * ======= STUB: video decode =======
+    * A real deployment would decode container frames here. This
+    * container has no video codecs, so that kind gets a deterministic
+    * fake 8-dim byte-sum feature — preserving the exact batch shape,
+    * schema, and partition behavior of the real operator.
     */
   def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -126,8 +182,8 @@ object Multimodal {
     sized.mapPartitions { rows =>
       rows.map { r =>
         val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + b)
-        val feature =
-          if (r.kind == "audio") {
+        val feature = r.kind match {
+          case "audio" =>
             val (sr, s) = WavCodec.decodePcm16(r.payload)
             val n = s.length.max(1)
             val rms = math.sqrt(s.foldLeft(0d)((a, x) => a + x.toDouble * x) / n)
@@ -139,10 +195,27 @@ object Multimodal {
             val e2 = s.drop(half).foldLeft(0d)((a, x) => a + x.toDouble * x)
             Array(rms.toFloat, zc.toFloat / n, peak.toFloat, mean.toFloat,
               e1.toFloat, e2.toFloat, n.toFloat, n.toFloat / sr)
-          } else {
+          case "image" =>
+            val (w, h, rgb) = PpmCodec.decode(r.payload)
+            val n = (w * h).max(1)
+            var rSum = 0L; var gSum = 0L; var bSum = 0L
+            var lSum = 0d; var l2Sum = 0d
+            var p = 0
+            while (p < rgb.length) {
+              val rv = rgb(p) & 0xff; val gv = rgb(p + 1) & 0xff; val bv = rgb(p + 2) & 0xff
+              rSum += rv; gSum += gv; bSum += bv
+              val luma = 0.299 * rv + 0.587 * gv + 0.114 * bv
+              lSum += luma; l2Sum += luma * luma
+              p += 3
+            }
+            val lMean = lSum / n
+            Array(w.toFloat, h.toFloat, (rSum.toDouble / n).toFloat,
+              (gSum.toDouble / n).toFloat, (bSum.toDouble / n).toFloat,
+              lMean.toFloat, (l2Sum / n - lMean * lMean).toFloat, n.toFloat)
+          case _ =>
             Array.tabulate(8)(i =>
               r.payload.iterator.drop(i).grouped(8).map(_.head.toFloat).sum / r.payload.length)
-          }
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum, feature)
       }
     }

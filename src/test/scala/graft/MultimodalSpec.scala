@@ -54,6 +54,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f(7) - 0.25f) < 0.001, "duration = 4000 samples / 16 kHz")
   }
 
+  test("PPM P6 encode/decode round-trips pixels, tolerates comments") {
+    import graft.ops.Multimodal.PpmCodec
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 17).toByte)
+    val bytes = PpmCodec.encode(2, 3, rgb)
+    assert(new String(bytes.take(2), "US-ASCII") == "P6")
+    val (w, h, back) = PpmCodec.decode(bytes)
+    assert(w == 2 && h == 3 && back.sameElements(rgb))
+    // splice a comment line into the header
+    val commented = ("P6\n# a comment\n2 3\n255\n".getBytes("US-ASCII") ++ rgb)
+    val (w2, h2, back2) = PpmCodec.decode(commented)
+    assert(w2 == 2 && h2 == 3 && back2.sameElements(rgb))
+  }
+
+  test("image features come from decoded pixels: solid color means are exact") {
+    import spark.implicits._
+    import graft.ops.Multimodal.PpmCodec
+    // solid (200, 100, 50) image: channel means must equal the constants
+    val rgb = Array.fill(8 * 4)(Array(200.toByte, 100.toByte, 50.toByte)).flatten
+    val media = Seq(Multimodal.MediaRow(1L, "image",
+      PpmCodec.encode(8, 4, rgb), 8, 4, 0)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head.feature
+    assert(f(0) == 8f && f(1) == 4f)
+    assert(f(2) == 200f && f(3) == 100f && f(4) == 50f)
+    assert(math.abs(f(6)) < 1e-3, "solid color => zero luma variance")
+  }
+
   test("synthetic audio payloads are valid WAV files; feature table keeps its shape") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val audio = media.filter(_.kind == "audio").collect()
