@@ -286,6 +286,28 @@ object Queries {
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts"""))
 
+  // forward as-of: each click attributed to the NEXT purchase by the
+  // same user (DuckDB ASOF with the <= direction)
+  private val asofForward = Q(
+    "asof_join_forward",
+    (s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_event"),
+          col("ts").as("purchase_ts"))
+      graft.operators.AsOf.joinForwardMatched(clicks, purchases, "user_id", "ts",
+          Seq("purchase_event" -> "purchase_id", "purchase_ts" -> "matched_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (unix_micros(col("matched_ts")) - unix_micros(col("ts"))).as("wait_us"))
+    },
+    Some("""SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+              epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts <= p.ts"""))
+
   // binned range join: which sampled order windows does each sampled
   // shipment date fall into — equi-join on bin + residual BETWEEN, never
   // a nested loop
@@ -1107,7 +1129,7 @@ object Queries {
     c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
     s4DimensionSeed, k8CascadeDelete,
-    asofJoin, rangeJoin,
+    asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, statsProfile, histogramFixed,
     windowRank, windowRunning,

@@ -53,6 +53,50 @@ object AsOf {
       .withColumnRenamed("__ts", tsCol)
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.ts >= left.ts in the key group (DuckDB ASOF `<=` direction) —
+    * "what happened next" attribution. Same single-shuffle union+window
+    * shape as [[join]], mirrored: left rows sort before right rows on
+    * ties (a right row at exactly the left timestamp matches) and the
+    * payload is pulled backward with first(ignoreNulls) over the
+    * following frame.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                  rightPayload: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadSrc = rightPayload.map(_._1)
+
+    val taggedLeft = left
+      .select((col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++:
+        payloadSrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+    val taggedRight = right
+      .select((col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        payloadSrc.map(c => col(c).as(s"__r_$c"))): _*)
+
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = taggedLeft.unionByName(taggedRight)
+      .select((col(keyCol) +: col("__ts") +: col("__side") +:
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++:
+        rightPayload.map { case (src, out) =>
+          first(col(s"__r_$src"), ignoreNulls = true).over(w).as(out)
+        }): _*)
+
+    carried.filter(col("__side") === 0)
+      .drop("__side")
+      .withColumnRenamed("__ts", tsCol)
+  }
+
+  /** Inner forward variant: drop left rows with no following right row. */
+  def joinForwardMatched(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String,
+                         rightPayload: Seq[(String, String)]): DataFrame =
+    joinForward(left, right, keyCol, tsCol, rightPayload)
+      .filter(rightPayload.map(p => col(p._2).isNotNull).reduce(_ && _))
+
   /** Inner variant: drop left rows with no prior right row. */
   def joinMatched(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                   rightPayload: Seq[(String, String)]): DataFrame = {
