@@ -228,6 +228,40 @@ object Multimodal {
     extractFeatures(media).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"), col("feature"))
 
+  /** Image resize (nearest-neighbor) over the REAL PPM payloads: decode,
+    * sample, re-encode — a genuine 1:1 media transform with the batch
+    * shape of a production resize stage (narrow mapPartitions, payloads
+    * in, payloads out; non-image kinds pass through untouched). At scale
+    * this is the op you size partitions around: output rows are
+    * w*h*3-byte bound, so repartition by target byte budget first.
+    */
+  def resizeImages(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map {
+        case r if r.kind == "image" =>
+          val (w, h, rgb) = PpmCodec.decode(r.payload)
+          val out = new Array[Byte](outW * outH * 3)
+          var p = 0
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              val sp = (sy * w + sx) * 3
+              out(p) = rgb(sp); out(p + 1) = rgb(sp + 1); out(p + 2) = rgb(sp + 2)
+              p += 3
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(payload = PpmCodec.encode(outW, outH, out), width = outW, height = outH)
+        case other => other
+      }
+    }
+  }
+
   case class FrameFeatures(media_id: Long, frame_idx: Int, offset_bytes: Long,
                            frame_checksum: Long)
 

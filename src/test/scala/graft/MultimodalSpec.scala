@@ -80,6 +80,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f(6)) < 1e-3, "solid color => zero luma variance")
   }
 
+  test("nearest-neighbor resize produces valid PPMs at the target size") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    val images = resized.filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      val (w, h, rgb) = Multimodal.PpmCodec.decode(r.payload)
+      assert(w == 8 && h == 8 && rgb.length == 8 * 8 * 3)
+      assert(r.width == 8 && r.height == 8)
+    }
+    // non-image rows pass through byte-identical
+    val audioBefore = media.filter(_.kind == "audio").collect().map(_.payload.toSeq).toSet
+    val audioAfter = resized.filter(_.kind == "audio").collect().map(_.payload.toSeq).toSet
+    assert(audioBefore == audioAfter)
+    // resizing a solid color keeps every pixel
+    import spark.implicits._
+    val solid = Array.fill(6 * 5)(Array(9.toByte, 8.toByte, 7.toByte)).flatten
+    val one = Seq(Multimodal.MediaRow(9L, "image",
+      Multimodal.PpmCodec.encode(6, 5, solid), 6, 5, 0)).toDS()
+    val (_, _, outRgb) = Multimodal.PpmCodec.decode(
+      Multimodal.resizeImages(one, 3, 2).collect().head.payload)
+    assert(outRgb.grouped(3).forall(px => px(0) == 9 && px(1) == 8 && px(2) == 7))
+  }
+
   test("synthetic audio payloads are valid WAV files; feature table keeps its shape") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val audio = media.filter(_.kind == "audio").collect()
