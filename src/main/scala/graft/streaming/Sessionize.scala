@@ -112,6 +112,89 @@ object Sessionize {
       }
   }
 
+  /** [[statefulSessions]] on the modern `transformWithState` API
+    * (Spark 4 StatefulProcessor + RocksDB state store): same gap
+    * semantics, but state is a typed ValueState and session expiry is an
+    * explicit event-time TIMER instead of a blanket group timeout — the
+    * shape that scales to many state variables and per-key timers. The
+    * query must run with the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class GapSessionProcessor(gapMinutes: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionOut] {
+    private val gapMicros = gapMinutes * 60L * 1000000L
+    @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    private def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    private def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    private def closeMs(s: SessionState): Long = (s.lastMicros + gapMicros) / 1000L
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var cur = if (session.exists()) session.get() else null
+      sorted.foreach { e =>
+        val m = micros(e.ts)
+        cur match {
+          case null =>
+            cur = SessionState(m, m, 1, e.value)
+          case s if m - s.lastMicros < gapMicros =>
+            cur = SessionState(s.start, m, s.n + 1, s.sum + e.value)
+          case s =>
+            out += SessionOut(user, toTs(s.start), toTs(s.lastMicros + gapMicros), s.n, s.sum)
+            cur = SessionState(m, m, 1, e.value)
+        }
+      }
+      if (cur != null) {
+        session.update(cur)
+        getHandle.registerTimer(math.max(
+          timerValues.getCurrentWatermarkInMs() + 1, closeMs(cur)))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      // stale-timer guard: a session extended after this timer was set is
+      // not closeable yet — re-arm at the true close time instead
+      if (!session.exists()) Iterator.empty
+      else {
+        val s = session.get()
+        if (timerValues.getCurrentWatermarkInMs() >= closeMs(s)) {
+          session.clear()
+          Iterator.single(SessionOut(user, toTs(s.start), toTs(s.lastMicros + gapMicros), s.n, s.sum))
+        } else {
+          getHandle.registerTimer(closeMs(s))
+          Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** transformWithState driver for [[GapSessionProcessor]]. */
+  def statefulSessionsTws(events: Dataset[SessionEvent],
+                          gapMinutes: Long = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Flush helper for batch use of the stateful path: emits the final
     * (still-open) session per user so batch totals reconcile.
     */

@@ -142,6 +142,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer: gap break + timer expiry (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize.{SessionEvent, statefulSessionsTws}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[SessionEvent]
+    val q = statefulSessionsTws(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("tws_sess").start()
+    try {
+      mem.addData(
+        SessionEvent(5, ts("2024-02-01 10:00:00"), 1.0),
+        SessionEvent(5, ts("2024-02-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_sess").count() == 0, "open session not yet emitted")
+      // same key past the gap: closes session 1 by gap break
+      mem.addData(SessionEvent(5, ts("2024-02-01 12:00:00"), 4.0))
+      q.processAllAvailable()
+      val afterBreak = spark.table("tws_sess")
+        .as[graft.streaming.Sessionize.SessionOut].collect()
+      assert(afterBreak.length == 1)
+      assert(afterBreak.head.n_events == 2 && afterBreak.head.sum_value == 3.0)
+      assert(afterBreak.head.session_end == ts("2024-02-01 10:40:00"))
+      // another key far in the future advances the watermark past
+      // 12:30 -> key 5's second session closes via its event-time TIMER
+      mem.addData(SessionEvent(6, ts("2024-02-01 15:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(6, ts("2024-02-01 15:01:00"), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("tws_sess")
+        .as[graft.streaming.Sessionize.SessionOut].collect()
+      val second = all.filter(s => s.user_id == 5 && s.n_events == 1)
+      assert(second.length == 1, s"timer must close the trailing session; got ${all.toSeq}")
+      assert(second.head.session_end == ts("2024-02-01 12:30:00"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join attributes purchases to in-horizon clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
