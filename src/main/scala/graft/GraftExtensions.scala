@@ -26,6 +26,11 @@ object GraftExtensions {
     registerFunction(spark, "simhash64", args => SimHash64(args(0)))
     registerFunction(spark, "word_shingles", args => WordShingles(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
+    registerFunction(spark, "hyperplane_signatures", args => HyperplaneSignatures(args(0),
+      args(1).eval().asInstanceOf[Number].intValue(),
+      args(2).eval().asInstanceOf[Number].intValue(),
+      args(3).eval().asInstanceOf[Number].intValue(),
+      if (args.length > 4) args(4).eval().asInstanceOf[Number].intValue() else 42))
   }
 }
 
@@ -50,5 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("hyperplane_signatures"),
+      info("hyperplane_signatures",
+        "_FUNC_(vec, dim, bits, bands[, seed]) - per-band random-hyperplane LSH signatures"),
+      (args: Seq[Expression]) => HyperplaneSignatures(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue(),
+        if (args.length > 4) args(4).eval().asInstanceOf[Number].intValue() else 42)))
   }
 }

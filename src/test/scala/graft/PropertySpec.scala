@@ -104,4 +104,30 @@ class PropertySpec extends SparkTestBase {
       assert(sub >= words, "every word contributes at least one subtoken")
     }
   }
+
+  test("WAV codec round-trips arbitrary PCM16 sample arrays") {
+    import graft.ops.Multimodal.WavCodec
+    val pcmGen = for {
+      n <- Gen.chooseNum(0, 2000)
+      sr <- Gen.oneOf(8000, 16000, 44100)
+      s <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    } yield (sr, s.map(_.toShort).toArray)
+    samples(pcmGen, 20).foreach { case (sr, pcm) =>
+      val (sr2, back) = WavCodec.decodePcm16(WavCodec.encodePcm16(pcm, sr))
+      assert(sr2 == sr && back.sameElements(pcm))
+    }
+  }
+
+  test("PPM codec round-trips arbitrary RGB buffers") {
+    import graft.ops.Multimodal.PpmCodec
+    val imgGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      rgb <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127))
+    } yield (w, h, rgb.map(_.toByte).toArray)
+    samples(imgGen, 20).foreach { case (w, h, rgb) =>
+      val (w2, h2, back) = PpmCodec.decode(PpmCodec.encode(w, h, rgb))
+      assert(w2 == w && h2 == h && back.sameElements(rgb))
+    }
+  }
 }
