@@ -125,11 +125,38 @@ object Multimodal {
     }
   }
 
+  /** Minimal video container: "GVID" magic + frame count, then
+    * length-prefixed PPM frames. Not a compressed interchange format
+    * (H.264 etc. need external codecs this container lacks), but a real,
+    * parseable frame container — so the 1->N frame-sampling operator
+    * decodes actual pixels rather than slicing opaque bytes.
+    */
+  object VideoContainer {
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GVID".getBytes("US-ASCII")); bb.putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    def decode(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+      val n = bb.getInt
+      (0 until n).map { _ =>
+        val len = bb.getInt
+        val f = new Array[Byte](len); bb.get(f); f
+      }
+    }
+  }
+
   /** Synthesize a small deterministic media table keyed by media_id.
     * Audio rows are REAL WAV files (PCM16 mono tone + seeded noise via
     * [[WavCodec.encodePcm16]]); image rows are REAL PPM (P6) gradients
-    * via [[PpmCodec.encode]]; video payloads remain seeded pseudo-random
-    * bytes for the stubbed frame decoder.
+    * via [[PpmCodec.encode]]; video rows are REAL GVID containers of
+    * per-frame PPMs with a moving gradient.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -158,23 +185,36 @@ object Multimodal {
             p += 3
           }
           PpmCodec.encode(w, h, rgb)
-        case _ => Array.fill(64 + (id % 64).toInt)(rnd.nextInt().toByte)
+        case _ =>
+          // short clip: 4-9 frames of a small moving gradient
+          val fw = 8; val fh = 6
+          val frames = (0 until (4 + (id % 6)).toInt).map { f =>
+            val rgb = new Array[Byte](fw * fh * 3)
+            var p = 0
+            for (y <- 0 until fh; x <- 0 until fw) {
+              rgb(p) = (((x + f) % fw) * 255 / fw).toByte
+              rgb(p + 1) = (y * 255 / fh).toByte
+              rgb(p + 2) = (f * 40).toByte
+              p += 3
+            }
+            PpmCodec.encode(fw, fh, rgb)
+          }
+          VideoContainer.encode(frames)
       }
       MediaRow(id, kind, payload, w, h, sampleRate)
     }
   }
 
-  /** Decode / feature-extract. AUDIO and IMAGE are real codecs: WAV
-    * payloads yield 8-dim acoustic features (RMS, zero-crossing rate,
-    * peak, mean, energy split, duration) from decoded samples; PPM
-    * payloads yield per-channel means, luma mean/variance, and
-    * dimensions from decoded pixels.
-    *
-    * ======= STUB: video decode =======
-    * A real deployment would decode container frames here. This
-    * container has no video codecs, so that kind gets a deterministic
-    * fake 8-dim byte-sum feature — preserving the exact batch shape,
-    * schema, and partition behavior of the real operator.
+  /** Decode / feature-extract — every known kind is a real decode:
+    *  - audio: WAV PCM16 -> acoustic features (RMS, zero-crossing rate,
+    *    peak, mean, energy split, duration) from decoded samples;
+    *  - image: PPM -> per-channel means, luma mean/variance, dimensions
+    *    from decoded pixels;
+    *  - video: GVID frame container -> frame count, dimensions, temporal
+    *    luma mean/variance, first/last frame luma from decoded frames.
+    * (Compressed interchange formats — JPEG/H.264/MP3 — need external
+    * codec libraries this container lacks; unknown kinds fall back to a
+    * byte-profile feature so the operator total-functions over any input.)
     */
   def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -212,6 +252,24 @@ object Multimodal {
             Array(w.toFloat, h.toFloat, (rSum.toDouble / n).toFloat,
               (gSum.toDouble / n).toFloat, (bSum.toDouble / n).toFloat,
               lMean.toFloat, (l2Sum / n - lMean * lMean).toFloat, n.toFloat)
+          case "video" =>
+            val frames = VideoContainer.decode(r.payload).map(PpmCodec.decode)
+            val nf = frames.length.max(1)
+            val lumas = frames.map { case (w, h, rgb) =>
+              var l = 0d
+              var p = 0
+              while (p < rgb.length) {
+                l += 0.299 * (rgb(p) & 0xff) + 0.587 * (rgb(p + 1) & 0xff) +
+                  0.114 * (rgb(p + 2) & 0xff)
+                p += 3
+              }
+              l / (w * h).max(1)
+            }
+            val mean = lumas.sum / nf
+            val varr = lumas.map(l => (l - mean) * (l - mean)).sum / nf
+            val (w0, h0, _) = frames.head
+            Array(nf.toFloat, w0.toFloat, h0.toFloat, mean.toFloat, varr.toFloat,
+              lumas.head.toFloat, lumas.last.toFloat, (w0 * h0).toFloat)
           case _ =>
             Array.tabulate(8)(i =>
               r.payload.iterator.drop(i).grouped(8).map(_.head.toFloat).sum / r.payload.length)
@@ -265,19 +323,24 @@ object Multimodal {
   case class FrameFeatures(media_id: Long, frame_idx: Int, offset_bytes: Long,
                            frame_checksum: Long)
 
-  /** ======= STUB: frame sampling =======
-    * The 1 -> N media expansion: sample every `stride`-th "frame" of a
-    * video payload and emit one feature row per frame. A real deployment
-    * decodes keyframes here; the stub slices the payload at fixed strides
-    * so the flatMap batch shape, row multiplication, and downstream
-    * schema are the real thing.
+  /** Frame sampling — the 1 -> N media expansion: decode the GVID
+    * container and emit one row per `stride`-th REAL frame, carrying the
+    * frame's byte offset within the container and a checksum of its PPM
+    * bytes. The flatMap batch shape and row multiplication are exactly
+    * the production keyframe-sampling stage.
     */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int = 16): Dataset[FrameFeatures] = {
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      r.payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
-        FrameFeatures(r.media_id, i, i.toLong * stride,
-          chunk.foldLeft(0L)((acc, b) => acc * 31 + b))
+      val frames = VideoContainer.decode(r.payload)
+      var off = 8L // magic + count
+      frames.zipWithIndex.flatMap { case (f, i) =>
+        val frameOff = off + 4 // past the length prefix
+        off += 4 + f.length
+        if (i % stride == 0)
+          Some(FrameFeatures(r.media_id, i, frameOff,
+            f.foldLeft(0L)((acc, b) => acc * 31 + b)))
+        else None
       }
     }
   }

@@ -29,17 +29,28 @@ class EntrySmokeSpec extends SparkTestBase {
       "rows-only set is exactly the LSH/banding/sketch + stubbed-codec queries")
   }
 
-  test("frame sampling expands each video into stride-spaced feature rows") {
+  test("frame sampling decodes real frames and keeps every stride-th one") {
     val media = Multimodal.syntheticMedia(spark, 30)
-    val frames = Multimodal.sampleFrames(media, stride = 16).collect()
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
     val videos = media.collect().filter(_.kind == "video")
     assert(frames.map(_.media_id).distinct.length == videos.length)
     videos.foreach { v =>
-      val expected = (v.payload.length + 15) / 16
-      assert(frames.count(_.media_id == v.media_id) == expected,
-        s"video ${v.media_id}: payload ${v.payload.length}B -> $expected frames")
+      val decoded = Multimodal.VideoContainer.decode(v.payload)
+      val expected = (decoded.length + 1) / 2 // frames 0, 2, 4, ...
+      val got = frames.filter(_.media_id == v.media_id)
+      assert(got.length == expected,
+        s"video ${v.media_id}: ${decoded.length} frames -> $expected sampled")
+      // checksums must match the actual container frames, and each
+      // sampled offset must point at a decodable PPM within the payload
+      got.foreach { fr =>
+        val real = decoded(fr.frame_idx)
+        assert(fr.frame_checksum == real.foldLeft(0L)((a, b) => a * 31 + b))
+        val slice = java.util.Arrays.copyOfRange(v.payload,
+          fr.offset_bytes.toInt, fr.offset_bytes.toInt + real.length)
+        val (w, h, _) = Multimodal.PpmCodec.decode(slice)
+        assert(w == 8 && h == 6)
+      }
     }
-    assert(frames.forall(f => f.offset_bytes == f.frame_idx.toLong * 16))
   }
 
   test("multimodal feature extraction preserves batch shape and schema") {
