@@ -70,6 +70,24 @@ object Incremental {
                click_ts >= purchase_ts - INTERVAL $horizon"""))
   }
 
+  /** Streaming near-dup detection: each micro-batch of documents is
+    * MinHash-signed, appended idempotently to the persisted signature
+    * store, and compared ONLY against the store (new-vs-all, never
+    * all-vs-all) — the streaming form of the weekly incremental dedup.
+    * Discovered pairs land in `pairsPath`; replayed batches converge
+    * because the signature append is first-write-wins and re-discovered
+    * pairs are deduped against the pair table on write.
+    */
+  def streamingIncrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+                                storePath: String, pairsPath: String,
+                                threshold: Double = 0.5):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val pairs = graft.ops.Dedup.incrementalMinhashPairs(
+        batch, idCol, textCol, storePath, threshold = threshold)
+      graft.operators.Sinks.appendDedup(pairs, pairsPath, Seq("id_a", "id_b"))
+    }
+
   /** Streaming -> idempotent table: each micro-batch lands through the
     * dup-tolerant first-write-wins sink (K1/K3 semantics), so replayed or
     * overlapping batches converge — the streaming form of the reference's

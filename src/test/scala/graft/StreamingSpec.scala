@@ -207,6 +207,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: pairs accumulate new-vs-store, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
+    val store = s"$dir/store"; val pairs = s"$dir/pairs"
+    val mem = MemoryStream[(Long, String)]
+    val q = Incremental.streamingIncrementalDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store, pairs,
+        threshold = 0.5)
+      .start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+                  (2L, "an entirely different document about spark"))
+      q.processAllAvailable()
+      // batch 2 contains a near-dup of doc 1 plus a replay of doc 2
+      mem.addData((3L, "the quick brown fox jumps over the lazy dog"),
+                  (2L, "an entirely different document about spark"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(pairs)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L)), s"got $got")
+      assert(spark.read.parquet(store).count() == 3, "one signature per unique doc")
+      // replaying the whole second batch must not duplicate anything
+      mem.addData((3L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(pairs).count() == 1)
+      assert(spark.read.parquet(store).count() == 3)
+    } finally q.stop()
+  }
+
   test("trailing window filter bounds (exclusive start, inclusive end)") {
     val df = rows.toDF()
     val got = Incremental.trailingWindow(df, "ts", "2024-01-10 10:00:00", 7)
