@@ -65,6 +65,34 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(weeks.toSet == Set("week=2024-01-01", "week=2024-01-08"))
   }
 
+  test("JSON lines round trip with explicit schema and corrupt-record capture") {
+    val dir = Files.createTempDirectory("graft_json_").toString + "/ev"
+    val src = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value").limit(200)
+    src.write.json(dir)
+    // corrupt one extra file in the directory
+    val bad = new java.io.PrintWriter(dir + "/part-corrupt.json")
+    bad.println("""{"event_id": 999999, "user_id": NOT_JSON}""")
+    bad.println("""{"event_id": 999998, "user_id": 7, "event_type": "click", "value": 1.5}""")
+    bad.close()
+    val schema = StructType(src.schema.fields :+ StructField("_corrupt_record", StringType))
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    assert(back.count() == 202)
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 1,
+      "exactly the malformed line is quarantined, not the whole file")
+    assert(back.filter(col("event_id") === 999998).count() == 1,
+      "valid lines in a partially-corrupt file still parse")
+    val good = back.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record").filter(col("event_id") < 999000)
+    assert(good.count() == 200)
+    assert(good.select("event_id").as[Long].collect().toSet ==
+      src.select("event_id").as[Long].collect().toSet)
+    back.unpersist()
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc_").toString + "/li"
     val src = Tables.lineitem(spark, sf("sf0.001"))
