@@ -164,6 +164,81 @@ object Graph {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * converges in O(log n) rounds regardless of component DIAMETER,
+    * where min-label propagation needs O(diameter) rounds — the right
+    * algorithm when components can be chain-shaped (long reply threads,
+    * crawl link paths). Each round is two grouped-min aggregations +
+    * joins over the current edge set; rounds persist write-then-read
+    * like [[connectedComponents]].
+    *
+    * Same contract as [[connectedComponents]]: (node, component) with
+    * component = min node id; isolated nodes appear only via
+    * `extraNodes`. Prefer [[connectedComponents]] for known-shallow
+    * cluster shapes (near-dup groups): fewer jobs per round wins there.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30,
+                              extraNodes: Option[DataFrame] = None,
+                              workDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val base = workDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ccs").toString)
+    def save(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
+        edges.sparkSession.emptyDataFrame.withColumn("node", lit(0L)).limit(0)))
+      .distinct()
+    // canonical (u > v) edge list, self-loops dropped
+    var e = save(edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct(), "e-0")
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIter && !converged) {
+      // LARGE-STAR: per node u over the SYMMETRIC neighborhood, attach
+      // every strictly-larger neighbor to m = min(neighbors ∪ {u})
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+      // SMALL-STAR: on the (u > v) orientation, attach u and all its
+      // smaller neighbors to u's minimum neighbor
+      val mS = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(mS, "u")
+        .select(col("v").as("a"), col("m"))
+        .unionByName(mS.select(col("u").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(greatest(col("a"), col("m")).as("u"), least(col("a"), col("m")).as("v"))
+        .distinct()
+      val next = save(ss, s"e-${iter + 1}")
+      // star forest test: converged when every edge points at a root
+      // (no u appears as a v of some other edge with a larger partner),
+      // equivalently the edge set is unchanged by another round
+      converged = next.unionByName(e).distinct().count() == e.count() &&
+        next.count() == e.count()
+      e = next
+      iter += 1
+    }
+    // at the fixpoint e is a star forest (node -> root); roots and
+    // isolated nodes are their own component
+    nodes.join(e.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left_outer")
+      .groupBy("node")
+      .agg(min(coalesce(col("component"), col("node"))).as("component"))
+  }
+
   /** K8 rollback semantics: cascading delete of one key across child
     * tables = anti-join rewrite (utils/etl.py:87-120).
     */

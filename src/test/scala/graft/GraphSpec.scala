@@ -70,6 +70,33 @@ class GraphSpec extends SparkTestBase {
     assert(comps.filter(col("component") =!= 1L).isEmpty)
   }
 
+  test("large-star/small-star components match min-label on random graphs") {
+    val rng = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val n = 40 + trial * 20
+      val edges = (0 until n).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.toDF("src", "dst")
+      val nodes = (0L until n.toLong).toDF("node")
+      val byLabel = Graph.connectedComponents(edges, maxIter = 50,
+          extraNodes = Some(nodes))
+        .as[(Long, Long)].collect().toMap
+      val byStar = Graph.connectedComponentsStar(edges,
+          extraNodes = Some(nodes))
+        .as[(Long, Long)].collect().toMap
+      assert(byStar == byLabel, s"trial $trial: algorithms disagree")
+    }
+  }
+
+  test("large-star/small-star collapses a 500-node chain in O(log n) rounds") {
+    // a path graph has diameter 499: min-label needs ~500 rounds, the
+    // star algorithm converges within its default maxIter of 30
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comps = Graph.connectedComponentsStar(chain)
+    assert(comps.select("component").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(comps.count() == 500)
+  }
+
   test("K8: delete-by-key anti-join rewrite") {
     val t = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("movie_id", "v")
     val victims = Seq(Tuple1(2L)).toDF("movie_id")
