@@ -26,7 +26,8 @@ class EntrySmokeSpec extends SparkTestBase {
       Set("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
         "ann_lsh_topk", "ann_ivf_topk",
         "multimodal_features", "sketch_agg"),
-      "rows-only set is exactly the LSH/banding/sketch + stubbed-codec queries")
+      "rows-only set is exactly the hash-seeded LSH/banding/sketch queries " +
+        "+ multimodal (features come from decoded media, not SQL)")
   }
 
   test("frame sampling decodes real frames and keeps every stride-th one") {

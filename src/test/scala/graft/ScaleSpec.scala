@@ -82,6 +82,33 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("band"), s"bucket join key missing; plan:\n$plan")
   }
 
+  test("runtime bloom-filter pruning injects might_contain on a selective shuffle join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must fit UNDER this cap; application side must be
+      // OVER the scan-size floor — tiny test tables need both relaxed
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf("sf0.001"))
+      val dim = Tables.orders(spark, sf("sf0.001"))
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+        .select("o_orderkey")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .select("l_orderkey", "l_quantity")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"bloom filter must be injected on the fact scan; plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("signature expressions stay inside whole-stage codegen (no fallback)") {
     val df = spark.range(100).select(
       col("id"),
