@@ -44,4 +44,46 @@ object Aggregators {
     override def outputEncoder: Encoder[(Double, Double)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   }
+
+  /** Misra-Gries heavy hitters: a k-counter frequency summary with the
+    * standard guarantee — every item with true count > n/(k+1) survives,
+    * and each reported count undercounts by at most n/(k+1). State is a
+    * bounded map (k entries), merge is the summary-merge from
+    * Agarwal et al. ("Mergeable Summaries"): add counts, then subtract
+    * the (k+1)-th largest and drop non-positives. Associative +
+    * commutative, so Spark applies it map-side like any built-in — the
+    * vocabulary/top-terms sketch for a 100 TB corpus where exact counts
+    * would shuffle every distinct token.
+    */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1)
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(s: Map[String, Long], x: String): Map[String, Long] = {
+      if (s.contains(x)) s.updated(x, s(x) + 1)
+      else if (s.size < k) s.updated(x, 1L)
+      else {
+        // decrement all; drop zeros (the classic MG step, batched)
+        s.flatMap { case (kk, v) => if (v > 1) Some(kk -> (v - 1)) else None }
+      }
+    }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val combined = (a.keySet ++ b.keySet).iterator
+        .map(kk => kk -> (a.getOrElse(kk, 0L) + b.getOrElse(kk, 0L))).toMap
+      if (combined.size <= k) combined
+      else {
+        val cut = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        combined.flatMap { case (kk, v) =>
+          if (v - cut > 0) Some(kk -> (v - cut)) else None
+        }
+      }
+    }
+
+    override def finish(s: Map[String, Long]): Map[String, Long] = s
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
+  }
 }

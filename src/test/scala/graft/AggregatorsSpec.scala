@@ -49,4 +49,33 @@ class AggregatorsSpec extends SparkTestBase {
     assert(math.abs(ab._2 - serial._2) / serial._2 < 1e-12)
     assert(math.abs(ba._2 - serial._2) / serial._2 < 1e-12)
   }
+
+  test("Misra-Gries heavy hitters: guarantee holds on a skewed token stream") {
+    import graft.functions.Aggregators.MisraGries
+    // skewed corpus: token "hot" is 30% of the stream, "warm" 15%,
+    // the rest spread over a long tail
+    val n = 4000
+    val rng = new scala.util.Random(5)
+    val tokens = (0 until n).map { _ =>
+      val r = rng.nextDouble()
+      if (r < 0.30) "hot" else if (r < 0.45) "warm"
+      else s"tail${rng.nextInt(300)}"
+    }
+    val ds = tokens.toDF("tok").repartition(8).as[String]
+    val k = 20
+    val sketch = ds.select(udaf(new MisraGries(k)).apply($"tok").as("mg"))
+      .as[Map[String, Long]].collect().head
+    assert(sketch.size <= k, "summary is bounded by k counters")
+    val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item with count > n/(k+1) must be present
+    val floor = n.toLong / (k + 1)
+    exact.filter(_._2 > floor).keys.foreach { hh =>
+      assert(sketch.contains(hh), s"heavy hitter $hh missing from sketch")
+    }
+    // reported counts never overcount and undercount by at most n/(k+1)
+    sketch.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+      assert(exact(t) - c <= floor, s"$t undercounted beyond the bound")
+    }
+  }
 }
