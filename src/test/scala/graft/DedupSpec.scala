@@ -75,6 +75,12 @@ class DedupSpec extends SparkTestBase {
     assert(rows(3L)._2 && rows(3L)._3 == 1)
     assert(rows(5L)._2 && rows(5L)._3 == 1)
     assert(out.filter(col("is_canonical")).count() >= 3)
+    // the deep-component (large-star/small-star) path clusters identically
+    val deep = Dedup.nearDupClusters(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 16, threshold = 0.4, deepComponents = true)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(deep == rows, "star-based clustering must match min-label")
   }
 
   test("incremental minhash: only new-vs-all pairs, store grows idempotently") {
