@@ -3,14 +3,15 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata. The Spark-side contract — schema,
-  * partition sizing, batch shape, feature schema — is real and tested.
-  * The AUDIO path is a real codec: payloads are well-formed RIFF/WAVE
-  * PCM16 files decoded by [[WavCodec]] (zero external dependencies) and
-  * featurized from actual samples. Image/video decode remains STUBBED
-  * with a deterministic fake (no image/video libraries in this
-  * container), clearly marked below.
+/** Multimodal column plumbing: image/audio/video as `binary` columns
+  * with typed metadata. Every kind is a REAL zero-dependency codec:
+  * audio = RIFF/WAVE PCM16 ([[WavCodec]]), image = PPM P6
+  * ([[PpmCodec]]), video = a length-prefixed container of PPM frames
+  * ([[VideoContainer]]); features and transforms (resize, frame
+  * sampling) operate on decoded samples/pixels. Compressed interchange
+  * formats (JPEG/H.264/MP3) would need external codec libraries this
+  * container deliberately avoids — swapping a codec changes only the
+  * decode call, never the Spark plumbing.
   *
   * At scale: media rows are large, so the decode map runs after a
   * `repartition` sized by bytes (maxRecordsPerBatch-style), and features
