@@ -24,9 +24,13 @@ object Sinks {
     * pass `partitionCol` (a column of `df`, used as the store's
     * partitionBy key) and the store read is pruned to only the partition
     * values present in the incoming batch — a weekly batch then probes
-    * ~one partition, not the full history. Without a transactional table
-    * format this is the standard idempotent-append shape; Delta/Iceberg
-    * MERGE is the production upgrade path.
+    * ~one partition, not the full history. The pruning narrows the
+    * uniqueness guarantee to per-partition-value: a key must always
+    * carry the same partition value (derive it from the key, or include
+    * it in `keys`), or replays landing in a different partition would
+    * re-insert it. Without a transactional table format this is the
+    * standard idempotent-append shape; Delta/Iceberg MERGE is the
+    * production upgrade path.
     */
   def appendDedup(df: DataFrame, path: String, keys: Seq[String],
                   partitionCol: Option[String] = None): Unit = {
