@@ -136,10 +136,11 @@ object Graph {
     val e0 = save(edges.select(col("src"), col("dst")), "edges")
     val sym = save(e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"))), "sym")
+    // propagate over edge-participating nodes ONLY: isolated nodes can
+    // never change label, so carrying them through every round would
+    // shuffle the whole corpus per iteration when duplicates are sparse
+    // (the common corpus shape) — they join as singletons at the end
     val nodes = sym.select(col("src").as("node")).distinct()
-      .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
-        edges.sparkSession.emptyDataFrame.withColumn("node", lit(0L)).limit(0)))
-      .distinct()
     var labels = save(nodes.withColumn("component", col("node")), "labels-0")
     var iter = 0
     var converged = false
@@ -161,7 +162,14 @@ object Graph {
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
-    labels
+    extraNodes match {
+      case Some(extra) =>
+        val singletons = extra.select(col("node")).distinct()
+          .join(labels.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("component", col("node"))
+        labels.unionByName(singletons)
+      case None => labels
+    }
   }
 
   /** Connected components by alternating large-star / small-star
