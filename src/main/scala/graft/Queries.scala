@@ -1067,6 +1067,21 @@ object Queries {
                 AS n_subtokens
             FROM documents"""))
 
+  // the curation gate built on the oracled score: same formula, WHERE'd
+  private val corpusQualityFilter = Q(
+    "corpus_quality_filter",
+    (s, d) => TextAnalysis.qualityFilter(documents(s, d), "doc_id", "text",
+      minScore = 78.0, minTokens = 5),
+    Some("""SELECT doc_id, n_tokens, quality_score FROM (
+              SELECT doc_id,
+                len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+                100.0 * (0.3 * least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0)
+                  + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+                  + 0.3 * (1.0 - least((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)))
+                  AS quality_score
+              FROM documents)
+            WHERE quality_score >= 78.0 AND n_tokens >= 5"""))
+
   private val textRedact = Q(
     "text_redact",
     (s, d) => documents(s, d).select(col("doc_id"),
@@ -1142,6 +1157,6 @@ object Queries {
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
-    textRedact, corpusSample,
+    textRedact, corpusSample, corpusQualityFilter,
     multimodalFeatures)
 }

@@ -115,6 +115,19 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Quality FILTER — the consumer of [[qualityStats]]: keep documents
+    * clearing a composite-score floor and a minimum token count, the
+    * C4-style curation gate. Thresholding the score is engine-safe
+    * because the score itself is computed in a fixed op order (the
+    * oracled text_quality invariant), so both engines agree on every
+    * boundary comparison.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minScore: Double = 60.0, minTokens: Int = 5): DataFrame =
+    qualityStats(docs, idCol, textCol)
+      .filter(col("quality_score") >= minScore && col("n_tokens") >= minTokens)
+      .select(col(idCol), col("n_tokens"), col("quality_score"))
+
   /** PII scrub for training corpora: emails, URLs, and long digit runs
     * (phone/account numbers) replaced by typed placeholder tokens. Pure
     * per-row regex chain — narrow, codegen'd, no shuffle. Patterns are
