@@ -106,8 +106,10 @@ object TextAnalysis {
   def termRelevance(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    // df falls out of tf for free: tf holds exactly one row per
+    // (doc, term), so counting rows per term IS the document frequency —
+    // no second scan + explode of the corpus
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))
