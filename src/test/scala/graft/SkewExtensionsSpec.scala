@@ -29,6 +29,22 @@ class SkewExtensionsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("non-broadcast salted join shuffles on (key, salt) — hot key spread over tasks") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val large = (1 to 5000).map(i => (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+      val medium = (1L to 500L).map(k => (k, s"m$k")).toDF("k", "name")
+      val joined = Skew.saltedJoin(large, medium, "k", col("v"), salts = 8)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"broadcast disabled -> shuffle join; plan:\n$plan")
+      assert(plan.contains("__salt"),
+        s"join keys must include the salt so the hot key splits; plan:\n$plan")
+      assert(joined.count() == large.join(medium, "k").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("extensions register SQL functions with tight-loop implementations") {
     // getOrCreate returns the suite session, so use runtime registration
     // (the builder-extensions path is exercised at session construction)
