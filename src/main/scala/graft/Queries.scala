@@ -498,6 +498,30 @@ object Queries {
               count(*) AS n
             FROM orders GROUP BY 1"""))
 
+  // equi-DEPTH histogram (the quantile twin of histogram_fixed): ntile
+  // row distribution is SQL-standard identical across engines once the
+  // ordering is made total (tie-break on the key)
+  private val histogramEquidepth = Q(
+    "histogram_equidepth",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
+              max(o_totalprice) AS hi, round(sum(o_totalprice), 2) AS total
+            FROM (SELECT o_totalprice,
+                CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                  AS bucket
+              FROM orders)
+            GROUP BY 1"""))
+
   // ---------------------------------------------------------------- windows
   private val windowRank = Q(
     "window_rank",
@@ -1147,6 +1171,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, statsProfile, histogramFixed,
+    histogramEquidepth,
     windowRank, windowRunning,
     windowAnalytics, topkSort,
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
