@@ -498,28 +498,36 @@ object Queries {
               count(*) AS n
             FROM orders GROUP BY 1"""))
 
-  // equi-DEPTH histogram (the quantile twin of histogram_fixed): ntile
-  // row distribution is SQL-standard identical across engines once the
-  // ordering is made total (tie-break on the key)
+  // equi-DEPTH histogram (the quantile twin of histogram_fixed), done the
+  // distributed way: decile boundaries from the percentile AGGREGATE
+  // (Spark percentile == DuckDB quantile_cont interpolation, rule 11),
+  // broadcast back, bucket = #boundaries strictly below the value. A
+  // global ntile window would funnel every row through one task; this
+  // shape is two distributed aggregations and a broadcast.
   private val histogramEquidepth = Q(
     "histogram_equidepth",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, d)
-        .withColumn("bucket", ntile(10).over(w).cast("long"))
+      val o = orders(s, d)
+      val bounds = o.agg(percentile(col("o_totalprice"),
+        typedLit((1 to 9).map(_ / 10.0))).as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("1 + CAST(size(filter(bs, b -> b < o_totalprice)) AS BIGINT)"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"),
           round(sum(col("o_totalprice")), 2).as("total"))
     },
-    Some("""SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
+    Some("""WITH bs AS (
+              SELECT quantile_cont(o_totalprice,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+              FROM orders)
+            SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
               max(o_totalprice) AS hi, round(sum(o_totalprice), 2) AS total
             FROM (SELECT o_totalprice,
-                CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
-                  AS bucket
-              FROM orders)
+                1 + len(list_filter(q, b -> b < o_totalprice)) AS bucket
+              FROM orders, bs)
             GROUP BY 1"""))
 
   // ---------------------------------------------------------------- windows
