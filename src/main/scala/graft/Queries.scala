@@ -793,6 +793,40 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, sid"""))
 
+  // session-level analytics — the rollup consumers actually run on
+  // sessionized data: per user, session count, event volume, and
+  // duration stats (all integer micros -> engine-exact)
+  private val sessionStats = Q(
+    "session_stats",
+    (s, d) => graft.streaming.Sessionize.sessionWindows(events(s, d), "ts", "user_id")
+      .withColumn("dur_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        sum(col("dur_us")).as("total_dur_us"),
+        max(col("dur_us")).as("max_dur_us")),
+    Some("""WITH t AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) < 1800000000
+                  THEN 0 ELSE 1 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t),
+            sess AS (
+              SELECT user_id, count(*) AS n_events,
+                epoch_us(max(ts) + INTERVAL 30 MINUTE) - epoch_us(min(ts)) AS dur_us
+              FROM s GROUP BY user_id, sid)
+            SELECT user_id, count(*) AS n_sessions,
+              CAST(sum(n_events) AS BIGINT) AS total_events,
+              CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+              max(dur_us) AS max_dur_us
+            FROM sess GROUP BY 1"""))
+
   // salting is an execution-strategy choice, not a semantic one, so the
   // salted plans oracle against the PLAIN formulations — the gate proves
   // the skew mitigation changes nothing but the shuffle layout
@@ -1185,7 +1219,7 @@ object Queries {
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
-    incrWindow, sessionize, weeklyAgg, parseRatings, jsonExtract,
+    incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
