@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.relationshipId
 
@@ -9,6 +9,43 @@ import graft.functions.GraftFunctions.relationshipId
   * sinks, re-expressed as set-oriented joins + dedup.
   */
 object Graph {
+
+  /** Write-then-read materialization for iterative algorithms: one job
+    * computes and lands each round on reliable storage, downstream rounds
+    * read the files (an executor loss replays from the last round's files
+    * where a truncated in-memory lineage would fail the job).
+    *
+    * When no `workDir` is given the store owns a driver-local temp dir —
+    * addressed with an explicit `file:` scheme so it never resolves
+    * against a configured cluster default FS — and [[cleanupExcept]]
+    * deletes every intermediate round after the final table is written,
+    * so repeated calls don't leak the whole edge set per invocation. On a
+    * cluster, pass `workDir` (HDFS/object store) and manage its lifecycle
+    * with the job.
+    */
+  private final class RoundStore(spark: SparkSession, workDir: Option[String]) {
+    private val owned = workDir.isEmpty
+    private val base = workDir.getOrElse(
+      "file:" + java.nio.file.Files.createTempDirectory("graft-rounds").toString)
+    private val saved = scala.collection.mutable.ArrayBuffer.empty[String]
+    def save(df: DataFrame, name: String): DataFrame = {
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      saved += name
+      spark.read.parquet(path)
+    }
+    /** Drop every owned intermediate table except `keep` (the tables the
+      * returned frame still reads). No-op when the caller owns the dir.
+      */
+    def cleanupExcept(keep: String*): Unit = if (owned) {
+      val ks = keep.toSet
+      val conf = spark.sparkContext.hadoopConfiguration
+      saved.filterNot(ks).foreach { name =>
+        val p = new org.apache.hadoop.fs.Path(s"$base/$name")
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
+  }
 
   /** J1/J2 "does this key already exist" probe, set-oriented: keep only
     * incoming rows whose key is NOT present (utils/etl.py:41-58, 169-181).
@@ -69,23 +106,17 @@ object Graph {
   def ancestorClosure(edges: DataFrame, maxDepth: Int = 20,
                       workDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    val base = workDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-closure").toString)
     // write-then-read: one computation per frontier, lineage truncated via
     // reliable files (an executor loss replays from the last frontier,
     // where localCheckpoint would fail the job)
-    def save(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
-    val first = save(edges.select(col("child"), col("parent").as("ancestor"),
+    val store = new RoundStore(spark, workDir)
+    val first = store.save(edges.select(col("child"), col("parent").as("ancestor"),
       lit(1).as("depth")), "frontier-1")
     var closure = first
     var frontier = first
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
-      val next = save(frontier.alias("f")
+      val next = store.save(frontier.alias("f")
         .join(edges.alias("e"), col("f.ancestor") === col("e.child"))
         .select(col("f.child"), col("e.parent").as("ancestor"), (col("f.depth") + 1).as("depth"))
         // cycle guard: never revisit a (child, ancestor) pair
@@ -95,7 +126,13 @@ object Graph {
       frontier = next
       depth += 1
     }
-    closure
+    // consolidate the per-depth frontiers into one closure table (one
+    // downstream read instead of a union of N), then drop the rounds —
+    // without this every call leaks the whole closure's worth of
+    // intermediate files in the temp dir
+    val out = store.save(closure, "closure")
+    store.cleanupExcept("closure")
+    out
   }
 
   /** Connected components by iterative min-label propagation: every node
@@ -120,28 +157,26 @@ object Graph {
                           extraNodes: Option[DataFrame] = None,
                           workDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    val base = workDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-cc").toString)
     // write-then-read materialization: one job computes and lands the
     // round on reliable storage; downstream rounds read the files
-    def save(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+    val store = new RoundStore(spark, workDir)
+    def save(df: DataFrame, name: String): DataFrame = store.save(df, name)
     // materialize the edge list FIRST: the symmetric union references
     // `edges` twice, so building sym straight from the input would run
     // the upstream pipeline (e.g. LSH pair generation) twice in one job —
-    // and once per round without any materialization at all
+    // and once per round without any materialization at all. The
+    // symmetric orientation itself is a narrow re-read of the files, not
+    // worth a second table.
     val e0 = save(edges.select(col("src"), col("dst")), "edges")
-    val sym = save(e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))), "sym")
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
     // propagate over edge-participating nodes ONLY: isolated nodes can
     // never change label, so carrying them through every round would
     // shuffle the whole corpus per iteration when duplicates are sparse
     // (the common corpus shape) — they join as singletons at the end
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = save(nodes.withColumn("component", col("node")), "labels-0")
+    var finalName = "labels-0"
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -160,8 +195,12 @@ object Graph {
       // single cheap action over the files just written — no join
       converged = next.filter(col("component") =!= col("prev")).isEmpty
       labels = next.select(col("node"), col("component"))
+      finalName = s"labels-${iter + 1}"
       iter += 1
     }
+    // the returned frame reads only the final round — drop the edge table
+    // and earlier rounds so repeated calls don't accumulate on disk
+    store.cleanupExcept(finalName)
     extraNodes match {
       case Some(extra) =>
         val singletons = extra.select(col("node")).distinct()
@@ -190,13 +229,8 @@ object Graph {
                               extraNodes: Option[DataFrame] = None,
                               workDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    val base = workDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-ccs").toString)
-    def save(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+    val store = new RoundStore(spark, workDir)
+    def save(df: DataFrame, name: String): DataFrame = store.save(df, name)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .unionByName(extraNodes.map(_.select(col("node"))).getOrElse(
@@ -207,6 +241,7 @@ object Graph {
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct(), "e-0")
+    var finalName = "e-0"
     var iter = 0
     var converged = e.isEmpty
     while (iter < maxIter && !converged) {
@@ -237,8 +272,11 @@ object Graph {
       converged = next.unionByName(e).distinct().count() == e.count() &&
         next.count() == e.count()
       e = next
+      finalName = s"e-${iter + 1}"
       iter += 1
     }
+    // the output reads only the fixpoint edge table — drop earlier rounds
+    store.cleanupExcept(finalName)
     // at the fixpoint e is a star forest (node -> root); roots and
     // isolated nodes are their own component
     nodes.join(e.select(col("u").as("node"), col("v").as("component")),

@@ -11,6 +11,12 @@ import org.apache.spark.sql.types.StructType
   */
 object Sinks {
 
+  /** Most distinct partition values a batch may pin before appendDedup
+    * falls back to the unpruned anti-join (a batch legitimately touching
+    * more partitions than this is effectively a full-table probe anyway).
+    */
+  val maxPrunedPartitions: Int = 1000
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -33,7 +39,8 @@ object Sinks {
     * production upgrade path.
     */
   def appendDedup(df: DataFrame, path: String, keys: Seq[String],
-                  partitionCol: Option[String] = None): Unit = {
+                  partitionCol: Option[String] = None,
+                  maxPruned: Int = maxPrunedPartitions): Unit = {
     val spark = df.sparkSession
     val batch = df.dropDuplicates(keys)
     val fresh =
@@ -43,9 +50,16 @@ object Sinks {
           case Some(pc) =>
             // driver-held partition-value list (small by construction: a
             // batch touches few partitions); becomes a PartitionFilter on
-            // the store scan so untouched partitions are never read
-            val vals = batch.select(col(pc)).distinct().collect().map(_.get(0))
-            current.filter(col(pc).isInCollection(vals.toSeq))
+            // the store scan so untouched partitions are never read.
+            // Capped: a mis-chosen high-cardinality partitionCol (e.g. the
+            // key itself) must degrade to the unpruned anti-join, not
+            // collect unbounded values to the driver and build a huge
+            // isInCollection predicate.
+            val cap = maxPruned
+            val vals = batch.select(col(pc)).distinct().limit(cap + 1)
+              .collect().map(_.get(0))
+            if (vals.length > cap) current
+            else current.filter(col(pc).isInCollection(vals.toSeq))
           case None => current
         }
         batch.join(pruned.select(keys.map(col): _*), keys, "left_anti")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end corpus curation: the composition the individual operators
   * exist for, as one declarative pipeline —
@@ -35,33 +36,46 @@ object Curation {
              sampleNibbles: String = "0123456789abcdef"): (DataFrame, Report) = {
     val input = docs.count()
 
-    // 1. quality gate (narrow, per-row score battery)
+    // Each surviving stage is persisted before it is counted, so the
+    // docs -> quality -> exact -> near-dup chain is computed exactly once
+    // end to end: stage N+1 reads stage N's materialization, and the
+    // count actions are scans of already-computed partitions, not
+    // re-executions of the whole upstream pipeline.
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); staged += p; p
+    }
+
+    // 1. quality gate (narrow, per-row score battery) + 2. PII redaction
+    // (narrow, BEFORE dedup so documents differing only in redacted
+    // spans collapse as exact duplicates) — one persisted stage
     val qualityIds = TextAnalysis.qualityFilter(docs, idCol, textCol,
       minScore, minTokens).select(col(idCol))
-    val quality = docs.join(qualityIds, Seq(idCol), "left_semi")
+    val quality = stage(docs.join(qualityIds, Seq(idCol), "left_semi"))
     val nQuality = quality.count()
-
-    // 2. PII redaction (narrow) — BEFORE dedup, so documents differing
-    // only in redacted spans collapse as exact duplicates
     val redacted = quality.select(col(idCol),
       TextAnalysis.redactPii(col(textCol)).as(textCol))
 
     // 3. exact dedup: deterministic first-write-wins survivor
     val exactKeep = Dedup.exact(redacted, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val afterExact = redacted.join(exactKeep, Seq(idCol), "left_semi")
+    val afterExact = stage(redacted.join(exactKeep, Seq(idCol), "left_semi"))
     val nExact = afterExact.count()
 
     // 4. near-dup dedup: canonical survivor per LSH/components cluster
+    // (internally materialized write-then-read by connectedComponents)
     val canonical = Dedup.nearDupClusters(afterExact, idCol, textCol,
         threshold = jaccardThreshold)
       .filter(col("is_canonical")).select(col(idCol))
-    val afterNearDup = afterExact.join(canonical, Seq(idCol), "left_semi")
+    val afterNearDup = stage(afterExact.join(canonical, Seq(idCol), "left_semi"))
     val nNearDup = afterNearDup.count()
 
-    // 5. deterministic content-keyed sample
+    // 5. deterministic content-keyed sample — materialized eagerly so the
+    // returned frame survives the unpersist of its parents
     val sampled = TextAnalysis.sampleByContent(afterNearDup, textCol, sampleNibbles)
+      .localCheckpoint(true)
     val nSampled = sampled.count()
+    staged.foreach(_.unpersist(false))
 
     (sampled, Report(input, nQuality, nExact, nNearDup, nSampled))
   }

@@ -121,6 +121,9 @@ object Multimodal {
       val h = token().toInt
       require(token() == "255", "only maxval 255 supported")
       pos += 1 // exactly one whitespace byte after maxval
+      // reject truncated payloads — copyOfRange would silently zero-pad
+      require(bytes.length >= pos + w * h * 3,
+        s"truncated PPM: need ${w * h * 3} pixel bytes, have ${bytes.length - pos}")
       val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)
       (w, h, rgb)
     }
@@ -217,6 +220,16 @@ object Multimodal {
     * codec libraries this container lacks; unknown kinds fall back to a
     * byte-profile feature so the operator total-functions over any input.)
     */
+  /** Fallback feature for kinds without a codec and structurally-empty
+    * media (e.g. a valid zero-frame video container): a stride-sampled
+    * byte profile, total over any payload including the empty one.
+    */
+  private def byteProfile(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length.max(1)
+    Array.tabulate(8)(i =>
+      payload.iterator.drop(i).grouped(8).map(_.head.toFloat).sum / n)
+  }
+
   def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     val sized = if (partitions > 0) media.repartition(partitions) else media
@@ -255,25 +268,26 @@ object Multimodal {
               lMean.toFloat, (l2Sum / n - lMean * lMean).toFloat, n.toFloat)
           case "video" =>
             val frames = VideoContainer.decode(r.payload).map(PpmCodec.decode)
-            val nf = frames.length.max(1)
-            val lumas = frames.map { case (w, h, rgb) =>
-              var l = 0d
-              var p = 0
-              while (p < rgb.length) {
-                l += 0.299 * (rgb(p) & 0xff) + 0.587 * (rgb(p + 1) & 0xff) +
-                  0.114 * (rgb(p + 2) & 0xff)
-                p += 3
+            if (frames.isEmpty) byteProfile(r.payload) // valid zero-frame clip
+            else {
+              val nf = frames.length
+              val lumas = frames.map { case (w, h, rgb) =>
+                var l = 0d
+                var p = 0
+                while (p < rgb.length) {
+                  l += 0.299 * (rgb(p) & 0xff) + 0.587 * (rgb(p + 1) & 0xff) +
+                    0.114 * (rgb(p + 2) & 0xff)
+                  p += 3
+                }
+                l / (w * h).max(1)
               }
-              l / (w * h).max(1)
+              val mean = lumas.sum / nf
+              val varr = lumas.map(l => (l - mean) * (l - mean)).sum / nf
+              val (w0, h0, _) = frames.head
+              Array(nf.toFloat, w0.toFloat, h0.toFloat, mean.toFloat, varr.toFloat,
+                lumas.head.toFloat, lumas.last.toFloat, (w0 * h0).toFloat)
             }
-            val mean = lumas.sum / nf
-            val varr = lumas.map(l => (l - mean) * (l - mean)).sum / nf
-            val (w0, h0, _) = frames.head
-            Array(nf.toFloat, w0.toFloat, h0.toFloat, mean.toFloat, varr.toFloat,
-              lumas.head.toFloat, lumas.last.toFloat, (w0 * h0).toFloat)
-          case _ =>
-            Array.tabulate(8)(i =>
-              r.payload.iterator.drop(i).grouped(8).map(_.head.toFloat).sum / r.payload.length)
+          case _ => byteProfile(r.payload)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum, feature)
       }

@@ -39,6 +39,31 @@ class AsOfSpec extends SparkTestBase {
     assert(out.select("trade_id").as[Long].collect().toSet == Set(10L, 11L, 13L))
   }
 
+  test("payload fields are stitched from the SAME right row when some are NULL") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("a")),
+      (1L, ts("2024-01-01 10:05:00"), Option.empty[Double], Option("b"))
+    ).toDF("key", "ts", "price", "tag")
+    val left = Seq((20L, 1L, ts("2024-01-01 10:06:00")))
+      .toDF("trade_id", "key", "ts")
+    val out = AsOf.join(left, right, "key", "ts",
+      Seq("price" -> "p", "tag" -> "t")).collect().head
+    // the matched row is 10:05: p must stay NULL (never pulled from the
+    // 10:00 row) and t must be that same row's "b"
+    assert(out.isNullAt(out.fieldIndex("p")))
+    assert(out.getString(out.fieldIndex("t")) == "b")
+    // matched variants gate on the match marker, so a matched row with a
+    // legitimately-NULL payload field survives
+    assert(AsOf.joinMatched(left, right, "key", "ts",
+      Seq("price" -> "p", "tag" -> "t")).count() == 1)
+    val fwdLeft = Seq((21L, 1L, ts("2024-01-01 10:04:00")))
+      .toDF("trade_id", "key", "ts")
+    val fwd = AsOf.joinForwardMatched(fwdLeft, right, "key", "ts",
+      Seq("price" -> "p", "tag" -> "t")).collect()
+    assert(fwd.length == 1 && fwd.head.isNullAt(fwd.head.fieldIndex("p")) &&
+      fwd.head.getString(fwd.head.fieldIndex("t")) == "b")
+  }
+
   test("forward as-of picks the earliest following right row per key") {
     val out = AsOf.joinForward(trades, quotes, "key", "ts", Seq("price" -> "next_price"))
       .select("trade_id", "next_price").collect()

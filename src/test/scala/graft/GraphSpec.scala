@@ -97,6 +97,30 @@ class GraphSpec extends SparkTestBase {
     assert(comps.count() == 500)
   }
 
+  test("iterative operators clean owned temp work dirs down to the final table") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def roundDirs: Set[java.nio.file.Path] =
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft-rounds")).toSet
+    val before = roundDirs
+
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    assert(Graph.connectedComponents(edges).count() == 5)
+    val parents = Seq((2L, 1L), (3L, 2L)).toDF("child", "parent")
+    assert(Graph.ancestorClosure(parents).count() == 3)
+
+    val created = roundDirs -- before
+    assert(created.size == 2, s"expected 2 owned work dirs, got $created")
+    created.foreach { d =>
+      val entries = java.nio.file.Files.list(d).iterator().asScala
+        .map(_.getFileName.toString).toSet
+      assert(entries.size == 1 &&
+        (entries.head.startsWith("labels-") || entries.head == "closure"),
+        s"leftover round tables in $d: $entries")
+    }
+  }
+
   test("K8: delete-by-key anti-join rewrite") {
     val t = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("movie_id", "v")
     val victims = Seq(Tuple1(2L)).toDF("movie_id")

@@ -104,6 +104,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(outRgb.grouped(3).forall(px => px(0) == 9 && px(1) == 8 && px(2) == 7))
   }
 
+  test("zero-frame video containers feature-extract instead of crashing") {
+    import spark.implicits._
+    import graft.ops.Multimodal.VideoContainer
+    val empty = VideoContainer.encode(Seq.empty)
+    assert(VideoContainer.decode(empty).isEmpty)
+    val media = Seq(Multimodal.MediaRow(7L, "video", empty, 0, 0, 0)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.feature.length == 8, "falls back to the byte-profile feature")
+    assert(f.n_bytes == empty.length.toLong)
+  }
+
+  test("truncated PPM payloads are rejected, not zero-padded") {
+    import graft.ops.Multimodal.PpmCodec
+    val rgb = Array.tabulate(4 * 4 * 3)(i => (i * 7).toByte)
+    val bytes = PpmCodec.encode(4, 4, rgb)
+    val truncated = bytes.dropRight(5)
+    val e = intercept[IllegalArgumentException](PpmCodec.decode(truncated))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("synthetic audio payloads are valid WAV files; feature table keeps its shape") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val audio = media.filter(_.kind == "audio").collect()

@@ -65,6 +65,22 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(weeks.toSet == Set("week=2024-01-01", "week=2024-01-08"))
   }
 
+  test("appendDedup past the partition-value cap degrades to the unpruned probe") {
+    val dir = Files.createTempDirectory("graft_cap_").toString + "/store"
+    val b1 = Seq((1L, "p1", "a"), (2L, "p2", "b"), (3L, "p3", "c"))
+      .toDF("id", "part", "v")
+    val b2 = Seq((3L, "p3", "DUP"), (4L, "p4", "d"), (5L, "p5", "e"))
+      .toDF("id", "part", "v")
+    // cap of 2 < 3 distinct batch values: must fall back (correctly) to
+    // the full anti-join rather than collect/pin every value
+    Sinks.appendDedup(b1, dir, Seq("id"), partitionCol = Some("part"), maxPruned = 2)
+    Sinks.appendDedup(b2, dir, Seq("id"), partitionCol = Some("part"), maxPruned = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5)
+    assert(back.filter(col("id") === 3).collect().head.getAs[String]("v") == "c",
+      "first write wins through the fallback path")
+  }
+
   test("JSON lines round trip with explicit schema and corrupt-record capture") {
     val dir = Files.createTempDirectory("graft_json_").toString + "/ev"
     val src = Tables.events(spark, sf("sf0.001"))
