@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // let AQE coalesce tiny shuffle outputs down to the data size
+      // instead of keeping one partition per core: at bench scale most
+      // post-shuffle stages carry a few MB, and 32 near-empty tasks per
+      // stage (plus 32 output files per round table) cost more in
+      // scheduling than the work itself. At 100 TB the same setting is
+      // what stops a 10k-partition shuffle from emitting 10k tiny files
+      // after a selective filter.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
@@ -24,10 +33,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond-rounded values keep the ONE output line under ~1.8 KB
+    // for 68 queries, so a bounded log-tail capture still holds the whole
+    // line (full-precision values add nothing at this noise floor)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

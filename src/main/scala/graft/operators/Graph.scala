@@ -112,12 +112,16 @@ object Graph {
     val store = new RoundStore(spark, workDir)
     val first = store.save(edges.select(col("child"), col("parent").as("ancestor"),
       lit(1).as("depth")), "frontier-1")
+    // later rounds join against the SAVED depth-1 table, not the input
+    // lineage — when `edges` is itself a pipeline, each round would
+    // otherwise recompute it
+    val savedEdges = first.select(col("child"), col("ancestor").as("parent"))
     var closure = first
     var frontier = first
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
       val next = store.save(frontier.alias("f")
-        .join(edges.alias("e"), col("f.ancestor") === col("e.child"))
+        .join(savedEdges.alias("e"), col("f.ancestor") === col("e.child"))
         .select(col("f.child"), col("e.parent").as("ancestor"), (col("f.depth") + 1).as("depth"))
         // cycle guard: never revisit a (child, ancestor) pair
         .join(closure, Seq("child", "ancestor"), "left_anti"),
@@ -142,9 +146,17 @@ object Graph {
     * through that same aggregate, so convergence is a cheap scan of the
     * already-materialized round output — no extra join, no recompute.
     *
-    * Fault tolerance: each round is persisted as a parquet table under
-    * `workDir` (reliable storage, single computation per round) rather
-    * than `localCheckpoint` — an executor loss at 100 TB replays from the
+    * Job-count economics: the first round is fused with the label init
+    * (labels(u)=u makes round 1 exactly min(u, min(neighbors)) — no
+    * labels-0 table), and `checkpointInterval` propagation rounds chain
+    * lazily into each materialization, so a D-round convergence costs
+    * ~D/interval writes instead of D+1. An executor loss replays at most
+    * one interval's rounds from the last files — the standard
+    * checkpoint-interval tradeoff of iterative graph processing.
+    *
+    * Fault tolerance: each materialization is a parquet table under
+    * `workDir` (reliable storage, single computation) rather than
+    * `localCheckpoint` — an executor loss at 100 TB replays from the
     * last round's files instead of failing the job on truncated lineage.
     * Pass `workDir` on a cluster (HDFS/object store); the tmp-dir default
     * is for local runs.
@@ -155,7 +167,8 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           extraNodes: Option[DataFrame] = None,
-                          workDir: Option[String] = None): DataFrame = {
+                          workDir: Option[String] = None,
+                          checkpointInterval: Int = 2): DataFrame = {
     val spark = edges.sparkSession
     // write-then-read materialization: one job computes and lands the
     // round on reliable storage; downstream rounds read the files
@@ -170,44 +183,55 @@ object Graph {
     val e0 = save(edges.select(col("src"), col("dst")), "edges")
     val sym = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
-    // propagate over edge-participating nodes ONLY: isolated nodes can
-    // never change label, so carrying them through every round would
+    // propagation runs over edge-participating nodes ONLY: isolated nodes
+    // can never change label, so carrying them through every round would
     // shuffle the whole corpus per iteration when duplicates are sparse
-    // (the common corpus shape) — they join as singletons at the end
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = save(nodes.withColumn("component", col("node")), "labels-0")
-    var finalName = "labels-0"
-    var iter = 0
-    var converged = false
+    // (the common corpus shape) — they join as singletons at the end.
+    // Round 1 fused with the init: from labels(u)=u the first round's
+    // output is min(u, min(neighbors(u))), prev = the identity label u.
+    var labels = save(sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("node"), least(col("__mn"), col("src")).as("component"),
+        col("src").as("prev")), "labels-1")
+    var finalName = "labels-1"
+    var converged = labels.filter(col("component") =!= col("prev")).isEmpty
+    var iter = 1
     while (iter < maxIter && !converged) {
-      // neighbor-propagated candidates carry prev=null; each node's own
-      // row carries prev=its current label. min(prev) ignores nulls and
-      // every node has exactly one own-row, so prev survives the groupBy
-      // and the changed-test needs no second join.
-      val candidates = sym.join(labels, sym("dst") === labels("node"))
-        .select(sym("src").as("node"), col("component"),
-          lit(null).cast("long").as("prev"))
-        .unionByName(labels.select(col("node"), col("component"),
-          col("component").as("prev")))
-      val next = save(candidates.groupBy("node")
-        .agg(min(col("component")).as("component"), min(col("prev")).as("prev")),
-        s"labels-${iter + 1}")
-      // single cheap action over the files just written — no join
+      val rounds = math.min(checkpointInterval, maxIter - iter)
+      // chain `rounds` propagation rounds lazily into ONE write. In each
+      // round, neighbor-propagated candidates carry prev=null and each
+      // node's own row carries prev through; min(prev) ignores nulls and
+      // every node has exactly one own-row per round, so the BLOCK-START
+      // label survives to the materialization, where the changed-test is
+      // a plain scan of the files just written — no extra join.
+      var cur = labels.select(col("node"), col("component"),
+        col("component").as("prev"))
+      for (_ <- 1 to rounds) {
+        val candidates = sym.alias("s").join(cur.alias("l"),
+            col("s.dst") === col("l.node"))
+          .select(col("s.src").as("node"), col("l.component").as("component"),
+            lit(null).cast("long").as("prev"))
+          .unionByName(cur.select(col("node"), col("component"), col("prev")))
+        cur = candidates.groupBy("node")
+          .agg(min(col("component")).as("component"), min(col("prev")).as("prev"))
+      }
+      iter += rounds
+      val next = save(cur, s"labels-$iter")
       converged = next.filter(col("component") =!= col("prev")).isEmpty
-      labels = next.select(col("node"), col("component"))
-      finalName = s"labels-${iter + 1}"
-      iter += 1
+      labels = next
+      finalName = s"labels-$iter"
     }
     // the returned frame reads only the final round — drop the edge table
     // and earlier rounds so repeated calls don't accumulate on disk
     store.cleanupExcept(finalName)
+    val out = labels.select(col("node"), col("component"))
     extraNodes match {
       case Some(extra) =>
         val singletons = extra.select(col("node")).distinct()
-          .join(labels.select(col("node")), Seq("node"), "left_anti")
+          .join(out.select(col("node")), Seq("node"), "left_anti")
           .withColumn("component", col("node"))
-        labels.unionByName(singletons)
-      case None => labels
+        out.unionByName(singletons)
+      case None => out
     }
   }
 
