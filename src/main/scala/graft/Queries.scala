@@ -1194,6 +1194,60 @@ object Queries {
               '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
             FROM documents"""))
 
+  // ---------------------------------------------------------------- splits / mixing / packing
+  // deterministic md5-bucket assignment — both engines compute the same
+  // first-byte bucket (Spark conv(hex) == DuckDB instr-on-nibbles)
+  private val duckBucket =
+    """CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+       + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS BIGINT)"""
+
+  private val splitHash = Q(
+    "split_hash",
+    (s, d) => ops.Splits.hashSplit(documents(s, d), "doc_id", "text"),
+    Some(s"""SELECT doc_id, $duckBucket AS bucket,
+              CASE WHEN $duckBucket < 205 THEN 'train'
+                   WHEN $duckBucket < 230 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents"""))
+
+  private val mixtureWeighted = Q(
+    "mixture_weighted",
+    (s, d) => ops.Splits.mixtureSample(documents(s, d), "doc_id", "text",
+      "source", Map("src0" -> 256, "src1" -> 128, "src2" -> 64, "src3" -> 32)),
+    Some(s"""SELECT doc_id, source, $duckBucket AS bucket
+            FROM documents
+            WHERE $duckBucket <
+              CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 128
+                          WHEN 'src2' THEN 64 WHEN 'src3' THEN 32 ELSE 0 END"""))
+
+  private val stratifiedSample = Q(
+    "stratified_sample",
+    (s, d) => ops.Splits.stratifiedTopN(documents(s, d), "doc_id", "text",
+      "source", nPerGroup = 40),
+    Some("""SELECT doc_id, source, pick_rank FROM (
+              SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(text), doc_id) AS BIGINT) AS pick_rank
+              FROM documents)
+            WHERE pick_rank <= 40"""))
+
+  private val packSequences = Q(
+    "pack_sequences",
+    (s, d) => ops.Splits.packSequences(documents(s, d), "doc_id", "text",
+      "source", budget = 512),
+    Some("""SELECT doc_id, source, n_tokens,
+              CAST(floor(pre / 512.0) AS BIGINT) AS bin,
+              pre - CAST(floor(pre / 512.0) AS BIGINT) * 512 AS bin_offset
+            FROM (
+              SELECT doc_id, source,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+                  AS n_tokens,
+                CAST(coalesce(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pre
+              FROM documents)"""))
+
   // ---------------------------------------------------------------- multimodal (stubbed codec)
   private val multimodalFeatures = Q(
     "multimodal_features",
@@ -1225,5 +1279,6 @@ object Queries {
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     textRedact, corpusSample, corpusQualityFilter,
+    splitHash, mixtureWeighted, stratifiedSample, packSequences,
     multimodalFeatures)
 }

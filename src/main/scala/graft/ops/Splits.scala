@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokens
+
+/** Dataset splitting, mixing, and packing — the assignment operators a
+  * training-data pipeline runs after curation: deterministic train/val/
+  * test splits, per-domain mixture sampling, balanced per-stratum draws,
+  * and context-window sequence packing.
+  *
+  * Everything is keyed on content hashes (md5), never `rand()`: the same
+  * corpus produces the same split/mixture/packing on every engine, every
+  * run, any partitioning — the reproducibility contract training jobs
+  * need for resumable preprocessing and honest ablations. All of these
+  * are narrow per-row transforms or single-window passes; nothing
+  * shuffles payload text except the pack window, which is per-shard by
+  * construction.
+  */
+object Splits {
+
+  /** 0-255 content bucket: the first byte of md5(content) — the shared
+    * assignment key for splits and mixtures. Content-keyed so re-crawled
+    * duplicates land in the same split (no train/test leakage through a
+    * changed surrogate id).
+    */
+  def contentBucket(content: Column): Column =
+    conv(substring(md5(content), 1, 2), 16, 10).cast("long")
+
+  /** Deterministic train/val/test assignment: bucket < `trainUpto` →
+    * train, < `valUpto` → val, else test (fractions of 256; defaults
+    * ≈ 80/10/10). A pure narrow projection — at 100 TB this is a zero-
+    * shuffle map a split-membership filter pushes straight into.
+    */
+  def hashSplit(docs: DataFrame, idCol: String, contentCol: String,
+                trainUpto: Int = 205, valUpto: Int = 230): DataFrame =
+    docs.select(col(idCol), contentBucket(col(contentCol)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpto, lit("train"))
+          .when(col("bucket") < valUpto, lit("val"))
+          .otherwise(lit("test")))
+
+  /** Per-domain mixture sampling (static domain reweighting): keep a row
+    * iff its content bucket falls under the domain's rate (in 256ths).
+    * Domains absent from `rates` are dropped — an explicit mixture is
+    * also an explicit exclusion list. Narrow filter, no shuffle.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, contentCol: String,
+                    domainCol: String, rates: Map[String, Int]): DataFrame = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (domain, r)) =>
+      when(col(domainCol) === domain, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol), col(domainCol),
+        contentBucket(col(contentCol)).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Balanced per-stratum draw: the `nPerGroup` rows of each stratum with
+    * the smallest content hash — equal-count stratified sampling with a
+    * deterministic, content-keyed order (ties broken by id). One window
+    * shuffle partitioned by the stratum; skew is bounded by the largest
+    * stratum, and the rank filter cuts before anything wide happens.
+    */
+  def stratifiedTopN(docs: DataFrame, idCol: String, contentCol: String,
+                     groupCol: String, nPerGroup: Int): DataFrame = {
+    // only (id, group, hash) enter the window shuffle — never the payload
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), col(groupCol), md5(col(contentCol)).as("__h"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= nPerGroup)
+      .drop("__h")
+  }
+
+  /** Contiguous sequence packing: lay documents end-to-end in id order
+    * within each shard and cut bins every `budget` tokens — each doc gets
+    * (bin, bin_offset) so a reader can assemble fixed-size context
+    * windows without a second pass. Packing is per-`shardCol` (one window
+    * shuffle, shards pack in parallel); a global pack of a 100 TB corpus
+    * would serialize on a single partition, which is exactly why
+    * production packing is sharded. Documents longer than `budget`
+    * overflow their bin — contiguous packing never reorders or splits
+    * content, it only indexes it.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(shardCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("pre") / budget.toDouble).cast("long"))
+      .withColumn("bin_offset", col("pre") - col("bin") * budget)
+      .drop("pre")
+  }
+}

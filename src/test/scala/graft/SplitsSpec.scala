@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Splits
+
+/** Splitting/mixing/packing invariants: deterministic under any
+  * partitioning, fractions near their targets, packing arithmetic exact.
+  */
+class SplitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("hashSplit is exhaustive, ~80/10/10, and partitioning-invariant") {
+    val out = Splits.hashSplit(docs, "doc_id", "text")
+    val n = out.count()
+    assert(out.filter(col("split").isin("train", "val", "test")).count() == n)
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train=${frac("train")}")
+    assert(frac("val") < 0.2 && frac("test") < 0.2)
+    // content-keyed determinism: a different physical partitioning of the
+    // same rows produces the identical assignment
+    val again = Splits.hashSplit(docs.repartition(7), "doc_id", "text")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("mixtureSample keeps full-rate domains whole and respects rates") {
+    val rates = Map("src0" -> 256, "src1" -> 64)
+    val out = Splits.mixtureSample(docs, "doc_id", "text", "source", rates)
+    val src0All = docs.filter(col("source") === "src0").count()
+    assert(out.filter(col("source") === "src0").count() == src0All,
+      "rate 256/256 keeps every src0 row")
+    assert(out.filter(!col("source").isin("src0", "src1")).count() == 0,
+      "domains without a rate are excluded")
+    assert(out.filter(col("source") === "src1" && col("bucket") >= 64).count() == 0)
+  }
+
+  test("stratifiedTopN draws exactly min(n, |stratum|) per stratum, deterministically") {
+    val out = Splits.stratifiedTopN(docs, "doc_id", "text", "source", 5)
+    val perGroup = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, sz) =>
+      assert(perGroup.getOrElse(g, 0L) == math.min(5L, sz), s"group $g")
+    }
+    val again = Splits.stratifiedTopN(docs.repartition(5), "doc_id", "text", "source", 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("packSequences: exact bin arithmetic on a known shard") {
+    val d = Seq(
+      (1L, "one", "a b c"),            // 3 tokens, pre=0  -> bin 0 off 0
+      (2L, "one", Seq.fill(6)("t").mkString(" ")), // 6, pre=3 -> bin 0 off 3
+      (3L, "one", "x y"),              // 2, pre=9  -> bin 1 off 1
+      (4L, "two", "p q r s")           // 4, pre=0  -> bin 0 off 0
+    ).toDF("doc_id", "source", "text")
+    val out = Splits.packSequences(d, "doc_id", "text", "source", budget = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 1L), (4L, 0L, 0L)))
+  }
+
+  test("packSequences offsets always land inside the budget") {
+    val out = Splits.packSequences(docs, "doc_id", "text", "source", budget = 512)
+    assert(out.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0)
+    // bins are contiguous from 0 within every shard: distinct == max+1
+    val bins = out.groupBy("source").agg(
+      max(col("bin")).as("mx"), countDistinct(col("bin")).as("nd")).collect()
+    bins.foreach(r => assert(r.getLong(2) == r.getLong(1) + 1,
+      s"shard ${r.getString(0)}: max bin ${r.getLong(1)}, distinct ${r.getLong(2)}"))
+  }
+}
