@@ -20,9 +20,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
-    // classloading + first-job scheduling cost
+    // classloading + first-job scheduling cost; touching every table once
+    // fills the resolved-relation cache (file listing + schema) and the
+    // OS page cache, which are per-corpus costs, not per-query ones
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      try Tables.table(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
+    }
+    try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
     // optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything

