@@ -35,10 +35,19 @@ object Bench {
     // leaves this unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // best-of-2 per query — the SAME rule tools/baseline.py applies to
+    // the DuckDB side, so the ratio compares steady-state engine
+    // throughput on both engines rather than charging Spark's one-time
+    // whole-stage-codegen compile (a per-plan constant, amortized over
+    // every production re-execution) to each tiny sf0.1 query
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // millisecond-rounded values keep the ONE output line under ~1.8 KB
     // for 68 queries, so a bounded log-tail capture still holds the whole

@@ -27,24 +27,54 @@ object Graph {
     private val owned = workDir.isEmpty
     private val base = workDir.getOrElse(
       "file:" + java.nio.file.Files.createTempDirectory("graft-rounds").toString)
-    private val saved = scala.collection.mutable.ArrayBuffer.empty[String]
-    def save(df: DataFrame, name: String): DataFrame = {
-      val path = s"$base/$name"
-      df.write.mode("overwrite").parquet(path)
-      saved += name
-      spark.read.parquet(path)
+    private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    // set after the FIRST save (always the algorithm's base table — edge
+    // list / depth-1 frontier) lands on files: a tiny base means every
+    // later round is tiny too, so rounds localCheckpoint in memory
+    // instead of paying a parquet job-commit each. The checkpoint BOTH
+    // materializes and TRUNCATES lineage — essential, because each round
+    // references its predecessor twice (join + union), so un-truncated
+    // round plans grow exponentially. The tradeoff is explicit: on a
+    // sub-64MB graph an executor loss fails the operator and a retry
+    // replays from the base files in seconds; big graphs keep
+    // file-backed rounds (bounded replay, no executor-memory bet).
+    private var small = false
+
+    def save(df: DataFrame, name: String): DataFrame =
+      if (small) df.localCheckpoint(true)
+      else {
+        val path = s"$base/$name"
+        df.write.mode("overwrite").parquet(path)
+        written += name
+        if (written.size == 1)
+          small = tableBytes(path) < RoundStore.smallGraphBytes
+        spark.read.parquet(path)
+      }
+
+    private def tableBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
     }
-    /** Drop every owned intermediate table except `keep` (the tables the
-      * returned frame still reads). No-op when the caller owns the dir.
+
+    /** Drop every owned written table except `keep` (the tables the
+      * returned frame may still read). No-op when the caller owns the
+      * dir. Small-graph checkpointed rounds are self-contained (lineage
+      * truncated), so only file tables need bookkeeping.
       */
     def cleanupExcept(keep: String*): Unit = if (owned) {
       val ks = keep.toSet
       val conf = spark.sparkContext.hadoopConfiguration
-      saved.filterNot(ks).foreach { name =>
+      written.filterNot(ks).foreach { name =>
         val p = new org.apache.hadoop.fs.Path(s"$base/$name")
         p.getFileSystem(conf).delete(p, true)
       }
     }
+  }
+
+  private object RoundStore {
+    /** Base-table size under which rounds stay in memory (64 MB). */
+    val smallGraphBytes: Long = 64L << 20
   }
 
   /** J1/J2 "does this key already exist" probe, set-oriented: keep only

@@ -115,9 +115,9 @@ class GraphSpec extends SparkTestBase {
     created.foreach { d =>
       val entries = java.nio.file.Files.list(d).iterator().asScala
         .map(_.getFileName.toString).toSet
-      assert(entries.size == 1 &&
-        (entries.head.startsWith("labels-") || entries.head == "closure"),
-        s"leftover round tables in $d: $entries")
+      // tiny graphs take the checkpointed round path: the result is
+      // self-contained, so every round table (base included) is cleaned
+      assert(entries.isEmpty, s"leftover round tables in $d: $entries")
     }
   }
 

@@ -62,6 +62,20 @@ class SplitsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 1L), (4L, 0L, 0L)))
   }
 
+  test("plan shapes: splits are zero-shuffle, windows shuffle exactly once") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    assert(exchanges(Splits.hashSplit(docs, "doc_id", "text")) == 0,
+      "hashSplit must stay a narrow projection")
+    assert(exchanges(Splits.mixtureSample(docs, "doc_id", "text", "source",
+      Map("src0" -> 128))) == 0, "mixtureSample must stay a narrow filter")
+    assert(exchanges(Splits.stratifiedTopN(docs, "doc_id", "text", "source", 5)) == 1,
+      "stratifiedTopN is one window shuffle")
+    assert(exchanges(Splits.packSequences(docs, "doc_id", "text", "source", 512)) == 1,
+      "packSequences is one per-shard window shuffle")
+  }
+
   test("packSequences offsets always land inside the budget") {
     val out = Splits.packSequences(docs, "doc_id", "text", "source", budget = 512)
     assert(out.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0)
