@@ -31,6 +31,8 @@ object GraftExtensions {
       args(2).eval().asInstanceOf[Number].intValue(),
       args(3).eval().asInstanceOf[Number].intValue(),
       if (args.length > 4) args(4).eval().asInstanceOf[Number].intValue() else 42))
+    registerFunction(spark, "signature_agreement",
+      args => SignatureAgreement(args(0), args(1)))
   }
 }
 
@@ -63,5 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(2).eval().asInstanceOf[Number].intValue(),
         args(3).eval().asInstanceOf[Number].intValue(),
         if (args.length > 4) args(4).eval().asInstanceOf[Number].intValue() else 42)))
+    e.injectFunction((FunctionIdentifier("signature_agreement"),
+      info("signature_agreement",
+        "_FUNC_(sig_a, sig_b) - count of agreeing components of two long-array signatures"),
+      (args: Seq[Expression]) => SignatureAgreement(args(0), args(1))))
   }
 }

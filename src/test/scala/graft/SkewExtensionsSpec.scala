@@ -55,11 +55,13 @@ class SkewExtensionsSpec extends SparkTestBase {
           |                        array(cast(3.0 as float), cast(4.0 as float))) AS d,
           |       simhash64(array('a','b')) AS sh,
           |       size(minhash_signature(array('x','y'), 8)) AS mk,
-          |       size(word_shingles(array('a','b','c'), 2)) AS ws
+          |       size(word_shingles(array('a','b','c'), 2)) AS ws,
+          |       signature_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS sa
           |""".stripMargin).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 8)
     assert(r.getInt(3) == 2)
+    assert(r.getLong(4) == 2L)
   }
 }
