@@ -1248,6 +1248,34 @@ object Queries {
                   AS BIGINT) AS pre
               FROM documents)"""))
 
+  // benchmark decontamination: src0 plays the held-out benchmark, the
+  // rest the training corpus; flags = distinct shared 4-grams per doc
+  private val decontaminate = Q(
+    "decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      TextAnalysis.contaminationFlags(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                unnest(CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct([array_to_string(t[i:i+3], ' ')
+                                           FOR i IN range(1, len(t) - 2)]) END)
+                  AS gram
+              FROM toks),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams JOIN bench USING (gram)
+            WHERE grams.source <> 'src0'
+            GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- multimodal (stubbed codec)
   private val multimodalFeatures = Q(
     "multimodal_features",
@@ -1280,5 +1308,6 @@ object Queries {
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
+    decontaminate,
     multimodalFeatures)
 }

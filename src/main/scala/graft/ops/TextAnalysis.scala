@@ -165,4 +165,27 @@ object TextAnalysis {
   def rollingFingerprint(textCol: String, n: Int = 4): Column =
     element_at(graft.functions.Expressions.minhash_signature(
       graft.functions.Expressions.word_shingles(tokens(col(textCol)), n), 1), 1)
+
+  /** Benchmark decontamination: for every training document, the number
+    * of distinct word n-grams it shares with a held-out benchmark set —
+    * the standard test-set-leakage check run before training. Returns
+    * (idCol, n_hits) for contaminated documents only; anti-join the
+    * result to drop them.
+    *
+    * Shape at 100 TB: benchmark suites are small by nature, so the
+    * distinct benchmark-gram set broadcasts and the probe is a
+    * shuffle-free per-row filter over the training scan; only
+    * (id, gram) hit rows reach the counting aggregation. Set
+    * `broadcastBench = false` if the benchmark side is genuinely large.
+    */
+  def contaminationFlags(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         broadcastBench: Boolean = true): DataFrame = {
+    val grams = bench
+      .select(explode(Dedup.shingleArray(textCol, n)).as("gram")).distinct()
+    val probe = if (broadcastBench) broadcast(grams) else grams
+    train.select(col(idCol), explode(Dedup.shingleArray(textCol, n)).as("gram"))
+      .join(probe, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -54,6 +54,31 @@ class CurationSpec extends SparkTestBase {
       out1.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import graft.ops.TextAnalysis
+    val bench = Seq(
+      (100L, "what is the capital of france paris obviously")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "some trivia what is the capital of france asked twice " +
+           "what is the capital of france indeed"),       // 5 distinct shared 4-grams
+      (2L, "totally unrelated prose about harvesting wheat in autumn"),
+      (3L, "capital of france paris lies on the seine")    // shares "capital of france paris"
+    ).toDF("doc_id", "text")
+    val flags = TextAnalysis.contaminationFlags(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!flags.contains(2L), "clean doc must not be flagged")
+    // doc 1 repeats the benchmark phrase: shingles are DISTINCT per doc,
+    // so hits count unique shared grams ([what is the capital],
+    // [is the capital of], [the capital of france]), not occurrences
+    assert(flags.get(1L).contains(3L), s"got ${flags.get(1L)}")
+    assert(flags.get(3L).contains(1L), "[capital of france paris] only")
+    // benchmark side broadcasts: the probe join must not shuffle the scan
+    val plan = TextAnalysis.contaminationFlags(train, bench, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast:\n$plan")
+  }
+
   test("sampling keeps exactly the selected md5 nibbles") {
     val (out, report) = Curation.curate(docs, "doc_id", "text",
       jaccardThreshold = 0.3, sampleNibbles = "01234567")
