@@ -1248,6 +1248,19 @@ object Queries {
                   AS BIGINT) AS pre
               FROM documents)"""))
 
+  // per-dimension embedding profile — the normalization-bounds pass of a
+  // feature-scaling stage; order-independent aggregates only (FP rule)
+  private val embeddingDimStats = Q(
+    "embedding_dim_stats",
+    (s, d) => ops.Similarity.dimStats(embeddings(s, d), "embedding"),
+    Some("""SELECT i AS dim, count(*) AS n,
+              CAST(count(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n_pos,
+              min(v) AS vmin, max(v) AS vmax
+            FROM (SELECT unnest(embedding) AS v,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+            GROUP BY 1"""))
+
   // benchmark decontamination: src0 plays the held-out benchmark, the
   // rest the training corpus; flags = distinct shared 4-grams per doc
   private val decontaminate = Q(
@@ -1308,6 +1321,6 @@ object Queries {
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
-    decontaminate,
+    decontaminate, embeddingDimStats,
     multimodalFeatures)
 }

@@ -68,6 +68,20 @@ object Similarity {
     * integer aggregates compare engine-exactly, and at 100 TB the stats
     * are the validation artifact while the arrays stay columnar.
     */
+  /** Per-dimension feature profile of an embedding column: count,
+    * positive count, min, max per dim (1-based) — the normalization /
+    * clipping bounds a feature-scaling stage needs. One posexplode +
+    * grouped aggregation; only order-INDEPENDENT aggregates (counts and
+    * extremes — never float sums) so the result is engine-exact at any
+    * partitioning.
+    */
+  def dimStats(embs: DataFrame, vecCol: String): DataFrame =
+    embs.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v") > 0, 1)).as("n_pos"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
   def quantizeInt8Stats(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val qArr = """transform(v, x -> CAST(coalesce(
                     floor(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5D),
