@@ -1248,6 +1248,35 @@ object Queries {
                   AS BIGINT) AS pre
               FROM documents)"""))
 
+  // snapshot delta: two deterministic "versions" of orders (mod-keyed
+  // deletions + doubled prices as updates) diffed into added/removed/
+  // changed — the week-over-week incremental-table comparison
+  private val snapshotDiff = Q(
+    "snapshot_diff",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+      val cur = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      operators.Sinks.diffSnapshots(prev, cur, Seq("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+            prev AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+            cur AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+                    FROM o WHERE o_orderkey % 5 <> 0)
+            SELECT coalesce(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+              CASE WHEN p.o_orderkey IS NULL THEN 'added'
+                   WHEN c.o_orderkey IS NULL THEN 'removed'
+                   WHEN p.o_totalprice IS DISTINCT FROM c.o_totalprice
+                     THEN 'changed' END AS change
+            FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
+            WHERE NOT (p.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+                       AND p.o_totalprice IS NOT DISTINCT FROM c.o_totalprice)"""))
+
   // per-dimension embedding profile — the normalization-bounds pass of a
   // feature-scaling stage; order-independent aggregates only (FP rule)
   private val embeddingDimStats = Q(
@@ -1321,6 +1350,6 @@ object Queries {
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
-    decontaminate, embeddingDimStats,
+    decontaminate, embeddingDimStats, snapshotDiff,
     multimodalFeatures)
 }

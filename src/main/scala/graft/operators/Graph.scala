@@ -265,6 +265,28 @@ object Graph {
     }
   }
 
+  /** Incremental connected components: fold a previous run's
+    * (node, component) labels in as star edges and union the new-batch
+    * edges — existing clusters enter pre-collapsed (diameter 1), so
+    * min-label converges in rounds proportional to how much the NEW
+    * edges bridge old clusters, not to corpus history. The weekly
+    * incremental shape: per run, work scales with the new batch plus
+    * touched clusters.
+    *
+    * Output contract matches [[connectedComponents]]; previously-labeled
+    * nodes keep their component unless a new edge merges clusters (the
+    * min id of the union wins, so labels stay stable under growth).
+    */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+                            extraNodes: Option[DataFrame] = None,
+                            workDir: Option[String] = None): DataFrame = {
+    val starEdges = prevLabels
+      .select(col("node").as("src"), col("component").as("dst"))
+    connectedComponents(starEdges.unionByName(
+      newEdges.select(col("src"), col("dst"))), extraNodes = extraNodes,
+      workDir = workDir)
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * converges in O(log n) rounds regardless of component DIAMETER,

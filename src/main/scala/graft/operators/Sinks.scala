@@ -167,6 +167,32 @@ object Sinks {
     }
   }
 
+  /** Snapshot delta — the week-over-week diff of an incrementally
+    * maintained table: (key, change) for every key that was added,
+    * removed, or changed between two versions; unchanged rows never
+    * leave the join. Non-key columns compare null-safely as one struct,
+    * so a NULL payload field is a value, not a wildcard.
+    *
+    * One full-outer shuffle on the key; with both snapshots bucketed by
+    * the key (see [[writeBucketed]]) the exchange disappears and the
+    * diff is a zipped per-bucket merge.
+    */
+  def diffSnapshots(prev: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, struct, when}
+    val nonKeys = cur.columns.filterNot(keys.contains).toSeq
+    val p = prev.select((keys.map(col) :+
+      struct(nonKeys.map(col): _*).as("__p")): _*).withColumn("__pe", lit(1))
+    val c = cur.select((keys.map(col) :+
+      struct(nonKeys.map(col): _*).as("__c")): _*).withColumn("__ce", lit(1))
+    p.join(c, keys, "full_outer")
+      .withColumn("change",
+        when(col("__pe").isNull, "added")
+          .when(col("__ce").isNull, "removed")
+          .when(!(col("__p") <=> col("__c")), "changed"))
+      .filter(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change")): _*)
+  }
+
   /** Bucketed table write: co-locates join keys so equi-joins between
     * tables bucketed the same way need NO shuffle — the batch analog of
     * pre-partitioning a 100 TB fact table once to serve many joins.

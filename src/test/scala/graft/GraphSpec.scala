@@ -121,6 +121,20 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("incremental components equal a full recompute and keep labels stable") {
+    val week1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val labels1 = Graph.connectedComponents(week1)
+    // new batch: fresh cluster (20,21) + a bridge merging 3 with 10
+    val week2 = Seq((20L, 21L), (3L, 10L)).toDF("src", "dst")
+    val incr = Graph.incrementalComponents(labels1, week2)
+      .as[(Long, Long)].collect().toMap
+    val full = Graph.connectedComponents(week1.unionByName(week2))
+      .as[(Long, Long)].collect().toMap
+    assert(incr == full, "incremental must equal the full recompute")
+    assert(incr(11L) == 1L, "bridged clusters adopt the min id of the union")
+    assert(incr(21L) == 20L, "untouched new cluster labels by its own min")
+  }
+
   test("K8: delete-by-key anti-join rewrite") {
     val t = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("movie_id", "v")
     val victims = Seq(Tuple1(2L)).toDF("movie_id")

@@ -81,6 +81,17 @@ class SinksFormatsSpec extends SparkTestBase {
       "first write wins through the fallback path")
   }
 
+  test("snapshot diff classifies added/removed/changed and treats NULL as a value") {
+    val prev = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (4L, Option("d"))).toDF("id", "v")
+    val cur = Seq((2L, Option("B")), (3L, Option.empty[String]), (4L, Option("d")),
+      (5L, Option("e"))).toDF("id", "v")
+    val diff = Sinks.diffSnapshots(prev, cur, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "removed", 2L -> "changed", 5L -> "added"),
+      s"got $diff — NULL==NULL must be unchanged, equal rows never emitted")
+  }
+
   test("JSON lines round trip with explicit schema and corrupt-record capture") {
     val dir = Files.createTempDirectory("graft_json_").toString + "/ev"
     val src = Tables.events(spark, sf("sf0.001"))
