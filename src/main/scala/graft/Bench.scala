@@ -49,15 +49,15 @@ object Bench {
       }
       name -> times.min
     }
-    // millisecond-rounded values keep the ONE output line under ~1.8 KB
-    // for 68 queries, so a bounded log-tail capture still holds the whole
-    // line (full-precision values add nothing at this noise floor)
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // centisecond-rounded per-query values keep the ONE output line under
+    // ~1.8 KB for 78 queries, so a bounded log-tail capture still holds
+    // the whole line (finer precision adds nothing at this noise floor)
+    def fmt(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
