@@ -65,10 +65,14 @@ object Graph {
     def cleanupExcept(keep: String*): Unit = if (owned) {
       val ks = keep.toSet
       val conf = spark.sparkContext.hadoopConfiguration
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
       written.filterNot(ks).foreach { name =>
-        val p = new org.apache.hadoop.fs.Path(s"$base/$name")
-        p.getFileSystem(conf).delete(p, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/$name"), true)
       }
+      // nothing kept -> drop the (now empty) work dir itself
+      if (fs.exists(basePath) && fs.listStatus(basePath).isEmpty)
+        fs.delete(basePath, false)
     }
   }
 

@@ -110,15 +110,10 @@ class GraphSpec extends SparkTestBase {
     val parents = Seq((2L, 1L), (3L, 2L)).toDF("child", "parent")
     assert(Graph.ancestorClosure(parents).count() == 3)
 
+    // tiny graphs take the checkpointed round path: the results are
+    // self-contained, so the owned work dirs are removed entirely
     val created = roundDirs -- before
-    assert(created.size == 2, s"expected 2 owned work dirs, got $created")
-    created.foreach { d =>
-      val entries = java.nio.file.Files.list(d).iterator().asScala
-        .map(_.getFileName.toString).toSet
-      // tiny graphs take the checkpointed round path: the result is
-      // self-contained, so every round table (base included) is cleaned
-      assert(entries.isEmpty, s"leftover round tables in $d: $entries")
-    }
+    assert(created.isEmpty, s"leaked owned work dirs: $created")
   }
 
   test("incremental components equal a full recompute and keep labels stable") {

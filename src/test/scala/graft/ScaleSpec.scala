@@ -33,6 +33,28 @@ class ScaleSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("snapshot diff over bucketed snapshots plans without a shuffle exchange") {
+    Seq("bk_snap_prev", "bk_snap_cur").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val prev = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val cur = (3 to 5002).map(i => (i.toLong, if (i % 10 == 0) "CHANGED" else s"v$i"))
+      .toDF("k", "v")
+    Sinks.writeBucketed(prev, "bk_snap_prev", "k", 8)
+    Sinks.writeBucketed(cur, "bk_snap_cur", "k", 8)
+    val diff = Sinks.diffSnapshots(
+      spark.table("bk_snap_prev"), spark.table("bk_snap_cur").hint("merge"), Seq("k"))
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed snapshot diff must not shuffle; plan:\n$plan")
+    val byChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange("added") == 2 && byChange("removed") == 2)
+    assert(byChange("changed") == 500)
+  }
+
   test("partitioned write prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString + "/events"
     Sinks.writePartitioned(Tables.events(spark, sf("sf0.001")), dir, "event_type")
