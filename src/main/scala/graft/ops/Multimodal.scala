@@ -308,28 +308,58 @@ object Multimodal {
     * this is the op you size partitions around: output rows are
     * w*h*3-byte bound, so repartition by target byte budget first.
     */
+  /** Nearest-neighbor RGB resample — the shared kernel under image and
+    * per-frame video resize.
+    */
+  private def resizeRgb(w: Int, h: Int, rgb: Array[Byte],
+                        outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * 3)
+    var p = 0
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        val sp = (sy * w + sx) * 3
+        out(p) = rgb(sp); out(p + 1) = rgb(sp + 1); out(p + 2) = rgb(sp + 2)
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def resizeImages(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map {
         case r if r.kind == "image" =>
           val (w, h, rgb) = PpmCodec.decode(r.payload)
-          val out = new Array[Byte](outW * outH * 3)
-          var p = 0
-          var y = 0
-          while (y < outH) {
-            val sy = y * h / outH
-            var x = 0
-            while (x < outW) {
-              val sx = x * w / outW
-              val sp = (sy * w + sx) * 3
-              out(p) = rgb(sp); out(p + 1) = rgb(sp + 1); out(p + 2) = rgb(sp + 2)
-              p += 3
-              x += 1
-            }
-            y += 1
+          r.copy(payload = PpmCodec.encode(outW, outH, resizeRgb(w, h, rgb, outW, outH)),
+            width = outW, height = outH)
+        case other => other
+      }
+    }
+  }
+
+  /** Per-frame video resize: decode the GVID container, resample every
+    * REAL frame through the same nearest-neighbor kernel as
+    * [[resizeImages]], re-encode — the 1:1 video transform stage (same
+    * batch shape and byte-budget partitioning concerns as the image
+    * path, multiplied by frames-per-clip). Non-video kinds pass through.
+    */
+  def resizeVideoFrames(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map {
+        case r if r.kind == "video" =>
+          val frames = VideoContainer.decode(r.payload).map { f =>
+            val (w, h, rgb) = PpmCodec.decode(f)
+            PpmCodec.encode(outW, outH, resizeRgb(w, h, rgb, outW, outH))
           }
-          r.copy(payload = PpmCodec.encode(outW, outH, out), width = outW, height = outH)
+          r.copy(payload = VideoContainer.encode(frames), width = outW, height = outH)
         case other => other
       }
     }

@@ -130,4 +130,33 @@ class PropertySpec extends SparkTestBase {
       assert(w2 == w && h2 == h && back.sameElements(rgb))
     }
   }
+
+  test("sequence packing invariants hold for arbitrary corpora and budgets") {
+    import graft.ops.Splits
+    val corpusGen = for {
+      budget <- Gen.chooseNum(4, 64)
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        shard <- Gen.oneOf("s0", "s1", "s2")
+        words <- Gen.chooseNum(1, 20)
+      } yield (shard, words))
+    } yield (budget, rows.zipWithIndex.map { case ((sh, w), i) =>
+      (i.toLong, sh, List.fill(w)("tok").mkString(" ")) })
+    samples(corpusGen, 8).foreach { case (budget, rows) =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val out = Splits.packSequences(df, "doc_id", "text", "source", budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // every offset lies inside the budget, and within each shard the
+      // packing is exactly the running token total in id order
+      out.groupBy(_._2).foreach { case (_, shard) =>
+        var pre = 0L
+        shard.sortBy(_._1).foreach { case (_, _, nTok, bin, off) =>
+          assert(off >= 0 && off < budget)
+          assert(bin == pre / budget && off == pre % budget)
+          pre += nTok
+        }
+      }
+    }
+  }
 }
