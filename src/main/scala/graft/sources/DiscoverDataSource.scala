@@ -76,12 +76,14 @@ private class DiscoverTable(pages: Int, pageSize: Int, maxRowsPerSec: Int)
 
 private class DiscoverScanBuilder(pages: Int, pageSize: Int, maxRowsPerSec: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownTopN with SupportsPushDownLimit {
+    with SupportsPushDownTopN with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = DiscoverDataSource.schema
   private var topN: Option[(Array[SortOrder], Int)] = None
   private var pushedLimit: Int = -1
+  private var countPushed = false
 
   /** The API accepts exactly these predicate shapes as query params. */
   private def supported(f: Filter): Boolean = f match {
@@ -123,18 +125,41 @@ private class DiscoverScanBuilder(pages: Int, pageSize: Int, maxRowsPerSec: Int)
   override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; true }
   override def isPartiallyPushed: Boolean = true
 
+  /** COUNT(*) pushdown — the engine twin of the API's `total_results`
+    * field (the reference reads it at etl_task.py:44-76 instead of
+    * paging through everything): each page answers its matching-row
+    * count as ONE row and Spark sums the partials — no movie rows are
+    * ever materialized or moved. Spark only offers the aggregate when
+    * every filter was absorbed by the scan, so the counts are exact.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = topN.isEmpty && pushedLimit < 0 &&
+      aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countPushed = true
+      requiredSchema = StructType(Seq(StructField("count_star", LongType, nullable = false)))
+    }
+    ok
+  }
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = requiredSchema
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       (0 until pages).map(p => DiscoverPartition(p, pageSize): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new DiscoverReaderFactory(pushed, requiredSchema, topN, pushedLimit, maxRowsPerSec)
+      new DiscoverReaderFactory(pushed, requiredSchema, topN, pushedLimit,
+        maxRowsPerSec, countPushed)
     override def description(): String = {
       val tn = topN.map { case (o, n) =>
         s" pushedTopN=[${o.map(_.describe).mkString(", ")} LIMIT $n]" }.getOrElse("")
       val lim = if (pushedLimit >= 0 && topN.isEmpty) s" pushedLimit=$pushedLimit" else ""
-      s"DiscoverScan pushed=[${pushed.mkString(", ")}]$tn$lim"
+      val agg = if (countPushed) " pushedAggregate=[COUNT(*)]" else ""
+      s"DiscoverScan pushed=[${pushed.mkString(", ")}]$tn$lim$agg"
     }
   }
 }
@@ -143,13 +168,35 @@ private case class DiscoverPartition(page: Int, pageSize: Int) extends InputPart
 
 private class DiscoverReaderFactory(pushed: Array[Filter], required: StructType,
                                     topN: Option[(Array[SortOrder], Int)],
-                                    pushedLimit: Int, maxRowsPerSec: Int)
+                                    pushedLimit: Int, maxRowsPerSec: Int,
+                                    countPushed: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DiscoverPartition]
-    new DiscoverReader(p.page, p.pageSize, pushed, required, topN, pushedLimit,
+    if (countPushed) new DiscoverCountReader(p.page, p.pageSize, pushed)
+    else new DiscoverReader(p.page, p.pageSize, pushed, required, topN, pushedLimit,
       maxRowsPerSec)
   }
+}
+
+/** COUNT(*)-pushed reader: one row per page carrying the page's matching
+  * count (the per-page `total_results` answer) — no movie rows built.
+  */
+private class DiscoverCountReader(page: Int, pageSize: Int, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var count = 0L
+  override def next(): Boolean =
+    if (done) false
+    else {
+      val probe = new DiscoverReader(page, pageSize, pushed,
+        DiscoverDataSource.schema, None, -1, 0)
+      while (probe.next()) count += 1
+      done = true
+      true
+    }
+  override def get(): InternalRow = InternalRow(count)
+  override def close(): Unit = ()
 }
 
 private class DiscoverReader(page: Int, pageSize: Int, pushed: Array[Filter],

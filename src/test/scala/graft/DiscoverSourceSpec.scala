@@ -74,18 +74,49 @@ class DiscoverSourceSpec extends SparkTestBase {
   }
 
   test("maxRowsPerSec throttles partition emission (token bucket)") {
+    // collect(), not count(): a bare COUNT pushes to the source as a
+    // total_results answer, which legitimately skips per-row pacing
     def timed(opts: Map[String, String]): Long = {
       var r = spark.read.format("graft.sources.DiscoverDataSource")
         .option("pages", 1).option("pageSize", 30)
       opts.foreach { case (k, v) => r = r.option(k, v) }
       val t0 = System.nanoTime()
-      assert(r.load().count() == 30)
+      assert(r.load().collect().length == 30)
       (System.nanoTime() - t0) / 1000000
     }
     val unthrottled = timed(Map.empty)
     val throttled = timed(Map("maxRowsPerSec" -> "100")) // 30 rows -> >= ~290ms
     assert(throttled >= 250, s"expected pacing, got ${throttled}ms")
     assert(unthrottled < throttled)
+  }
+
+  test("COUNT(*) pushdown skips the per-row rate limit (one total_results call)") {
+    val t0 = System.nanoTime()
+    val n = spark.read.format("graft.sources.DiscoverDataSource")
+      .option("pages", 1).option("pageSize", 30)
+      .option("maxRowsPerSec", "100").load().count()
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(n == 30 && ms < 250,
+      s"pushed count must not pace per row, took ${ms}ms")
+  }
+
+  test("COUNT(*) is answered by the source (total_results), no rows materialized") {
+    val base = read(10).filter(col("vote_count") >= 1000 &&
+      col("original_language") === "en")
+    val counted = base.agg(count(lit(1)).as("n"))
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregate=[COUNT(*)]"),
+      s"count must push to the scan; plan:\n$plan")
+    // ground truth from the unpushed path: collect then count
+    val expected = read(10).collect()
+      .count(r => r.getAs[Long]("vote_count") >= 1000 &&
+        r.getAs[String]("original_language") == "en")
+    assert(counted.collect().head.getLong(0) == expected.toLong)
+    // a grouped aggregate must NOT push (per-language counts stay exact)
+    val grouped = read(10).groupBy("original_language").count()
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("pushedAggregate"), s"grouped agg must not push:\n$gPlan")
+    assert(grouped.collect().map(_.getLong(1)).sum == 200L)
   }
 
   test("S1 semantics end-to-end: windowed, vote-floored, sorted id scan") {
