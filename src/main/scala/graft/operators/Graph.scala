@@ -46,7 +46,9 @@ object Graph {
         val path = s"$base/$name"
         df.write.mode("overwrite").parquet(path)
         written += name
-        if (written.size == 1)
+        // adaptive mode applies only to the OWNED temp dir: an explicit
+        // workDir is a request for durable rounds, honored at any size
+        if (owned && written.size == 1)
           small = tableBytes(path) < RoundStore.smallGraphBytes
         spark.read.parquet(path)
       }
