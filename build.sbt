@@ -14,6 +14,11 @@ Test / fork := true
 // not perturbed by concurrent session-conf changes or catalog writes
 Test / parallelExecution := false
 run / fork := true
+// Echo the forked program's output directly to this process's stdout
+// instead of routing it through sbt's logger: the logger prefixes every
+// line with "[info] ", which breaks any consumer that parses the Bench
+// JSON line with a per-line json parse.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,15 +49,19 @@ object Bench {
       }
       name -> times.min
     }
-    // centisecond-rounded per-query values keep the ONE output line under
-    // ~1.8 KB for 78 queries, so a bounded log-tail capture still holds
-    // the whole line (finer precision adds nothing at this noise floor)
-    def fmt(v: Double, places: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    // centisecond-rounded per-query values (trailing zeros stripped) keep
+    // the ONE output line well under a bounded log-tail capture even at
+    // ~85 queries; finer precision adds nothing at this noise floor. The
+    // total is the sum of the SAME rounded values, so any consumer that
+    // recomputes sum(queries) gets exactly `value` back.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def cents(v: Double): JBD = new JBD(v).setScale(2, RoundingMode.HALF_UP)
+    def js(b: JBD): String = b.stripTrailingZeros.toPlainString
+    val rounded = results.map { case (k, v) => k -> cents(v) }
+    val qs = rounded.map { case (k, b) => "\"" + k + "\":" + js(b) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = rounded.values.foldLeft(JBD.ZERO)(_ add _)
+    println(s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1236,8 +1236,8 @@ object Queries {
     (s, d) => ops.Splits.packSequences(documents(s, d), "doc_id", "text",
       "source", budget = 512),
     Some("""SELECT doc_id, source, n_tokens,
-              CAST(floor(pre / 512.0) AS BIGINT) AS bin,
-              pre - CAST(floor(pre / 512.0) AS BIGINT) * 512 AS bin_offset
+              pre // 512 AS bin,
+              pre % 512 AS bin_offset
             FROM (
               SELECT doc_id, source,
                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)

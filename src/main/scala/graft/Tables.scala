@@ -13,16 +13,36 @@ object Tables {
   /** Resolved-relation cache: one file listing + footer/schema read per
     * (session, path), shared by every query that touches the table —
     * the catalog-metadata cache any engine keeps. DataFrames are
-    * immutable logical plans, so sharing one across queries is safe; the
-    * harness tables are static inputs (TESTDATA.md), so the cached file
-    * listing cannot go stale.
+    * immutable logical plans, so sharing one across queries is safe.
+    *
+    * Memoization is scoped to the HARNESS table names only (static
+    * inputs per TESTDATA.md, so their file listings cannot go stale);
+    * any other name resolves fresh on every call. [[invalidate]] clears
+    * entries explicitly — call it if a cached path is ever rewritten
+    * in-session or when a session is stopped, so stale listings and
+    * dead-session plans are never retained.
     */
+  private val harnessTables = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   private val resolved =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    resolved.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+    if (harnessTables(name))
+      resolved.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+        spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Drop cached relations: all entries for `spark` (e.g. on session
+    * stop), or only those under `dir` when given.
+    */
+  def invalidate(spark: SparkSession, dir: Option[String] = None): Unit =
+    resolved.keys.foreach { case k @ (s, path) =>
+      if (s == spark && dir.forall(d => path.startsWith(d + "/")))
+        resolved.remove(k)
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -288,6 +288,103 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** All strictly-ordered (a < b) pairs of a long-id array — the
+    * bucket-local candidate generator for LSH. `collect_list` + this +
+    * `explode` replaces a window count + self-join for within-bucket
+    * pair generation: ONE shuffle builds the buckets and candidate
+    * pairs stream out of a narrow generate, instead of a second
+    * sort+join pass over the bucket table. Output size is n*(n-1)/2,
+    * bounded by the caller's maxBucket guard.
+    */
+  case class SortedIdPairs(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "sorted_id_pairs"
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+      java.util.Arrays.sort(ids)
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out(k) = InternalRow(ids(i), ids(j)); k += 1; j += 1 }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("idpairs", this, classOf[SortedIdPairs].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Verified SimHash pairs of an array<struct<id:long, h:long>> bucket:
+    * all (a < b) id pairs whose simhashes are within `maxHamming` bits.
+    * The hamming verify runs inside the generation loop, so only
+    * surviving pairs are ever materialized — with `collect_list` +
+    * `explode` this folds bucket build, pair generation, AND the
+    * verify join of the window+self-join formulation into one shuffle.
+    */
+  case class SimhashIdPairs(child: Expression, maxHamming: Int)
+      extends UnaryExpression {
+    require(maxHamming >= 0)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+    override def prettyName: String = "simhash_id_pairs"
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 2)
+        ids(i) = row.getLong(0)
+        hs(i) = row.getLong(1)
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+          if (d <= maxHamming && ids(i) != ids(j)) {
+            val a = math.min(ids(i), ids(j))
+            val b = math.max(ids(i), ids(j))
+            out += InternalRow(a, b, d)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simpairs", this, classOf[SimhashIdPairs].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // -------- Column-facing wrappers --------
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
@@ -302,4 +399,8 @@ object Expressions {
     column(HyperplaneSignatures(expression(vec), dim, bits, bands, seed))
   def signature_agreement(a: Column, b: Column): Column =
     column(SignatureAgreement(expression(a), expression(b)))
+  def sorted_id_pairs(ids: Column): Column =
+    column(SortedIdPairs(expression(ids)))
+  def simhash_id_pairs(members: Column, maxHamming: Int): Column =
+    column(SimhashIdPairs(expression(members), maxHamming))
 }

@@ -41,8 +41,17 @@ object Graph {
     private var small = false
 
     def save(df: DataFrame, name: String): DataFrame =
-      if (small) df.localCheckpoint(true)
-      else {
+      if (small) {
+        val before = checkpointedBytes
+        val cp = df.localCheckpoint(true)
+        // re-check per save: closures/frontiers can outgrow a small base
+        // by orders of magnitude (e.g. deep ancestor closures), and every
+        // oversized checkpointed round pins executor memory. Once one
+        // round exceeds the budget, later rounds go back to files.
+        if (checkpointedBytes - before > RoundStore.smallGraphBytes)
+          small = false
+        cp
+      } else {
         val path = s"$base/$name"
         df.write.mode("overwrite").parquet(path)
         written += name
@@ -52,6 +61,15 @@ object Graph {
           small = tableBytes(path) < RoundStore.smallGraphBytes
         spark.read.parquet(path)
       }
+
+    /** Total bytes the block manager currently holds for cached RDDs —
+      * sampled before/after an eager localCheckpoint, the delta is the
+      * materialized size of that round (the store runs its rounds
+      * sequentially, so nothing else caches concurrently).
+      */
+    private def checkpointedBytes: Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
 
     private def tableBytes(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)

@@ -90,8 +90,10 @@ object Splits {
     docs.select(col(idCol), col(shardCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("pre") / budget.toDouble).cast("long"))
-      .withColumn("bin_offset", col("pre") - col("bin") * budget)
+      // integral div/mod on longs, not floor(double-divide): exact for
+      // any cumulative token count (doubles lose integers past 2^53)
+      .withColumn("bin", expr(s"pre div ${budget}L"))
+      .withColumn("bin_offset", col("pre") % budget)
       .drop("pre")
   }
 }
