@@ -1318,6 +1318,51 @@ object Queries {
             WHERE grams.source <> 'src0'
             GROUP BY doc_id"""))
 
+  // per-source token quota in deterministic content-hash order; all-
+  // integer running totals, so the admission cut is engine-exact
+  private val tokenBudgetCap = Q(
+    "token_budget_cap",
+    (s, d) => ops.Splits.tokenBudgetCap(documents(s, d), "doc_id", "text",
+      "source", budget = 800L),
+    Some("""SELECT doc_id, source, n_tokens, pre FROM (
+              SELECT doc_id, source, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pre
+              FROM (
+                SELECT doc_id, source, md5(text) AS h,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+                FROM documents))
+            WHERE pre < 2000"""))
+
+  // time-RANGE window frame (value-based, not row-count-based): 30-day
+  // trailing spend per customer. The frame is defined on the order-date
+  // VALUE, so ties are peers and the result is deterministic under any
+  // partitioning; the 2-decimal true sum rounds identically on both
+  // engines (order-dependent-aggregate rule)
+  private val rollingRangeWindow = Q(
+    "rolling_range_window",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        // NTZ -> LTZ is identity under the UTC session tz; NTZ has no
+        // direct long cast
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400L, 0L)
+      orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("trailing_spend"),
+        count(lit(1)).over(w).as("trailing_n"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+              round(sum(o_totalprice) OVER w, 2) AS trailing_spend,
+              count(*) OVER w AS trailing_n
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"""))
+
   // ---------------------------------------------------------------- multimodal (stubbed codec)
   private val multimodalFeatures = Q(
     "multimodal_features",
@@ -1350,6 +1395,7 @@ object Queries {
     textLangid, textQuality, textTokens, textFingerprint, textTfidf,
     textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
+    tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff,
     multimodalFeatures)
 }

@@ -73,6 +73,28 @@ object Splits {
       .drop("__h")
   }
 
+  /** Per-domain token budget cap: admit each domain's documents in
+    * deterministic content-hash order until the domain's cumulative
+    * token count reaches `budget` — the "N tokens per source" quota a
+    * mixture spec turns into at materialization time. The EXCLUSIVE
+    * running total decides admission (a doc is admitted while the
+    * budget is not yet exhausted, so every domain with any documents
+    * contributes at least one). One window shuffle carrying only
+    * (id, domain, hash, n_tokens) — never the payload; at 100 TB the
+    * per-domain windows run in parallel and skew is bounded by the
+    * largest domain.
+    */
+  def tokenBudgetCap(docs: DataFrame, idCol: String, textCol: String,
+                     domainCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(domainCol), md5(col(textCol)).as("__h"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("pre") < budget)
+      .drop("__h")
+  }
+
   /** Contiguous sequence packing: lay documents end-to-end in id order
     * within each shard and cut bins every `budget` tokens — each doc gets
     * (bin, bin_offset) so a reader can assemble fixed-size context
