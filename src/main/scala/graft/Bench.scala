@@ -62,6 +62,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = rounded.values.foldLeft(JBD.ZERO)(_ add _)
     println(s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Tables.invalidate(spark)
     spark.stop()
   }
 }

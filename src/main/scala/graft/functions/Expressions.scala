@@ -293,11 +293,24 @@ object Expressions {
     * `explode` replaces a window count + self-join for within-bucket
     * pair generation: ONE shuffle builds the buckets and candidate
     * pairs stream out of a narrow generate, instead of a second
-    * sort+join pass over the bucket table. Output size is n*(n-1)/2,
-    * bounded by the caller's maxBucket guard.
+    * sort+join pass over the bucket table. Equal-valued ids (a bucket
+    * holding the same id twice) emit no self-pair, matching the strict
+    * `a.id < b.id` self-join this replaces. Output size is at most
+    * n*(n-1)/2, bounded by the caller's maxBucket guard; n is validated
+    * against the sizing overflow since maxBucket is caller-settable.
     */
   case class SortedIdPairs(child: Expression)
       extends UnaryExpression {
+    // wrong-typed callers must fail at analysis time, not be silently
+    // misread through ArrayData.getLong
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_id_pairs requires array<bigint>, got ${other.sql}")
+      }
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false))), containsNull = false)
@@ -305,6 +318,9 @@ object Expressions {
 
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
+      // n*(n-1)/2 must stay an Int for the output array
+      require(n <= 65535,
+        s"sorted_id_pairs: bucket of $n ids would fan out ${n.toLong * (n - 1) / 2} pairs; cap the bucket size first")
       val ids = new Array[Long](n)
       var i = 0
       while (i < n) { ids(i) = arr.getLong(i); i += 1 }
@@ -314,10 +330,14 @@ object Expressions {
       i = 0
       while (i < n) {
         var j = i + 1
-        while (j < n) { out(k) = InternalRow(ids(i), ids(j)); k += 1; j += 1 }
+        while (j < n) {
+          if (ids(i) != ids(j)) { out(k) = InternalRow(ids(i), ids(j)); k += 1 }
+          j += 1
+        }
         i += 1
       }
-      new GenericArrayData(out)
+      new GenericArrayData(if (k == out.length) out
+        else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
     }
 
     override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])

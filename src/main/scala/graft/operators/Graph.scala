@@ -42,15 +42,26 @@ object Graph {
 
     def save(df: DataFrame, name: String): DataFrame =
       if (small) {
+        val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
         val before = checkpointedBytes
         val cp = df.localCheckpoint(true)
         // re-check per save: closures/frontiers can outgrow a small base
         // by orders of magnitude (e.g. deep ancestor closures), and every
         // oversized checkpointed round pins executor memory. Once one
-        // round exceeds the budget, later rounds go back to files.
-        if (checkpointedBytes - before > RoundStore.smallGraphBytes)
+        // round exceeds the budget, later rounds go back to files — and
+        // the oversized round ITSELF is demoted: re-landed on files and
+        // its checkpoint blocks released, so the memory budget is never
+        // left exceeded by the round that tripped the check.
+        if (checkpointedBytes - before > RoundStore.smallGraphBytes) {
           small = false
-        cp
+          val path = s"$base/$name"
+          cp.write.mode("overwrite").parquet(path)
+          written += name
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (id, _) => !beforeIds.contains(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          spark.read.parquet(path)
+        } else cp
       } else {
         val path = s"$base/$name"
         df.write.mode("overwrite").parquet(path)

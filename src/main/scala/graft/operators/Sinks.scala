@@ -64,13 +64,39 @@ object Sinks {
         }
         batch.join(pruned.select(keys.map(col): _*), keys, "left_anti")
       } else batch
-    // localCheckpoint: materialize the anti-join BEFORE the write opens the
-    // target for append — otherwise the scan of `current` races the writer
-    val toWrite = fresh.localCheckpoint(true)
+    // Stage the anti-joined batch to durable files FIRST, then move the
+    // staged part-files into the table: the scan of `current` completes
+    // before the target is touched (no read/write race), nothing pins in
+    // executor memory (an executor loss mid-staging is an ordinary task
+    // retry, where a lost localCheckpoint block failed the batch), and
+    // the "append" itself is a metadata-only rename per file — part-file
+    // names embed the job UUID, so they cannot collide with existing
+    // files. Delta/Iceberg MERGE is the transactional upgrade path.
+    import org.apache.hadoop.fs.Path
+    val stagePath = path + "__stage-" + java.util.UUID.randomUUID().toString
     partitionCol match {
-      case Some(pc) => toWrite.write.mode(SaveMode.Append).partitionBy(pc).parquet(path)
-      case None     => toWrite.write.mode(SaveMode.Append).parquet(path)
+      case Some(pc) =>
+        fresh.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(stagePath)
+      case None => fresh.write.mode(SaveMode.Overwrite).parquet(stagePath)
     }
+    val src = new Path(stagePath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    fs.mkdirs(dst)
+    def move(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) move(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.startsWith("part-")) {
+          val target = new Path(dst, if (rel.isEmpty) name else s"$rel/$name")
+          fs.mkdirs(target.getParent)
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"appendDedup: staging rename ${st.getPath} -> $target failed")
+        }
+      }
+    move(src, "")
+    fs.delete(src, true)
   }
 
   /** K1/K2 JDBC parity: dup-tolerant insert into a relational table with a

@@ -23,7 +23,7 @@ class EntrySmokeSpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs))
     assert((qs -- os) ==
-      Set("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+      Set("dedup_minhash_lsh", "dedup_simhash",
         "ann_lsh_topk", "ann_ivf_topk",
         "multimodal_features", "sketch_agg"),
       "rows-only set is exactly the hash-seeded LSH/banding/sketch queries " +
