@@ -1,13 +1,23 @@
 #!/usr/bin/env python3
 """Measure a numeric DuckDB baseline for the oracled query set.
 
-Usage: python3 tools/baseline.py <sfDir> <verifyOutDir> [repeats]
+Usage: python3 tools/baseline.py <sfDir> <verifyOutDir> [repeats] [benchJson]
 
 Times DuckDB executing every oracle SQL statement from
 <verifyOutDir>/oracle_sql.json against the sf parquet tables (same views
 compare.py uses), takes the best of `repeats` runs per query (default 2),
 and writes the totals into BASELINE.json as `measured_*` keys so the
 "within 2x of baseline" gate has a real number to ratio against.
+
+When `benchJson` is given (a Spark bench line from graft.Bench, or a
+driver BENCH_r*.json wrapper whose `tail` holds that line), the script
+also records the SAME-SURFACE comparison: the Spark subtotal over
+exactly the queries DuckDB ran (those present in oracle_sql.json) is
+ratioed against the DuckDB total — the apples-to-apples number the 2x
+gate reads, computed mechanically instead of argued in prose. Queries
+only Spark runs (hash-seeded LSH banding, multimodal decode) are
+excluded from the subtotal precisely because DuckDB cannot run them;
+their Spark seconds still appear in measured_spark_full_total_sec.
 
 DuckDB here is the single-node analytical twin of the reference's data
 semantics — the reference itself (rate-limited HTTP ETL) publishes no
@@ -25,7 +35,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str, repeats: int = 2) -> int:
+def parse_bench(path):
+    """Extract the graft.Bench JSON line from a raw line, a log, or a
+    driver BENCH_r*.json wrapper (whose `tail` holds the line)."""
+    txt = open(path).read()
+    try:
+        doc = json.loads(txt)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc
+        txt = doc.get("tail", txt) if isinstance(doc, dict) else txt
+    except ValueError:
+        pass
+    i = txt.rfind('{"metric"')
+    if i < 0:
+        return None
+    try:
+        return json.loads(txt[i:].splitlines()[0])
+    except ValueError:
+        return None  # e.g. a truncated driver tail
+
+
+def main(sf_dir: str, out_dir: str, repeats: int = 2,
+         bench_json: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -49,8 +80,35 @@ def main(sf_dir: str, out_dir: str, repeats: int = 2) -> int:
     doc["measured_engine"] = "duckdb"
     doc["measured_sf_dir"] = sf_dir
     doc["measured_total_sec"] = total
+    doc["measured_duckdb_total_sec"] = total
     doc["measured_query_count"] = len(per_query)
     doc["measured_per_query_sec"] = per_query
+    if bench_json:
+        bench = parse_bench(bench_json)
+        if bench is None:
+            print(f"WARNING: no parseable bench line in {bench_json}; "
+                  "same-surface ratio not updated")
+        else:
+            qtimes = bench["queries"]
+            oracled = {k: v for k, v in qtimes.items() if k in oracles}
+            missing = sorted(set(oracles) - set(qtimes))
+            if missing:
+                print(f"WARNING: oracled queries absent from bench: {missing}")
+            spark_sub = round(sum(oracled.values()), 3)
+            doc["measured_spark_full_total_sec"] = round(sum(qtimes.values()), 3)
+            doc["measured_spark_full_query_count"] = len(qtimes)
+            doc["measured_spark_oracled_subtotal_sec"] = spark_sub
+            doc["measured_spark_oracled_query_count"] = len(oracled)
+            doc["same_surface_ratio"] = round(spark_sub / total, 3)
+            doc["same_surface_rule"] = (
+                "sum of Spark bench seconds over the queries present in "
+                "oracle_sql.json, divided by measured_duckdb_total_sec "
+                "(DuckDB best-of-N on those same statements, same parquet, "
+                "same sf) — the 2x gate reads this ratio")
+            print(f"same-surface: spark {spark_sub}s / duckdb {total}s = "
+                  f"{doc['same_surface_ratio']}x over {len(oracled)} queries "
+                  f"(spark full surface: {doc['measured_spark_full_total_sec']}s "
+                  f"over {len(qtimes)})")
     json.dump(doc, open(baseline_path, "w"), indent=2)
     print(f"wrote measured_total_sec={total} to {baseline_path}")
     return 0
@@ -58,4 +116,5 @@ def main(sf_dir: str, out_dir: str, repeats: int = 2) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  int(sys.argv[3]) if len(sys.argv) > 3 else 2))
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+                  sys.argv[4] if len(sys.argv) > 4 else None))
