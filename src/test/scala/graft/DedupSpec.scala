@@ -34,6 +34,41 @@ class DedupSpec extends SparkTestBase {
       "1,2 near-dup; 4 is 1 modulo case so joins the clique")
   }
 
+  test("ngram jaccard stop-shingle prune: no-op cap keeps results; tight cap drops frequent-only pairs") {
+    val unpruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every shingle here has df <= 3, so a cap at 3 must change nothing
+    val noop = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(noop == unpruned)
+    // boilerplate corpus: the "standard header line" trigram appears in
+    // ALL FOUR docs (df=4) and alone makes every pair a candidate at a
+    // low threshold; capping df at 2 kills that fan-out while the true
+    // dup pair (1,2) survives on its rare shingles.
+    val boiler = Seq(
+      (1L, "standard header line alpha beta"),
+      (2L, "standard header line alpha beta"),
+      (3L, "standard header line gamma delta"),
+      (4L, "standard header line epsilon zeta")).toDF("doc_id", "text")
+    val noisy = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.15)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(noisy.size == 6, "unpruned: the df=4 shingle links every pair")
+    val tight = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.15, maxDf = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 2L)),
+      "df<=2 prune: boilerplate-only pairs vanish, the true dup pair stays")
+  }
+
+  test("clustersFromPairs: pluggable edge set, singletons preserved") {
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.clustersFromPairs(pairs, docs, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, true, 3L), (2L, 1L, false, 3L), (3L, 3L, true, 1L),
+      (4L, 1L, false, 3L), (5L, 5L, true, 1L)))
+  }
+
   test("minhash LSH recovers the high-jaccard pairs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, k = 32, bands = 16, threshold = 0.4)

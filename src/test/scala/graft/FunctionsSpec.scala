@@ -60,4 +60,27 @@ class FunctionsSpec extends SparkTestBase {
   test("normalizeText canonicalization") {
     assert(eval1(normalizeText($"s"), "  Héllo,  WORLD!! 42 ") == "h llo world 42")
   }
+
+  test("sorted_id_pairs: ordered pairs, no self-pairs on duplicate ids") {
+    import graft.functions.Expressions.sorted_id_pairs
+    val out = Seq(Seq(3L, 1L, 2L, 1L)).toDF("ids")
+      .select(explode(sorted_id_pairs($"ids")).as("p"))
+      .select($"p.a", $"p.b").as[(Long, Long)].collect().toSeq
+    // sorted [1,1,2,3]; the duplicate 1 emits no (1,1) self-pair but
+    // still pairs with 2 and 3 twice (downstream distinct collapses)
+    assert(out == Seq((1L, 2L), (1L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(!out.exists(p => p._1 == p._2))
+  }
+
+  test("sorted_id_pairs: non-long input fails analysis, oversized bucket fails loudly") {
+    import graft.functions.Expressions.sorted_id_pairs
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq("a", "b")).toDF("ids").select(sorted_id_pairs($"ids")).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("sorted_id_pairs"))
+    val big = intercept[Exception] {
+      spark.range(1).select(sorted_id_pairs(expr("sequence(0L, 70000L)"))).collect()
+    }
+    assert(big.getMessage.contains("cap the bucket size"))
+  }
 }
