@@ -547,9 +547,14 @@ object Queries {
       val o = orders(s, d)
       val bounds = o.agg(percentile(col("o_totalprice"),
         typedLit((1 to 9).map(_ / 10.0))).as("bs"))
+      // bucket = #boundaries strictly below the value, written as 9
+      // codegen'd comparisons: Spark evaluates HOF lambdas (filter)
+      // interpreted, which put a per-row boxing loop in the hot path
+      val below = (1 to 9)
+        .map(i => s"CAST(element_at(bs, $i) < o_totalprice AS INT)")
+        .mkString(" + ")
       o.crossJoin(broadcast(bounds))
-        .withColumn("bucket",
-          expr("1 + CAST(size(filter(bs, b -> b < o_totalprice)) AS BIGINT)"))
+        .withColumn("bucket", expr(s"CAST(1 + ($below) AS BIGINT)"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"),

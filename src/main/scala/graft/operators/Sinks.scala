@@ -177,6 +177,26 @@ object Sinks {
     spark.read.schema(schema).option("header", "true").csv(path)
       .dropDuplicates(keys)
 
+  /** K6 `load_relationship_from_csv_to_kg` (kg_task.py:104-128): bulk
+    * edge load from a headers CSV. The reference's Cypher is broken as
+    * written — `MERGE (r:RelLabel {...})` creates a NODE carrying the
+    * relationship label, and both MATCH clauses bind `row.id` — and the
+    * task is called from no flow; this is the INTENDED semantics: load
+    * the edge rows, keep only edges whose endpoints exist (the MATCH
+    * clauses), and first-write-wins append into the relationship store
+    * keyed on (rel_type, relationship_id), so replaying the same CSV
+    * converges like every other sink here.
+    */
+  def bulkEdgesFromCsv(spark: SparkSession, path: String, schema: StructType,
+                       heads: DataFrame, tails: DataFrame,
+                       headKey: String, tailKey: String, relType: String,
+                       sinkPath: String, broadcastTails: Boolean = false): Unit = {
+    val candidates = spark.read.schema(schema).option("header", "true").csv(path)
+    val edges = Graph.buildEdges(candidates, heads, tails, headKey, tailKey,
+      relType, broadcastTails)
+    appendEdges(edges, sinkPath)
+  }
+
   /** K7: column-projected CSV export. */
   def writeCsv(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.select(cols.map(col): _*).write.mode(SaveMode.Overwrite)

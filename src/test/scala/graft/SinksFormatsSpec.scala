@@ -24,6 +24,31 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(got(878L) == "Science Fiction")
   }
 
+  test("K6: bulk edge CSV load drops dangling endpoints and replays idempotently") {
+    val base = Files.createTempDirectory("graft_k6_").toString
+    val csvDir = base + "/edges_csv"
+    // movie 30 and person 99 don't exist; (10,1) appears twice
+    Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (30L, 1L), (10L, 99L))
+      .toDF("movie_id", "person_id")
+      .write.option("header", "true").csv(csvDir)
+    val heads = Seq(10L, 20L).toDF("movie_id")
+    val tails = Seq(1L, 2L).toDF("person_id")
+    val schema = StructType(Seq(
+      StructField("movie_id", LongType), StructField("person_id", LongType)))
+    val sink = base + "/relationships"
+    Sinks.bulkEdgesFromCsv(spark, csvDir, schema, heads, tails,
+      "movie_id", "person_id", "ACTED_IN", sink)
+    Sinks.bulkEdgesFromCsv(spark, csvDir, schema, heads, tails,
+      "movie_id", "person_id", "ACTED_IN", sink) // replay converges
+    val out = spark.read.parquet(sink)
+    val ids = out.select("relationship_id").as[String].collect().toSet
+    assert(ids == Set("10-1", "10-2", "20-1"),
+      "dangling endpoints MATCH nothing; duplicates collapse once")
+    assert(out.count() == 3)
+    assert(out.select("rel_type").distinct().as[String].collect().toSeq ==
+      Seq("ACTED_IN"))
+  }
+
   test("K1/K2 JDBC sink: dup-tolerant insert converges under replay (Derby)") {
     val dbDir = Files.createTempDirectory("graft_derby_").resolve("db")
     val url = s"jdbc:derby:$dbDir;create=true"
