@@ -1216,6 +1216,39 @@ object Queries {
           FROM documents"""
     })
 
+  // Gopher-style repetition filters: duplicate-bigram fraction and
+  // top-bigram fraction, from one tight-loop expression per row; the
+  // ratios are single divisions of identical integers (engine-exact, no
+  // rounding — rule 4)
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, d) => TextAnalysis.repetitionStats(documents(s, d), "doc_id", "text",
+      n = 2),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                unnest([array_to_string(t[i:i+1], ' ')
+                        FOR i IN range(1, len(t))]) AS g
+              FROM toks WHERE len(t) >= 2),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_freq
+                   FROM gc GROUP BY 1)
+            SELECT d.doc_id,
+              coalesce(n_grams, 0) AS n_grams,
+              coalesce(n_distinct, 0) AS n_distinct,
+              coalesce(top_freq, 0) AS top_freq,
+              CASE WHEN n_grams > 0
+                THEN (n_grams - n_distinct) / CAST(n_grams AS DOUBLE)
+                END AS dup_ratio,
+              CASE WHEN n_grams > 0
+                THEN top_freq / CAST(n_grams AS DOUBLE) END AS top_frac
+            FROM documents d LEFT JOIN st USING (doc_id)"""))
+
   private val textTokens = Q(
     "text_tokens",
     (s, d) => TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text"),
@@ -1488,8 +1521,8 @@ object Queries {
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
-    textLangid, textQuality, textTokens, textFingerprint, textTfidf,
-    textRedact, corpusSample, corpusQualityFilter,
+    textLangid, textQuality, textRepetition, textTokens, textFingerprint,
+    textTfidf, textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff,

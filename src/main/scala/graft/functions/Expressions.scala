@@ -350,6 +350,66 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-document n-gram repetition statistics in one tight loop:
+    * (total, n_distinct, top_freq) over OVERLAPPING word n-grams — NOT
+    * deduplicated; [[WordShingles]] dedupes by design, and repetition is
+    * exactly the multiplicity shingling throws away. The Gopher-style
+    * duplicate-n-gram and top-n-gram quality filters derive from these
+    * three integers with engine-exact arithmetic (integer subtraction +
+    * one IEEE division), so the whole signal stays oracle-matchable.
+    * Documents shorter than n words report (0, 0, 0).
+    */
+  case class NgramStats(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "n-gram order must be at least 1")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ngram_stats requires array<string>, got ${other.sql}")
+      }
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_freq", LongType, nullable = false)))
+    override def prettyName: String = "ngram_stats"
+
+    private val space = UTF8String.fromString(" ")
+
+    def compute(arr: ArrayData): InternalRow = {
+      val len = arr.numElements()
+      val total = len - n + 1
+      if (total <= 0) return InternalRow(0L, 0L, 0L)
+      val toks = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val counts = new java.util.HashMap[UTF8String, Integer](total * 2)
+      i = 0
+      while (i < total) {
+        var g = toks(i)
+        var j = 1
+        while (j < n) { g = UTF8String.concat(g, space, toks(i + j)); j += 1 }
+        counts.merge(g, 1, (a, b) => a + b)
+        i += 1
+      }
+      var top = 0
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+      InternalRow(total.toLong, counts.size.toLong, top.toLong)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngstats", this, classOf[NgramStats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Verified SimHash pairs of an array<struct<id:long, h:long>> bucket:
     * all (a < b) id pairs whose simhashes are within `maxHamming` bits.
     * The hamming verify runs inside the generation loop, so only
@@ -421,6 +481,8 @@ object Expressions {
     column(SignatureAgreement(expression(a), expression(b)))
   def sorted_id_pairs(ids: Column): Column =
     column(SortedIdPairs(expression(ids)))
+  def ngram_stats(tokens: Column, n: Int): Column =
+    column(NgramStats(expression(tokens), n))
   def simhash_id_pairs(members: Column, maxHamming: Int): Column =
     column(SimhashIdPairs(expression(members), maxHamming))
 }

@@ -67,6 +67,29 @@ object TextAnalysis {
       qualityScore(nToks, alpha, punct, nChars).as("quality_score"))
   }
 
+  /** Gopher-style repetition statistics over overlapping word n-grams
+    * (Rae et al. 2021's duplicate-n-gram / top-n-gram quality filters):
+    * per document, the total n-gram count, distinct count, and the top
+    * n-gram's frequency — computed in one tight-loop expression per row
+    * (zero shuffle), with the two derived ratios left as single IEEE
+    * divisions of identical integers (engine-exact). Documents shorter
+    * than n words report zero counts and null ratios.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val s = graft.functions.Expressions.ngram_stats(tokens(col(textCol)), n)
+    docs.select(col(idCol), s.as("__s"))
+      .select(col(idCol),
+        col("__s.total").as("n_grams"),
+        col("__s.n_distinct").as("n_distinct"),
+        col("__s.top_freq").as("top_freq"),
+        when(col("__s.total") > 0,
+          (col("__s.total") - col("__s.n_distinct")).cast("double") /
+            col("__s.total")).as("dup_ratio"),
+        when(col("__s.total") > 0,
+          col("__s.top_freq").cast("double") / col("__s.total")).as("top_frac"))
+  }
+
   /** Blended 0-100 quality score: length saturation (0.3), alphabetic
     * density (0.4), punctuation-noise penalty (0.3). Pure row-level
     * arithmetic in a fixed op order so the oracle reproduces it bit-exact.

@@ -79,6 +79,22 @@ class CurationSpec extends SparkTestBase {
       s"benchmark grams must broadcast:\n$plan")
   }
 
+  test("repetition stats: duplicate and top bigram fractions, short-doc zeros") {
+    import graft.ops.TextAnalysis
+    val rep = Seq(
+      (1L, "spam spam spam spam"),      // bigrams: 3x "spam spam"
+      (2L, "one two three four"),       // 3 distinct bigrams
+      (3L, "solo")                      // < n words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(rep, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 1 && out(0).getLong(3) == 3)
+    assert(out(0).getDouble(4) == 2.0 / 3 && out(0).getDouble(5) == 1.0)
+    assert(out(1).getLong(1) == 3 && out(1).getLong(2) == 3 && out(1).getLong(3) == 1)
+    assert(out(1).getDouble(4) == 0.0 && out(1).getDouble(5) == 1.0 / 3)
+    assert(out(2).getLong(1) == 0 && out(2).isNullAt(4) && out(2).isNullAt(5))
+  }
+
   test("sampling keeps exactly the selected md5 nibbles") {
     val (out, report) = Curation.curate(docs, "doc_id", "text",
       jaccardThreshold = 0.3, sampleNibbles = "01234567")
