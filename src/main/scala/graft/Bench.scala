@@ -61,7 +61,18 @@ object Bench {
     val qs = rounded.map { case (k, b) => "\"" + k + "\":" + js(b) }
       .mkString("{", ",", "}")
     val total = rounded.values.foldLeft(JBD.ZERO)(_ add _)
-    println(s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" carries just the directory basename: the full path spent ~20
+    // chars of the bounded log-tail budget saying nothing new
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    println(line)
+    // durable twin of the stdout line: tail captures are bounded (2000
+    // chars), and the line crosses that around ~88 queries — the file
+    // keeps the full per-query vector readable from the repo regardless
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => () }
     Tables.invalidate(spark)
     spark.stop()
   }
