@@ -69,10 +69,15 @@ object Bench {
     println(line)
     // durable twin of the stdout line: tail captures are bounded (2000
     // chars), and the line crosses that around ~88 queries — the file
-    // keeps the full per-query vector readable from the repo regardless
+    // keeps the full per-query vector readable from the repo. Lands in
+    // the CWD (the repo root under sbt); a failed write warns instead of
+    // silently leaving a stale committed file behind.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN: BENCH_LAST.json not written: $e")
+    }
     Tables.invalidate(spark)
     spark.stop()
   }

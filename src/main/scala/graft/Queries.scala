@@ -485,10 +485,12 @@ object Queries {
     None)
 
   // the EXACT half of the sketch surface: the Welford/Chan typed
-  // Aggregator is algebraically count/avg/var_samp, so it oracles
-  // directly (6-decimal rounding on values of magnitude ~1e4/1e8 — the
-  // same stats_profile precedent; the merge-form accumulation error is
-  // orders of magnitude inside the rounding step). Misra-Gries stays
+  // Aggregator is algebraically count/sum-over-count/var_samp, so it
+  // oracles directly. Rounding margins sized to the accumulation error
+  // (rule 2): mean ~3.8e4 with merge-order error ~1e-9 rounds at 6
+  // decimals (500x margin); variance ~5.3e8 with error up to ~1e-4
+  // rounds at 2 decimals (50x margin) — 4 decimals would leave none.
+  // The oracle writes sum/count, not avg() (rule 3). Misra-Gries stays
   // tolerance-tested only: its summary is order-dependent by design.
   private val momentStats = Q(
     "moment_stats",
@@ -499,10 +501,10 @@ object Queries {
           .apply(col("l_extendedprice")).as("mv"))
       .select(col("l_returnflag"), col("n"),
         round(col("mv._1"), 6).as("mean_price"),
-        round(col("mv._2"), 4).as("var_price")),
+        round(col("mv._2"), 2).as("var_price")),
     Some("""SELECT l_returnflag, count(*) AS n,
-              round(avg(l_extendedprice), 6) AS mean_price,
-              round(var_samp(l_extendedprice), 4) AS var_price
+              round(sum(l_extendedprice) / count(*), 6) AS mean_price,
+              round(var_samp(l_extendedprice), 2) AS var_price
             FROM lineitem GROUP BY 1"""))
 
   // statistical aggregates: correlation / covariance / stddev (continuous

@@ -91,12 +91,14 @@ object Fetch {
   /** Fetch every row's `urlCol` and append (body, status, attempts,
     * error) columns. Each URL is tried up to `maxAttempts` times with
     * `retryDelayMs` between attempts (reference: retries=3,
-    * retry_delay_seconds=3); like the reference's task-level retry, ANY
-    * failure — transport exception or non-2xx status — is retried.
-    * After the last attempt: a non-2xx page keeps its body and status
-    * with a null error (the origin answered; downstream decides), while
-    * a transport failure yields null body/status and the exception
-    * message in `error`.
+    * retry_delay_seconds=3); like the reference's task-level retry, any
+    * failure is retried — a transport exception, or a status >= 400
+    * (`raise_for_status` semantics: the reference, too, accepts 1xx-3xx).
+    * After the last attempt: a >=400 page keeps its body and status with
+    * a null error (the origin answered; downstream decides), while a
+    * transport failure yields null body/status and the exception message
+    * in `error`. A null URL short-circuits to the error column without
+    * burning the retry schedule.
     */
   def fetch(df: DataFrame, urlCol: String, transport: Transport,
             requestsPerSecond: Double = 0.5,
@@ -110,28 +112,32 @@ object Fetch {
     df.mapPartitions { rows =>
       val throttle = new Throttle(requestsPerSecond)
       rows.map { row =>
-        val url = row.getString(urlIdx)
-        var attempt = 0
-        var resp: Response = null
-        var err: Throwable = null
-        var done = false
-        while (!done && attempt < maxAttempts) {
-          if (attempt > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
-          attempt += 1
-          throttle.acquire()
-          try {
-            resp = transport.get(url)
-            err = null
-            done = resp.status < 400
-          } catch {
-            case scala.util.control.NonFatal(e) => err = e; resp = null
+        val url = if (row.isNullAt(urlIdx)) null else row.getString(urlIdx)
+        if (url == null)
+          Row.fromSeq(row.toSeq ++ Seq(null, null, 0, "null url"))
+        else {
+          var attempt = 0
+          var resp: Response = null
+          var err: Throwable = null
+          var done = false
+          while (!done && attempt < maxAttempts) {
+            if (attempt > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+            attempt += 1
+            throttle.acquire()
+            try {
+              resp = transport.get(url)
+              err = null
+              done = resp.status < 400
+            } catch {
+              case scala.util.control.NonFatal(e) => err = e; resp = null
+            }
           }
+          val extra =
+            if (resp != null) Seq(resp.body, resp.status, attempt, null)
+            else Seq(null, null, attempt,
+              s"${err.getClass.getSimpleName}: ${String.valueOf(err.getMessage)}")
+          Row.fromSeq(row.toSeq ++ extra)
         }
-        val extra =
-          if (resp != null) Seq(resp.body, resp.status, attempt, null)
-          else Seq(null, null, attempt,
-            s"${err.getClass.getSimpleName}: ${err.getMessage}")
-        Row.fromSeq(row.toSeq ++ extra)
       }
     }(Encoders.row(schema))
   }

@@ -95,8 +95,15 @@ object Sinks {
               s"appendDedup: staging rename ${st.getPath} -> $target failed")
         }
       }
-    move(src, "")
-    fs.delete(src, true)
+    // the stage dir is deleted on failure too, so an aborted batch never
+    // leaks a __stage dir next to the table. A move interrupted midway
+    // leaves the table with PART of the batch, which is safe here by
+    // construction: re-running the batch anti-joins against the table
+    // again, skips the rows that landed, and re-stages only the missing
+    // ones (the same convergence the dedup-append contract guarantees
+    // across overlapping runs).
+    try move(src, "")
+    finally fs.delete(src, true)
   }
 
   /** K1/K2 JDBC parity: dup-tolerant insert into a relational table with a

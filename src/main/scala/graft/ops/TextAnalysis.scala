@@ -77,7 +77,11 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
-    val s = graft.functions.Expressions.ngram_stats(tokens(col(textCol)), n)
+    // null text counts as an empty document (zero grams, null ratios) —
+    // the same answer the oracle's LEFT JOIN + coalesce path gives —
+    // rather than null-propagating through the expression
+    val s = graft.functions.Expressions.ngram_stats(
+      tokens(coalesce(col(textCol), lit(""))), n)
     docs.select(col(idCol), s.as("__s"))
       .select(col(idCol),
         col("__s.total").as("n_grams"),

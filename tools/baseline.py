@@ -83,11 +83,23 @@ def main(sf_dir: str, out_dir: str, repeats: int = 2,
     doc["measured_duckdb_total_sec"] = total
     doc["measured_query_count"] = len(per_query)
     doc["measured_per_query_sec"] = per_query
+    # a run without a (parseable) bench must not leave last round's ratio
+    # sitting beside a fresh DuckDB total it was never computed against
+    spark_keys = ["measured_spark_full_total_sec", "measured_spark_full_query_count",
+                  "measured_spark_oracled_subtotal_sec", "measured_spark_oracled_query_count",
+                  "same_surface_ratio", "same_surface_rule"]
+    if not bench_json:
+        dropped = [k for k in spark_keys if doc.pop(k, None) is not None]
+        if dropped:
+            print("NOTE: no benchJson given; dropped stale same-surface keys "
+                  f"({', '.join(dropped)}) — rerun with the bench JSON to recompute")
     if bench_json:
         bench = parse_bench(bench_json)
         if bench is None:
+            for k in spark_keys:
+                doc.pop(k, None)
             print(f"WARNING: no parseable bench line in {bench_json}; "
-                  "same-surface ratio not updated")
+                  "same-surface keys dropped — fix the bench file and rerun")
         else:
             qtimes = bench["queries"]
             oracled = {k: v for k, v in qtimes.items() if k in oracles}
