@@ -105,6 +105,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("ngram_stats matches a naive recount on arbitrary token streams") {
+    samples(textGen, 40).foreach { text =>
+      for (n <- 1 to 3) {
+        val toks = text.split("\\s+").toSeq
+        val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        val expected =
+          if (grams.isEmpty) (0L, 0L, 0L)
+          else (grams.size.toLong, grams.distinct.size.toLong,
+            grams.groupBy(identity).values.map(_.size).max.toLong)
+        val got = Seq(text).toDF("text")
+          .select(graft.functions.Expressions.ngram_stats(
+            split(lower(trim(col("text"))), "\\s+"), n).as("s"))
+          .select("s.total", "s.n_distinct", "s.top_freq")
+          .as[(Long, Long, Long)].collect().head
+        assert(got == expected, s"n=$n text='$text'")
+      }
+    }
+  }
+
   test("WAV codec round-trips arbitrary PCM16 sample arrays") {
     import graft.ops.Multimodal.WavCodec
     val pcmGen = for {
