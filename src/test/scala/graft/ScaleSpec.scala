@@ -139,7 +139,9 @@ class ScaleSpec extends SparkTestBase {
       graft.functions.Expressions.simhash64(
         array(concat(lit("tok"), col("id") % 7))).as("sh"),
       graft.functions.Expressions.hyperplane_signatures(
-        array((col("id") % 5).cast("float"), lit(1f)), 2, 4, 2).as("hp"))
+        array((col("id") % 5).cast("float"), lit(1f)), 2, 4, 2).as("hp"),
+      graft.functions.Expressions.ngram_stats(
+        array(concat(lit("t"), col("id") % 7), lit("w"), lit("w")), 2).as("ng"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
       s"signing projection must stay in a codegen span; plan:\n$plan")
