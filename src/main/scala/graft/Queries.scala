@@ -1381,6 +1381,22 @@ object Queries {
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
+  // bloom-pruned exact semi-join: the sketch decimates the probe side
+  // BEFORE any join, so the exact join's input (and at cluster scale its
+  // shuffle) is proportional to matches. Result is identical to the
+  // plain IN-subquery — the exact join removes bloom false positives —
+  // which is precisely why it oracles.
+  private val bloomSemiJoinQ = Q(
+    "bloom_semi_join",
+    (s, d) => operators.BloomJoin.semiJoin(
+        orders(s, d), "o_custkey",
+        customer(s, d).filter(col("c_acctbal") > 7000), "c_custkey",
+        expectedKeys = 4096, fpp = 0.01)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)"""))
+
   private val snapshotDiff = Q(
     "snapshot_diff",
     (s, d) => {
@@ -1527,6 +1543,6 @@ object Queries {
     textTfidf, textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
-    decontaminate, embeddingDimStats, snapshotDiff,
+    decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     multimodalFeatures)
 }

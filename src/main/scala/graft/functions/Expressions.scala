@@ -465,6 +465,106 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** A fixed-size blocked Bloom filter over 64-bit keys — the sketch a
+    * bloom-pruned semi-join broadcasts in place of the exact key set.
+    * Double hashing (Kirsch–Mitzenmacher): the i-th probe bit is
+    * `h1 + i*h2 mod numBits`, with both hashes derived from splitmix64,
+    * so membership is a pure function of (key, sizing) — deterministic
+    * across engines, partitionings, and retries. False positives are by
+    * design (an exact join downstream removes them); false negatives
+    * are impossible, which is the property the pruning join relies on.
+    */
+  final class LongBloom(val numHashes: Int, val bits: Array[Long])
+      extends Serializable {
+    require(numHashes >= 1 && bits.nonEmpty)
+    private val numBits: Long = bits.length.toLong * 64L
+
+    def add(key: Long): Unit = LongBloom.addTo(bits, numHashes, key)
+
+    def mightContain(key: Long): Boolean = {
+      val h1 = splitmix64(key)
+      val h2 = splitmix64(key ^ 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < numHashes) {
+        val idx = ((h1 + i * h2) & Long.MaxValue) % numBits
+        if ((bits((idx >>> 6).toInt) & (1L << (idx & 63L))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+
+  }
+
+  object LongBloom {
+    /** Allocation-free insert for aggregation buffers. */
+    def addTo(bits: Array[Long], numHashes: Int, key: Long): Unit = {
+      val numBits = bits.length.toLong * 64L
+      val h1 = splitmix64(key)
+      val h2 = splitmix64(key ^ 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < numHashes) {
+        val idx = ((h1 + i * h2) & Long.MaxValue) % numBits
+        bits((idx >>> 6).toInt) |= (1L << (idx & 63L))
+        i += 1
+      }
+    }
+
+    /** Standard sizing: m = -n ln(p) / (ln 2)^2 bits, k = (m/n) ln 2
+      * probes, both clamped to sane minimums. 2^20 keys at 1% fpp is
+      * ~1.2 MB of bits — the broadcast cost that replaces shuffling the
+      * unmatched majority of a 100 TB probe side.
+      */
+    def sized(expectedKeys: Long, fpp: Double): LongBloom = {
+      require(expectedKeys > 0 && fpp > 0 && fpp < 1)
+      val ln2 = math.log(2.0)
+      val m = math.ceil(-expectedKeys * math.log(fpp) / (ln2 * ln2)).toLong.max(64L)
+      val words = ((m + 63) / 64).toInt
+      val k = math.round(m.toDouble / expectedKeys * ln2).toInt.max(1).min(16)
+      new LongBloom(k, new Array[Long](words))
+    }
+  }
+
+  /** Membership probe against a broadcast [[LongBloom]] — the pruning
+    * predicate of a bloom semi-join. The sketch rides an explicit
+    * `Broadcast` handle, NOT the expression tree: tasks fetch the bits
+    * once per executor instead of re-serializing megabytes into every
+    * task closure. Codegen'd, so the probe participates in whole-stage
+    * codegen and runs at scan speed on the big side.
+    */
+  case class BloomMightContain(child: Expression,
+                               bloomBc: org.apache.spark.broadcast.Broadcast[LongBloom])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"bloom_might_contain requires an integral key, got ${other.sql}")
+      }
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+
+    private def keyOf(input: Any): Long = input match {
+      case l: Long  => l
+      case i: Int   => i.toLong
+      case s: Short => s.toLong
+      case b: Byte  => b.toLong
+    }
+
+    override def nullSafeEval(input: Any): Any = bloomBc.value.mightContain(keyOf(input))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bc = ctx.addReferenceObj("bloombc", bloomBc,
+        classOf[org.apache.spark.broadcast.Broadcast[LongBloom]].getName)
+      val cls = classOf[LongBloom].getName
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (($cls) $bc.value()).mightContain((long) $c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // -------- Column-facing wrappers --------
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
@@ -485,4 +585,7 @@ object Expressions {
     column(NgramStats(expression(tokens), n))
   def simhash_id_pairs(members: Column, maxHamming: Int): Column =
     column(SimhashIdPairs(expression(members), maxHamming))
+  def bloom_might_contain(key: Column,
+                          bc: org.apache.spark.broadcast.Broadcast[LongBloom]): Column =
+    column(BloomMightContain(expression(key), bc))
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal reshaping operators: calendar densification with
+  * last-observation-carried-forward, and SCD2 history construction from
+  * an event log. Both are the batch halves of what the reference's
+  * weekly incremental flow (`etl_flow.py` trailing-window rerun)
+  * implies when the destination wants continuous, versioned state
+  * rather than sparse observations.
+  */
+object TimeSeries {
+
+  /** Per-key calendar densification + LOCF fill. `observed` must be one
+    * row per (key, date) — aggregate first. Emits the full key × calendar
+    * grid with `is_observed` and `<value>_filled` (nulls before a key's
+    * first observation stay null: there is nothing to carry forward).
+    *
+    * Scale shape: the grid is distinct-keys (one narrow aggregation)
+    * cross an in-plan literal calendar via `sequence` + `explode` — a
+    * narrow generate, NOT a shuffled cartesian; rows produced =
+    * keys × days, the output's own size. The left join and the LOCF
+    * window both hash by key, and AQE/exchange-reuse keep the window on
+    * the join's partitioning, so the whole fill is effectively one data
+    * shuffle at any scale.
+    */
+  def gapFillLocf(observed: DataFrame, keyCol: String, dateCol: String,
+                  valueCol: String, start: String, end: String): DataFrame = {
+    val grid = observed.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(start).cast("timestamp"), lit(end).cast("timestamp"),
+          expr("INTERVAL 1 DAY"))).as(dateCol))
+    val w = Window.partitionBy(keyCol).orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq(keyCol, dateCol), "left")
+      .withColumn("is_observed", col(valueCol).isNotNull)
+      .withColumn(s"${valueCol}_filled", last(col(valueCol), ignoreNulls = true).over(w))
+      .drop(valueCol)
+  }
+
+  /** SCD2 history build from an event log: per entity (ordered by
+    * `tsCol`, tie-broken by the unique `tieCol`), collapse runs of
+    * unchanged `attrCols` into validity intervals
+    * [valid_from, valid_to), with `valid_to` null on the open current
+    * row. Attribute comparison is null-safe, so a null-valued state is
+    * a state like any other.
+    *
+    * Scale shape: two window passes, both partitioned by entity —
+    * Catalyst plans ONE exchange and runs both sorts on it. No joins:
+    * the classic build-vs-merge SCD2 (join current dim against the
+    * batch) reduces to this after a union, which is how a 100 TB
+    * backfill should run — one shuffle by entity, never a self-join
+    * per version.
+    */
+  def scd2(log: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val isFirst = lag(col(tieCol), 1).over(w).isNull
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val changes = log
+      .withColumn("__change", isFirst || changed)
+      .filter(col("__change"))
+      .select((entityCol +: attrCols).map(col) :+
+        col(tsCol).as("valid_from") :+ col(tieCol).as("__tie"): _*)
+    val w2 = Window.partitionBy(entityCol).orderBy(col("valid_from"), col("__tie"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__tie")
+  }
+}
