@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.GraftFunctions._
 import graft.operators.{Clean, Discover, Graph}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.Incremental
 
 /** The driver-facing query surface: every operator family from SURVEY.md §2
@@ -957,6 +957,33 @@ object Queries {
               min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1"""))
 
+  // policy dedup: every doc gets a case-variant twin (same normalized
+  // key) and an independent deterministic quality score; the survivor
+  // is the higher-scored copy, ties to the smaller id
+  private val dedupKeepBest = Q(
+    "dedup_keep_best",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val twins = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        upper(col("text")).as("text"))
+      val scored = docs.union(twins)
+        .withColumn("q", pmod(col("doc_id") * 37, lit(100)))
+      Dedup.keepBest(scored, "doc_id", "text", "q").select("doc_id", "q")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, (doc_id * 37) % 100 AS q,
+                row_number() OVER (
+                  PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))
+                  ORDER BY (doc_id * 37) % 100 DESC, doc_id ASC) AS rn
+              FROM all_docs)
+            SELECT doc_id, q FROM ranked WHERE rn = 1"""))
+
   // trigram shingles, not bigrams: the harness vocabulary is ~30 words, so
   // bigram shingle frequency explodes the inverted-index self-join
   // quadratically at sf0.1; trigrams cut per-shingle doc frequency ~30x.
@@ -1381,6 +1408,60 @@ object Queries {
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
+  // calendar densification + LOCF over sparse per-day observations.
+  // max() is the daily aggregate on purpose: order-independent, so the
+  // fill values are bit-identical across engines (a sum of doubles is
+  // accumulation-order-dependent and would need rounding).
+  private val gapfillLocf = Q(
+    "gapfill_locf",
+    (s, d) => {
+      val obs = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(max(col("value")).as("v"))
+      TimeSeries.gapFillLocf(obs, "user_id", "day", "v", "2024-01-01", "2024-01-30")
+    },
+    Some("""WITH obs AS (
+              SELECT user_id, date_trunc('day', ts) AS day, max(value) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            grid AS (
+              SELECT k.user_id, c.day
+              FROM (SELECT DISTINCT user_id FROM obs) k
+              CROSS JOIN (SELECT unnest(generate_series(
+                TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                INTERVAL 1 DAY)) AS day) c)
+            SELECT g.user_id, g.day, o.v IS NOT NULL AS is_observed,
+              last_value(o.v IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+            FROM grid g
+            LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day"""))
+
+  // SCD2 history from the raw event log: per user, runs of the same
+  // event_type collapse to validity intervals. event_id is the unique
+  // tie-breaker for simultaneous events on both engines.
+  private val scd2History = Q(
+    "scd2_history",
+    (s, d) => TimeSeries.scd2(
+      events(s, d).select("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", Seq("event_type")),
+    Some("""WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type,
+                lag(event_id) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_id
+              FROM events),
+            changes AS (
+              SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM ordered
+              WHERE prev_id IS NULL OR prev_type IS DISTINCT FROM event_type)
+            SELECT user_id, event_type, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from, event_id) AS valid_to,
+              lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from, event_id) IS NULL AS is_current
+            FROM changes"""))
+
   // bloom-pruned exact semi-join: the sketch decimates the probe side
   // BEFORE any join, so the exact join's input (and at cluster scale its
   // shuffle) is proportional to matches. Result is identical to the
@@ -1536,7 +1617,7 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings, jsonExtract,
-    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
+    dedupExact, dedupKeepBest, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
@@ -1544,5 +1625,6 @@ object Queries {
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
+    gapfillLocf, scd2History,
     multimodalFeatures)
 }

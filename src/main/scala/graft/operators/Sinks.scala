@@ -262,6 +262,38 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet table into
+    * ceil(bytes / targetFileBytes) files. Incremental appends (the
+    * appendDedup loop, streaming foreachBatch) accrete files far below
+    * the scan-efficient size; at 100 TB the resulting open/seek/footer
+    * overhead — and driver-side listing — dominates reads long before
+    * row decoding does. Staged rewrite: the compacted copy lands in a
+    * sibling temp dir first, then swaps in via two renames, so a crash
+    * leaves either the old table or the new one, never a half table
+    * (the swap window itself is the transactionality a table format
+    * like Delta/Iceberg would close with an atomic manifest commit).
+    * Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + ".compact.tmp")
+    val old = new Path(path + ".compact.old")
+    // repartition, not coalesce: coalesce(1-ish) would collapse the READ
+    // parallelism of the job itself; the shuffle is the price of an even
+    // rewrite and is proportional to the table, run it off-peak
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not stage out $path")
+    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Default node-label -> key-column mapping for the movie graph. */
   val movieGraphKeys: Map[String, String] = Map(
     "Movie" -> "movie_id", "Collection" -> "collection_id",

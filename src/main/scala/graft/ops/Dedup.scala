@@ -27,6 +27,24 @@ object Dedup {
     docs.groupBy(normalizeText(col(textCol)).as("text_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Policy dedup: keep the BEST row of each text key — highest
+    * `qualityCol`, ties to the smallest id so the survivor is
+    * deterministic on any engine and partitioning. One window pass on
+    * the content-key shuffle; survivors keep their full row (unlike
+    * [[exact]], which reports the group). At corpus scale this is the
+    * "multiple crawls of the same page, keep the cleanest capture"
+    * dedup a training pipeline runs between exact and near-dup passes.
+    */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+               qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(normalizeText(col(textCol)))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    docs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+  }
+
   /** Distinct word n-gram shingle array, computed per-row (no shuffle).
     * Documents shorter than n words contribute their whole text as the
     * single shingle.

@@ -21,10 +21,13 @@ object TimeSeries {
     * Scale shape: the grid is distinct-keys (one narrow aggregation)
     * cross an in-plan literal calendar via `sequence` + `explode` — a
     * narrow generate, NOT a shuffled cartesian; rows produced =
-    * keys × days, the output's own size. The left join and the LOCF
-    * window both hash by key, and AQE/exchange-reuse keep the window on
-    * the join's partitioning, so the whole fill is effectively one data
-    * shuffle at any scale.
+    * keys × days, the output's own size. Both join inputs are
+    * explicitly hash-partitioned by KEY ALONE: partitioning on a subset
+    * of the equi-join keys satisfies the join's clustered distribution,
+    * and the LOCF window needs exactly that partitioning — so the rows
+    * shuffle once and the join, sort, and window all run on the same
+    * exchange. (Left to EnsureRequirements, the join would partition on
+    * (key, date) and the window would re-shuffle everything by key.)
     */
   def gapFillLocf(observed: DataFrame, keyCol: String, dateCol: String,
                   valueCol: String, start: String, end: String): DataFrame = {
@@ -32,9 +35,10 @@ object TimeSeries {
       .select(col(keyCol),
         explode(sequence(lit(start).cast("timestamp"), lit(end).cast("timestamp"),
           expr("INTERVAL 1 DAY"))).as(dateCol))
+      .repartition(col(keyCol))
     val w = Window.partitionBy(keyCol).orderBy(dateCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(observed, Seq(keyCol, dateCol), "left")
+    grid.join(observed.repartition(col(keyCol)), Seq(keyCol, dateCol), "left")
       .withColumn("is_observed", col(valueCol).isNotNull)
       .withColumn(s"${valueCol}_filled", last(col(valueCol), ignoreNulls = true).over(w))
       .drop(valueCol)

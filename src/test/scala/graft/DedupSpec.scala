@@ -20,6 +20,19 @@ class DedupSpec extends SparkTestBase {
     assert(dupGroup.getAs[Long]("keep_id") == 1L, "min id is the canonical survivor")
   }
 
+  test("keepBest keeps the highest-quality copy, ties to the smallest id") {
+    val scored = Seq(
+      (1L, "same text here", 5.0),
+      (2L, "Same  TEXT here", 9.0),  // same key, better quality -> survives
+      (3L, "same text here", 9.0),   // quality tie with 2 -> loses on id
+      (4L, "other text", 1.0)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.keepBest(scored, "doc_id", "text", "q")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "q"),
+      "survivors keep their full original row")
+  }
+
   test("shingles: short docs fall back to whole text") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val tiny = sh.filter(col("doc_id") === 5).as[(Long, String)].collect()

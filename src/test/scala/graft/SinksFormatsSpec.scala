@@ -12,6 +12,27 @@ import graft.schema.Dimensions
 class SinksFormatsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("compact: many small files collapse to the target count, data intact") {
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS g")
+    df.repartition(32).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 32)
+    val before = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0)
+
+    val tableBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Sinks.compact(spark, dir, targetFileBytes = tableBytes / 4 + 1)
+    assert(n == 4 && parquetFiles == 4, s"expected 4 files, got $parquetFiles")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 10000)
+    assert(after.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == before)
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+    assert(!new java.io.File(dir + ".compact.old").exists())
+  }
+
   test("K7/K5: CSV export and seed re-import round trip (with dup collapse)") {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/genres"
     val dims = Dimensions.genres(spark)

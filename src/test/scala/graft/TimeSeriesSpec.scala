@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // -------------------------------------------------------- gapFillLocf
+
+  private val observed = Seq(
+    ("a", ts("2024-01-01 00:00:00"), 10.0),
+    ("a", ts("2024-01-03 00:00:00"), 30.0),
+    ("b", ts("2024-01-02 00:00:00"), 99.0)
+  ).toDF("k", "day", "v")
+
+  test("gapFillLocf: full grid, carried values, leading nulls stay null") {
+    val out = TimeSeries.gapFillLocf(observed, "k", "day", "v",
+        "2024-01-01", "2024-01-04")
+      .select("k", "day", "is_observed", "v_filled")
+      .as[(String, Timestamp, Boolean, Option[Double])]
+      .collect().map(r => (r._1, r._2.toString.take(10), r._3, r._4)).toSet
+
+    assert(out == Set(
+      ("a", "2024-01-01", true, Some(10.0)),
+      ("a", "2024-01-02", false, Some(10.0)), // carried from day 1
+      ("a", "2024-01-03", true, Some(30.0)),
+      ("a", "2024-01-04", false, Some(30.0)), // carried from day 3
+      ("b", "2024-01-01", false, None),       // before first observation
+      ("b", "2024-01-02", true, Some(99.0)),
+      ("b", "2024-01-03", false, Some(99.0)),
+      ("b", "2024-01-04", false, Some(99.0))))
+  }
+
+  test("gapFillLocf: join and window share one key partitioning (no re-shuffle)") {
+    val out = TimeSeries.gapFillLocf(observed, "k", "day", "v",
+      "2024-01-01", "2024-01-04")
+    val plan = out.queryExecution.executedPlan.toString
+    // the two explicit repartitions are the ONLY exchanges: the join
+    // accepts the key-subset partitioning and the window reuses it
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 input exchanges, got $exchanges:\n$plan")
+  }
+
+  // -------------------------------------------------------------- scd2
+
+  private val log = Seq(
+    // entity u1: A A B A  -> three intervals
+    (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+    (1L, ts("2024-01-02 00:00:00"), 2L, "A"),
+    (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+    (1L, ts("2024-01-04 00:00:00"), 4L, "A"),
+    // entity u2: single state
+    (2L, ts("2024-01-01 00:00:00"), 5L, "X")
+  ).toDF("user", "ts", "eid", "state")
+
+  test("scd2: runs collapse, intervals chain, last row open") {
+    val out = TimeSeries.scd2(log, "user", "ts", "eid", Seq("state"))
+      .orderBy("user", "valid_from")
+      .select("user", "state", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString.take(10),
+        Option(r.getTimestamp(3)).map(_.toString.take(10)), r.getBoolean(4)))
+      .toSeq
+
+    assert(out == Seq(
+      (1L, "A", "2024-01-01", Some("2024-01-03"), false),
+      (1L, "B", "2024-01-03", Some("2024-01-04"), false),
+      (1L, "A", "2024-01-04", None, true),
+      (2L, "X", "2024-01-01", None, true)))
+  }
+
+  test("scd2: null attribute values are states (null-safe comparison)") {
+    val withNull = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, null.asInstanceOf[String]),
+      (1L, ts("2024-01-02 00:00:00"), 2L, null.asInstanceOf[String]),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "A")
+    ).toDF("user", "ts", "eid", "state")
+    val out = TimeSeries.scd2(withNull, "user", "ts", "eid", Seq("state"))
+    assert(out.count() == 2, "two null rows collapse into one interval")
+    assert(out.filter(col("state").isNull).count() == 1)
+  }
+
+  test("scd2: simultaneous timestamps break ties deterministically") {
+    val sameTs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A")
+    ).toDF("user", "ts", "eid", "state")
+    val out = TimeSeries.scd2(sameTs, "user", "ts", "eid", Seq("state"))
+    val states = out.select("state", "is_current").as[(String, Boolean)].collect().toSet
+    assert(states == Set(("A", false), ("B", true)),
+      "eid order decides the sequence: A (eid 1) closes, B (eid 2) stays current")
+  }
+
+  test("scd2: multi-attribute change detection") {
+    val multi = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A", 1),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A", 2), // second attr changes
+      (1L, ts("2024-01-03 00:00:00"), 3L, "A", 2)  // unchanged
+    ).toDF("user", "ts", "eid", "s1", "s2")
+    val out = TimeSeries.scd2(multi, "user", "ts", "eid", Seq("s1", "s2"))
+    assert(out.count() == 2)
+  }
+
+  test("scd2: one exchange serves both window passes") {
+    val plan = TimeSeries.scd2(log.repartition(3), "user", "ts", "eid", Seq("state"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single entity-hash exchange, got $exchanges:\n$plan")
+  }
+}
