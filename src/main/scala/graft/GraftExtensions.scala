@@ -33,6 +33,14 @@ object GraftExtensions {
       if (args.length > 4) args(4).eval().asInstanceOf[Number].intValue() else 42))
     registerFunction(spark, "signature_agreement",
       args => SignatureAgreement(args(0), args(1)))
+    registerFunction(spark, "sorted_id_pairs", args => SortedIdPairs(args(0)))
+    registerFunction(spark, "simhash_id_pairs", args => SimhashIdPairs(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
+    registerFunction(spark, "ngram_stats", args => NgramStats(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
+    registerFunction(spark, "z_value", args => ZValue(args(0),
+      args(1).eval().asInstanceOf[Number].intValue(),
+      args(2).eval().asInstanceOf[Number].intValue()))
   }
 }
 
@@ -69,5 +77,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("signature_agreement",
         "_FUNC_(sig_a, sig_b) - count of agreeing components of two long-array signatures"),
       (args: Seq[Expression]) => SignatureAgreement(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("sorted_id_pairs"),
+      info("sorted_id_pairs", "_FUNC_(ids) - strictly-ordered (a,b) pairs of a long-id array"),
+      (args: Seq[Expression]) => SortedIdPairs(args(0))))
+    e.injectFunction((FunctionIdentifier("simhash_id_pairs"),
+      info("simhash_id_pairs",
+        "_FUNC_(members, max_hamming) - bucket-local simhash pairs within a hamming radius"),
+      (args: Seq[Expression]) => SimhashIdPairs(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("ngram_stats"),
+      info("ngram_stats",
+        "_FUNC_(tokens, n) - (total, n_distinct, top_freq) over overlapping word n-grams"),
+      (args: Seq[Expression]) => NgramStats(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("z_value"),
+      info("z_value", "_FUNC_(coords, n_cols, bits) - bit-interleaved z-order value"),
+      (args: Seq[Expression]) => ZValue(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
   }
 }

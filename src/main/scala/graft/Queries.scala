@@ -484,6 +484,64 @@ object Queries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
     None)
 
+  // 60-bit hash both engines derive identically: 15 hex chars of md5,
+  // nibble-decoded (Spark conv(hex) == DuckDB instr-on-nibbles, the
+  // 15-digit generalization of duckBucket)
+  private def duckHash60(expr: String): String =
+    (1 to 15).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
+      .mkString("(", " + ", ")")
+
+  // rank of the highest set bit in the 52-bit HLL payload, as a CASE
+  // chain (floor(log2) is banned: libm divergence)
+  private val hllRho: String = {
+    val branches = (1 to 52)
+      .map(r => s"WHEN w >= ${BigInt(2).pow(52 - r)} THEN $r").mkString(" ")
+    s"CASE WHEN w = 0 THEN 53 $branches END"
+  }
+
+  // a distinct sketch that HASH-MATCHES across engines: registers from a
+  // shared md5-derived hash, raw HLL estimator in integer-scaled
+  // arithmetic + one double multiply-divide (see Aggregators.HllDistinct).
+  // Spark runs the one-pass mergeable Aggregator; the oracle rebuilds the
+  // same registers with GROUP BY — same math, different plan.
+  private val sketchHllDistinct = Q(
+    "sketch_hll_distinct",
+    (s, d) => {
+      val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      events(s, d).select(col("event_type"), h.as("h"))
+        .groupBy(col("event_type"))
+        .agg(
+          udaf(new graft.functions.Aggregators.HllDistinct(8),
+            org.apache.spark.sql.Encoders.scalaLong)
+            .apply(col("h")).as("distinct_est"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some(s"""WITH hashed AS (
+              SELECT event_type, ${duckHash60("event_id::VARCHAR")} AS h
+              FROM events),
+            slotted AS (
+              SELECT event_type, h // 4503599627370496 AS idx,
+                     h % 4503599627370496 AS w
+              FROM hashed),
+            regs AS (
+              SELECT event_type, idx, max($hllRho) AS mj
+              FROM slotted GROUP BY 1, 2),
+            sums AS (
+              SELECT event_type,
+                sum(CASE WHEN mj <= 52 THEN CAST(1 AS BIGINT) << (52 - mj)
+                         ELSE 0 END)
+                  + (256 - count(*)) * 4503599627370496 AS intsum
+              FROM regs GROUP BY 1)
+            SELECT s.event_type,
+              CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                * 4503599627370496.0 / intsum) AS BIGINT) AS distinct_est,
+              n.n_rows
+            FROM sums s
+            JOIN (SELECT event_type, count(*) AS n_rows
+                  FROM events GROUP BY 1) n USING (event_type)"""))
+
   // the EXACT half of the sketch surface: the Welford/Chan typed
   // Aggregator is algebraically count/sum-over-count/var_samp, so it
   // oracles directly. Rounding margins sized to the accumulation error
@@ -1408,6 +1466,78 @@ object Queries {
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
+  // the z-order interleave, oracled bit-for-bit: scaled coordinates are
+  // identical IEEE ops, the interleave is pure integer shifts both sides
+  private val zorderValue = Q(
+    "zorder_value",
+    (s, d) => lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      operators.Layout.zColumn(
+        Seq((col("l_extendedprice"), 900.0, 105000.0),
+            (col("l_quantity"), 1.0, 50.0)), 12).as("z")),
+    Some {
+      def coord(c: String, lo: Double, span: Double) =
+        s"""least(greatest(CAST(floor(($c - $lo) / $span * 4095) AS BIGINT),
+           CAST(0 AS BIGINT)), CAST(4095 AS BIGINT))"""
+      val interleave = (0 until 12).flatMap { b =>
+        Seq(s"((x >> $b) & 1) * ${BigInt(2).pow(2 * b)}",
+            s"((y >> $b) & 1) * ${BigInt(2).pow(2 * b + 1)}")
+      }.mkString(" + ")
+      s"""WITH scaled AS (
+            SELECT l_orderkey, l_linenumber,
+              ${coord("l_extendedprice", 900.0, 104100.0)} AS x,
+              ${coord("l_quantity", 1.0, 49.0)} AS y
+            FROM lineitem)
+          SELECT l_orderkey, l_linenumber, $interleave AS z FROM scaled"""
+    })
+
+  // outlier clipping via integer-rank order statistics: the bounds are
+  // actual stored values (k-th smallest), never interpolations, so the
+  // row-level clipped doubles are engine-exact with zero rounding
+  private val winsorizeClip = Q(
+    "winsorize_clip",
+    (s, d) => ops.Features.winsorize(
+        lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", 1, 99)
+      .select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice_clipped", "was_clipped"),
+    Some("""WITH ranked AS (
+              SELECT l_returnflag, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem),
+            bounds AS (
+              SELECT l_returnflag,
+                min(CASE WHEN rn = greatest((n * 1 + 99) // 100, 1)
+                    THEN l_extendedprice END) AS lo,
+                max(CASE WHEN rn = greatest((n * 99) // 100,
+                                            greatest((n * 1 + 99) // 100, 1))
+                    THEN l_extendedprice END) AS hi
+              FROM ranked GROUP BY 1)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+              least(greatest(l.l_extendedprice, b.lo), b.hi)
+                AS l_extendedprice_clipped,
+              l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi
+                AS was_clipped
+            FROM lineitem l JOIN bounds b USING (l_returnflag)"""))
+
+  // min-max normalization: order-independent extremes + one IEEE
+  // subtract/divide per row — bit-identical across engines, no rounding
+  private val minmaxScale = Q(
+    "minmax_scale",
+    (s, d) => ops.Features.minMaxScale(
+        events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+      .select("event_id", "event_type", "value_scaled"),
+    Some("""WITH b AS (
+              SELECT event_type, min(value) AS mn, max(value) AS mx
+              FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+              CASE WHEN b.mx = b.mn THEN NULL
+                   ELSE (e.value - b.mn) / (b.mx - b.mn) END AS value_scaled
+            FROM events e JOIN b USING (event_type)"""))
+
   // calendar densification + LOCF over sparse per-day observations.
   // max() is the daily aggregate on purpose: order-independent, so the
   // fill values are bit-identical across engines (a sum of doubles is
@@ -1608,7 +1738,7 @@ object Queries {
     s4DimensionSeed, k8CascadeDelete,
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
-    aggDistinct, percentileAgg, sketchAgg, momentStats, statsProfile,
+    aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,
     windowRank, windowRunning,
@@ -1625,6 +1755,6 @@ object Queries {
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
-    gapfillLocf, scd2History,
+    gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     multimodalFeatures)
 }

@@ -465,6 +465,57 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Bit-interleaved Z-order value over pre-scaled non-negative integer
+    * coordinates (an array<bigint>, so the probe stays a simple unary
+    * codegen'd expression — the builtin `array()` wrapper is codegen'd
+    * too): bit b of coordinate i lands at output position
+    * b * nCols + i, so files range-sorted by the result are clustered
+    * in ALL dimensions at once — parquet min/max (and partition-level)
+    * skipping then prunes multi-column predicates, not just the leading
+    * sort key. Callers scale each column to [0, 2^bits) first (see
+    * `Layout.zOrdered`); nCols * bits must stay under 64.
+    */
+  case class ZValue(child: Expression, nCols: Int, bits: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && nCols >= 1 && nCols * bits <= 63,
+      "z-value needs 1..63 total output bits")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"z_value requires array<bigint> coordinates, got ${other.sql}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "z_value"
+
+    def compute(arr: ArrayData): Long = {
+      require(arr.numElements() == nCols,
+        s"z_value: expected $nCols coordinates, got ${arr.numElements()}")
+      var z = 0L
+      var b = 0
+      while (b < bits) {
+        var i = 0
+        while (i < nCols) {
+          z |= ((arr.getLong(i) >>> b) & 1L) << (b * nCols + i)
+          i += 1
+        }
+        b += 1
+      }
+      z
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("zvalue", this, classOf[ZValue].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** A fixed-size blocked Bloom filter over 64-bit keys — the sketch a
     * bloom-pruned semi-join broadcasts in place of the exact key set.
     * Double hashing (Kirsch–Mitzenmacher): the i-th probe bit is
@@ -588,4 +639,6 @@ object Expressions {
   def bloom_might_contain(key: Column,
                           bc: org.apache.spark.broadcast.Broadcast[LongBloom]): Column =
     column(BloomMightContain(expression(key), bc))
+  def z_value(coords: Column, nCols: Int, bits: Int): Column =
+    column(ZValue(expression(coords), nCols, bits))
 }

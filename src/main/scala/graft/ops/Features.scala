@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Numeric feature preparation for training pipelines: outlier clipping
+  * and range normalization. Both are formulated ENGINE-EXACT — order
+  * statistics via integer rank arithmetic (no interpolated percentile,
+  * whose rounding differs across engines) and min/max (order-independent
+  * aggregates), so row-level outputs hash-match an independent SQL
+  * oracle with no rounding anywhere.
+  */
+object Features {
+
+  /** Winsorize `valueCol` per group to [p_low, p_high] given as
+    * percents: the bounds are the values at integer ranks
+    * ceil(n*p/100) (low, clamped to >= 1) and floor(n*p/100) of the
+    * ascending sort — actual stored values, never interpolations.
+    *
+    * Scale shape: one rank window and the bounds aggregation hash by
+    * the same group key, then the per-group bounds (rows = groups)
+    * broadcast back onto the rows — the fact side shuffles once.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLowPct: Int, pHighPct: Int): DataFrame = {
+    require(0 <= pLowPct && pLowPct < pHighPct && pHighPct <= 100)
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    // integer ceil/floor division (Spark's / is fractional; div keeps
+    // the rank cut in exact integer arithmetic)
+    val loRank = greatest(expr(s"(__n * $pLowPct + 99) div 100"), lit(1L))
+    // hiRank >= loRank so both bounds always exist (tiny groups clip to
+    // a single value instead of a null bound with engine-varying
+    // least/greatest null semantics)
+    val hiRank = greatest(expr(s"(__n * $pHighPct) div 100"), loRank)
+    val bounds = ranked
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__rn") === loRank, col(valueCol))).as("__lo"),
+        max(when(col("__rn") === hiRank, col(valueCol))).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("was_clipped",
+        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group min-max normalization to [0, 1]. min/max are
+    * order-independent (exact on any engine); the scaled value is one
+    * IEEE subtraction/division on stored values — bit-identical
+    * everywhere. Constant groups (max == min) scale to null rather
+    * than dividing by zero.
+    */
+  def minMaxScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_scaled",
+        when(col("__max") === col("__min"), lit(null))
+          .otherwise((col(valueCol) - col("__min")) / (col("__max") - col("__min"))))
+      .drop("__min", "__max")
+  }
+}

@@ -23,6 +23,43 @@ class AggregatorsSpec extends SparkTestBase {
     }
   }
 
+  test("HLL distinct: estimate within standard error bounds of exact") {
+    import graft.functions.Aggregators.HllDistinct
+    // 20k distinct keys, m=256 -> n/m ~ 78, sigma ~ 1.04/16 = 6.5%
+    val hashes = spark.range(0, 20000)
+      .select(conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val est = hashes
+      .agg(udaf(new HllDistinct(8), org.apache.spark.sql.Encoders.scalaLong)
+        .apply($"h").as("e"))
+      .head().getLong(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2,
+      s"estimate $est too far from 20000 (3x sigma)")
+  }
+
+  test("HLL distinct: estimate is partitioning-invariant (register max is order-free)") {
+    import graft.functions.Aggregators.HllDistinct
+    val hll = udaf(new HllDistinct(8), org.apache.spark.sql.Encoders.scalaLong)
+    def estimate(parts: Int): Long = spark.range(0, 5000)
+      .select(conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .repartition(parts)
+      .agg(hll.apply($"h")).head().getLong(0)
+    assert(estimate(1) == estimate(13),
+      "same input set must give the IDENTICAL estimate under any partitioning")
+  }
+
+  test("HLL distinct: duplicates do not move the estimate") {
+    import graft.functions.Aggregators.HllDistinct
+    val hll = udaf(new HllDistinct(8), org.apache.spark.sql.Encoders.scalaLong)
+    val base = spark.range(0, 3000)
+      .select(conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val once = base.agg(hll.apply($"h")).head().getLong(0)
+    val tripled = base.union(base).union(base).agg(hll.apply($"h")).head().getLong(0)
+    assert(once == tripled)
+  }
+
   test("sketch aggregates land within tolerance of exact") {
     val li = Tables.lineitem(spark, sf("sf0.01"))
     val approx = SparkEntry.queries("sketch_agg")(spark, sf("sf0.01"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Features
+
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vals = ((1 to 100).map(i => ("a", i.toDouble)) ++
+    Seq(("b", 5.0), ("b", 5.0), ("b", 5.0))).toDF("g", "v")
+
+  test("winsorize: clips to the exact order-statistic bounds") {
+    val out = Features.winsorize(vals, "g", "v", 10, 90)
+    val a = out.filter($"g" === "a")
+    // n=100: loRank = ceil(1000/100)=10 -> bound 10.0; hiRank = 90 -> 90.0
+    assert(a.agg(min("v_clipped")).head().getDouble(0) == 10.0)
+    assert(a.agg(max("v_clipped")).head().getDouble(0) == 90.0)
+    assert(a.filter($"was_clipped").count() == 9 + 10, "1..9 and 91..100 clip")
+    assert(a.filter(!$"was_clipped" && ($"v" < 10.0 || $"v" > 90.0)).count() == 0)
+  }
+
+  test("winsorize: constant / tiny groups clip to a single existing value") {
+    val out = Features.winsorize(vals, "g", "v", 10, 90).filter($"g" === "b")
+    assert(out.select("v_clipped").as[Double].collect().toSeq == Seq(5.0, 5.0, 5.0))
+    assert(out.filter($"was_clipped").count() == 0)
+  }
+
+  test("winsorize: single-row group survives (loRank clamps to 1)") {
+    val one = Seq(("x", 42.0)).toDF("g", "v")
+    val out = Features.winsorize(one, "g", "v", 1, 99)
+    assert(out.select("v_clipped").as[Double].head() == 42.0)
+  }
+
+  test("minMaxScale: exact [0,1] range, constant group scales to null") {
+    val out = Features.minMaxScale(vals, "g", "v")
+    val a = out.filter($"g" === "a").select("v", "v_scaled")
+      .as[(Double, Double)].collect().toMap
+    assert(a(1.0) == 0.0 && a(100.0) == 1.0)
+    assert(math.abs(a(51.0) - 50.0 / 99.0) < 1e-12)
+    assert(out.filter($"g" === "b").select("v_scaled").collect().forall(_.isNullAt(0)),
+      "constant group: no zero-division, explicit null")
+  }
+
+  test("winsorize: bounds join is broadcast (fact side shuffles once)") {
+    val plan = Features.winsorize(vals, "g", "v", 10, 90)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-group bounds must broadcast, not shuffle the fact side:\n$plan")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions.z_value
+import graft.operators.Layout
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("z_value interleaves bits (known values)") {
+    // x=0b11, y=0b01, 2 bits: out bit layout b*n+i -> x0,y0,x1,y1 = 1,1,1,0 -> 0b0111
+    val out = Seq((3L, 1L)).toDF("x", "y")
+      .select(z_value(array($"x", $"y"), 2, 2).as("z"))
+      .head().getLong(0)
+    assert(out == 7L, s"expected 0b0111=7, got $out")
+  }
+
+  test("z_value: adjacent points get adjacent z (locality sanity)") {
+    val zs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L))
+      .toDF("x", "y")
+      .select(z_value(array($"x", $"y"), 2, 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(zs == Seq(0L, 1L, 2L, 3L), "the unit quad is the first z block")
+  }
+
+  test("writeZOrdered clusters both dimensions: locality beats random layout") {
+    val n = 20000
+    // two independent uniform dimensions — worst case for 1-D sorting
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 10000L).as("x"),
+      (col("id") * 40503L % 10000L).as("y"))
+    val bounds = Seq(("x", 0.0, 10000.0), ("y", 0.0, 10000.0))
+
+    val randomDir = Files.createTempDirectory("graft_z_rand").toString + "/t"
+    df.repartition(16).write.parquet(randomDir)
+    val zDir = Files.createTempDirectory("graft_z_sort").toString + "/t"
+    Layout.writeZOrdered(df, zDir, bounds, bits = 12, numFiles = 16)
+
+    val randomScore = Layout.localityScore(spark.read.parquet(randomDir), bounds)
+    val zScore = Layout.localityScore(spark.read.parquet(zDir), bounds)
+    assert(zScore < randomScore / 3,
+      s"z-ordered files must span far less area per file: z=$zScore random=$randomScore")
+
+    // same rows either way
+    assert(spark.read.parquet(zDir).count() == n)
+    val s1 = spark.read.parquet(zDir).agg(sum($"x"), sum($"y")).head()
+    val s2 = df.agg(sum($"x"), sum($"y")).head()
+    assert(s1 == s2)
+  }
+
+  test("z-ordered scan prunes with parquet min/max on a non-leading dimension") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64L).as("x"), (col("id") / 64L).as("y"))
+    val dir = Files.createTempDirectory("graft_z_prune").toString + "/t"
+    Layout.writeZOrdered(df, dir, Seq(("x", 0.0, 64.0), ("y", 0.0, 64.0)),
+      bits = 6, numFiles = 8)
+    // filter on y alone — a 1-D x-sort would read every file
+    val filtered = spark.read.parquet(dir).filter($"y" < 8)
+    assert(filtered.count() == 8 * 64)
+    val filesRead = filtered.select(input_file_name()).distinct().count()
+    assert(filesRead <= 4,
+      s"y-only predicate should touch a minority of the 8 z-files, read $filesRead")
+  }
+}

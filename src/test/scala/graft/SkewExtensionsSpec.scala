@@ -63,5 +63,14 @@ class SkewExtensionsSpec extends SparkTestBase {
     assert(r.getInt(2) == 8)
     assert(r.getInt(3) == 2)
     assert(r.getLong(4) == 2L)
+
+    val r2 = s2.sql(
+        """SELECT size(sorted_id_pairs(array(3L, 1L, 2L))) AS np,
+          |       ngram_stats(array('a','b','a','b'), 2).total AS nt,
+          |       z_value(array(3L, 1L), 2, 2) AS z
+          |""".stripMargin).collect().head
+    assert(r2.getInt(0) == 3)
+    assert(r2.getLong(1) == 3L)
+    assert(r2.getLong(2) == 7L)
   }
 }
