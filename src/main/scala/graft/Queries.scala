@@ -542,6 +542,67 @@ object Queries {
             JOIN (SELECT event_type, count(*) AS n_rows
                   FROM events GROUP BY 1) n USING (event_type)"""))
 
+  // the 2-hex-char md5 bucket of an arbitrary SQL expression (the
+  // parameterized form of duckBucket)
+  private def duckBucketOf(expr: String): String =
+    s"""CAST((instr('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16
+       + instr('0123456789abcdef', substr(md5($expr), 2, 1)) - 1 AS BIGINT)"""
+
+  // Count-Min frequency sketch, cross-engine exact like the HLL: buckets
+  // from a shared md5 derivation, counters and min-estimates in pure
+  // integer arithmetic. Spark runs the one-pass d*w-counter Aggregator;
+  // the oracle rebuilds each depth's counters with GROUP BY and takes
+  // the same min over depths.
+  private val sketchCmsFreq = Q(
+    "sketch_cms_freq",
+    (s, d) => {
+      val depth = 4
+      val width = 256
+      val probes = Seq(1L, 7L, 42L)
+      val probeBuckets = probes.map { p =>
+        Array.tabulate(depth) { j =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${j}_$p".getBytes("UTF-8"))
+          md(0) & 0xff
+        }
+      }.toArray
+      val bucketCols = (0 until depth).map(j =>
+        conv(substring(md5(concat_ws("_", lit(j), col("user_id"))), 1, 2), 16, 10)
+          .cast("int"))
+      val cms = udaf(
+        new graft.functions.Aggregators.CountMinFreq(depth, width, probeBuckets),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      events(s, d).groupBy(col("event_type"))
+        .agg(cms(array(bucketCols: _*)).as("est"))
+        .select(col("event_type"), col("est")(0).as("est_u1"),
+          col("est")(1).as("est_u7"), col("est")(2).as("est_u42"))
+    },
+    Some(s"""WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            h AS (
+              SELECT event_type, j,
+                ${duckBucketOf("j::VARCHAR || '_' || user_id::VARCHAR")} AS b
+              FROM events CROSS JOIN js),
+            counts AS (
+              SELECT event_type, j, b, count(*) AS c FROM h GROUP BY 1, 2, 3),
+            probes AS (SELECT unnest([1, 7, 42]) AS p),
+            pb AS (
+              SELECT p, j,
+                ${duckBucketOf("j::VARCHAR || '_' || p::VARCHAR")} AS b
+              FROM probes CROSS JOIN js),
+            grps AS (SELECT DISTINCT event_type FROM events),
+            est AS (
+              SELECT g.event_type, pb.p, min(coalesce(c.c, 0)) AS e
+              FROM grps g
+              CROSS JOIN pb
+              LEFT JOIN counts c ON c.event_type = g.event_type
+                AND c.j = pb.j AND c.b = pb.b
+              GROUP BY 1, 2)
+            SELECT event_type,
+              max(CASE WHEN p = 1 THEN e END) AS est_u1,
+              max(CASE WHEN p = 7 THEN e END) AS est_u7,
+              max(CASE WHEN p = 42 THEN e END) AS est_u42
+            FROM est GROUP BY 1"""))
+
   // the EXACT half of the sketch surface: the Welford/Chan typed
   // Aggregator is algebraically count/sum-over-count/var_samp, so it
   // oracles directly. Rounding margins sized to the accumulation error
@@ -1015,6 +1076,29 @@ object Queries {
               min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1"""))
 
+  // exact duplicate-span detection (fixed-window simplification of
+  // suffix-array substring dedup): corpus-wide repeated 8-token windows
+  // with document + position, shuffling only (md5, doc, pos)
+  private val dedupSpanExact = Q(
+    "dedup_span_exact",
+    (s, d) => Dedup.duplicateSpans(documents(s, d), "doc_id", "text", 8)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("span_key"), col("n_occurrences")),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+            spans AS (
+              SELECT doc_id, i AS pos,
+                md5(array_to_string(ts[i:i+7], ' ')) AS span_key
+              FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            counted AS (
+              SELECT doc_id, pos, span_key,
+                count(*) OVER (PARTITION BY span_key) AS n_occurrences
+              FROM spans)
+            SELECT doc_id, pos, span_key, n_occurrences
+            FROM counted WHERE n_occurrences > 1"""))
+
   // policy dedup: every doc gets a case-variant twin (same normalized
   // key) and an independent deterministic quality score; the survivor
   // is the higher-scored copy, ties to the smaller id
@@ -1466,6 +1550,20 @@ object Queries {
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
+  // blocked entity resolution: quadratic comparison confined to nation
+  // blocks, integer edit distance -> exact oracle
+  private val erFuzzyPairs = Q(
+    "er_fuzzy_pairs",
+    (s, d) => operators.Resolve.blockedFuzzyPairs(
+      customer(s, d), "c_custkey", "c_nationkey", "c_name", 2),
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              a.c_nationkey AS block,
+              levenshtein(a.c_name, b.c_name) AS edit_dist
+            FROM customer a
+            JOIN customer b ON a.c_nationkey = b.c_nationkey
+              AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2"""))
+
   // the z-order interleave, oracled bit-for-bit: scaled coordinates are
   // identical IEEE ops, the interleave is pure integer shifts both sides
   private val zorderValue = Q(
@@ -1738,7 +1836,8 @@ object Queries {
     s4DimensionSeed, k8CascadeDelete,
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
-    aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, momentStats, statsProfile,
+    aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
+    momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,
     windowRank, windowRunning,
@@ -1747,7 +1846,8 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings, jsonExtract,
-    dedupExact, dedupKeepBest, dedupJaccard, dedupMinhash, dedupSimhash, dedupClusters,
+    dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
+    dedupSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
@@ -1756,5 +1856,6 @@ object Queries {
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
+    erFuzzyPairs,
     multimodalFeatures)
 }

@@ -149,4 +149,50 @@ object Aggregators {
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** Count-Min frequency sketch, cross-engine exact like
+    * [[HllDistinct]]: rows arrive with their d md5-derived bucket ids
+    * already computed (codegen'd `md5`/`conv` in the plan — see
+    * `Queries.sketch_cms_freq`), the buffer is the d×w counter matrix,
+    * merge is elementwise sum, and the point estimates for the fixed
+    * probe keys are min-over-rows — all integer arithmetic, so a DuckDB
+    * GROUP BY over the same buckets reproduces every estimate exactly.
+    * The standard guarantee: est >= true, est <= true + e*N with
+    * probability 1-δ for w = ceil(e/ε), d = ceil(ln 1/δ).
+    *
+    * Probe buckets are driver-computed metadata (the probes are known
+    * keys); the sketch itself never stores keys — fixed d*w longs per
+    * group at any cardinality.
+    */
+  class CountMinFreq(d: Int, w: Int, probeBuckets: Array[Array[Int]])
+      extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    require(d >= 1 && w >= 1 && probeBuckets.forall(_.length == d))
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(buf: Array[Long], buckets: Seq[Int]): Array[Long] = {
+      var j = 0
+      while (j < d) { buf(j * w + buckets(j)) += 1; j += 1 }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] =
+      probeBuckets.toSeq.map { pb =>
+        var est = Long.MaxValue
+        var j = 0
+        while (j < d) { est = math.min(est, buf(j * w + pb(j))); j += 1 }
+        est
+      }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: blocked pairwise fuzzy matching. The quadratic
+  * all-pairs comparison is confined to caller-chosen blocks (the
+  * standard ER contract — a block key bounds the fan-out the same way
+  * `maxBucket` bounds LSH buckets; at 100 TB the block key comes from a
+  * coarse cluster/phonetic/LSH signature, never a full cross join), and
+  * the expensive string distance runs only inside a block after the
+  * cheap equality prune.
+  */
+object Resolve {
+
+  /** All within-block pairs (id_a < id_b) whose `nameCol` edit distance
+    * is at most `maxEdit`, with the distance attached for downstream
+    * scoring. The levenshtein runs post-join inside whole-stage codegen;
+    * the join itself shuffles only (block, id, name).
+    */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, blockCol: String,
+                        nameCol: String, maxEdit: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(nameCol).as("__name_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(nameCol).as("__name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("__name_a"), col("__name_b")).cast("long"))
+      .filter(col("edit_dist") <= maxEdit)
+      .select("id_a", "id_b", "block", "edit_dist")
+  }
+}

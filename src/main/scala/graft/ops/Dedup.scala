@@ -261,6 +261,39 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Exact duplicate-span detection (the substring-dedup shape of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, simplified from suffix arrays to fixed-length
+    * windows): every overlapping `spanLen`-token window of every
+    * document, grouped corpus-wide; windows whose text occurs in more
+    * than one place are duplicated spans, reported with their document
+    * and token position so a downstream pass can excise them.
+    *
+    * Scale shape: the explode is narrow (windows stream out of the
+    * scan); the only shuffle carries (md5(span), doc, pos) — a fixed
+    * ~50 bytes/window regardless of span length if the caller swaps the
+    * span text for its hash, which the `hashOnly` flag does. Window
+    * count is tokens-per-doc × corpus, the same order as the shingle
+    * index the Jaccard path already builds.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     spanLen: Int, hashOnly: Boolean = true): DataFrame = {
+    require(spanLen >= 1)
+    val toks = tokens(col(textCol))
+    val windows = when(size(toks) >= spanLen,
+      transform(sequence(lit(1), size(toks) - (spanLen - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(spanLen)))))
+      .otherwise(array()) // sequence(1,0) would count DOWN, not empty
+    val spans = docs
+      // positions 1..len-spanLen+1, 1-based to match SQL slicing
+      .select(col(idCol), posexplode(windows).as(Seq("pos0", "span")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+        (if (hashOnly) md5(col("span")) else col("span")).as("span_key"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
+    spans.withColumn("n_occurrences", count(lit(1)).over(w))
+      .filter(col("n_occurrences") > 1)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within blocking
     * groups (`blockCol`), never a global cross join. At 100 TB the block
     * key would come from a coarse quantizer (IVF cell / LSH signature) —

@@ -60,6 +60,38 @@ class AggregatorsSpec extends SparkTestBase {
     assert(once == tripled)
   }
 
+  test("Count-Min: never undercounts, overcount bounded, partitioning-invariant") {
+    import graft.functions.Aggregators.CountMinFreq
+    val depth = 4
+    val width = 256
+    // probe keys 0, 5, 9 of a skewed stream: key k appears 100*(10-k) times
+    val probes = Seq(0L, 5L, 9L)
+    val probeBuckets = probes.map { p =>
+      Array.tabulate(depth) { j =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$p".getBytes("UTF-8"))(0) & 0xff
+      }
+    }.toArray
+    val data = (0L until 10L).flatMap(k => Seq.fill((100 * (10 - k)).toInt)(k))
+    val df = data.toDF("k")
+    val bucketCols = (0 until depth).map(j =>
+      conv(substring(md5(concat_ws("_", lit(j), $"k")), 1, 2), 16, 10).cast("int"))
+    val cms = udaf(new CountMinFreq(depth, width, probeBuckets),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+
+    def estimates(parts: Int): Seq[Long] = df.repartition(parts)
+      .agg(cms(array(bucketCols: _*))).head().getSeq[Long](0)
+
+    val est = estimates(1)
+    val exact = Seq(1000L, 500L, 100L)
+    est.zip(exact).foreach { case (e, x) =>
+      assert(e >= x, s"CMS must never undercount: $e < $x")
+      assert(e <= x + data.size / width * depth,
+        s"overcount $e for true $x exceeds the e*N bound")
+    }
+    assert(estimates(9) == est, "counter sums are partitioning-invariant")
+  }
+
   test("sketch aggregates land within tolerance of exact") {
     val li = Tables.lineitem(spark, sf("sf0.01"))
     val approx = SparkEntry.queries("sketch_agg")(spark, sf("sf0.01"))

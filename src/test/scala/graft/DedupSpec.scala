@@ -33,6 +33,31 @@ class DedupSpec extends SparkTestBase {
       "survivors keep their full original row")
   }
 
+  test("duplicateSpans finds cross-document repeated windows with positions") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix words alpha beta gamma delta end"),  // shares a 4-window at pos 3
+      (3L, "nothing in common with the others at all"),
+      (4L, "tiny")                                       // shorter than the span
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", 4, hashOnly = false)
+      .select("doc_id", "pos", "span_key")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 1, "alpha beta gamma delta"),
+      (2L, 3, "alpha beta gamma delta")),
+      s"exactly the shared window, at position 1 in doc 1 and 3 in doc 2: $out")
+  }
+
+  test("duplicateSpans: within-document repetition counts too") {
+    val corpus = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    // 2-token windows: "x y"(1), "y x"(2), "x y"(3), "y x"(4), "x y"(5)
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", 2, hashOnly = false)
+    assert(out.count() == 5, "every window here repeats somewhere in the doc")
+    assert(out.filter(col("span_key") === "x y")
+      .select("n_occurrences").distinct().head().getLong(0) == 3L)
+  }
+
   test("shingles: short docs fall back to whole text") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val tiny = sh.filter(col("doc_id") === 5).as[(Long, String)].collect()
