@@ -487,10 +487,14 @@ object Queries {
   // 60-bit hash both engines derive identically: 15 hex chars of md5,
   // nibble-decoded (Spark conv(hex) == DuckDB instr-on-nibbles, the
   // 15-digit generalization of duckBucket)
-  private def duckHash60(expr: String): String =
+  // same conversion over an already-computed md5 hex column (so the
+  // md5 is evaluated once in a prior CTE, not once per nibble term)
+  private def duckHex60(hexCol: String): String =
     (1 to 15).map(i =>
-      s"(instr('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
+      s"(instr('0123456789abcdef', substr($hexCol, $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
       .mkString("(", " + ", ")")
+
+  private def duckHash60(expr: String): String = duckHex60(s"md5($expr)")
 
   // rank of the highest set bit in the 52-bit HLL payload, as a CASE
   // chain (floor(log2) is banned: libm divergence)
@@ -1084,14 +1088,17 @@ object Queries {
     (s, d) => Dedup.duplicateSpans(documents(s, d), "doc_id", "text", 8)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("span_key"), col("n_occurrences")),
-    Some("""WITH tok AS (
+    Some(s"""WITH tok AS (
               SELECT doc_id,
-                string_split_regex(lower(trim(text)), '\s+') AS ts
+                string_split_regex(lower(trim(text)), '\\s+') AS ts
               FROM documents),
-            spans AS (
+            hashed AS (
               SELECT doc_id, i AS pos,
-                md5(array_to_string(ts[i:i+7], ' ')) AS span_key
+                md5(array_to_string(ts[i:i+7], ' ')) AS mh
               FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            spans AS (
+              SELECT doc_id, pos, ${duckHex60("mh")} AS span_key
+              FROM hashed),
             counted AS (
               SELECT doc_id, pos, span_key,
                 count(*) OVER (PARTITION BY span_key) AS n_occurrences
@@ -1550,17 +1557,23 @@ object Queries {
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
-  // blocked entity resolution: quadratic comparison confined to nation
-  // blocks, integer edit distance -> exact oracle
+  // blocked entity resolution: the block key composes nation with a
+  // name-substring (digits 4-6 of the customer number) — the standard
+  // multi-attribute blocking that keeps per-block fan-out bounded; a
+  // nation-only block at sf0.1 is 600 members -> 4.5M levenshtein
+  // calls, 15x this realization's
   private val erFuzzyPairs = Q(
     "er_fuzzy_pairs",
     (s, d) => operators.Resolve.blockedFuzzyPairs(
-      customer(s, d), "c_custkey", "c_nationkey", "c_name", 2),
+      customer(s, d).withColumn("block_key",
+        concat_ws("|", col("c_nationkey"), substring(col("c_name"), 13, 3))),
+      "c_custkey", "block_key", "c_name", 2),
     Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-              a.c_nationkey AS block,
+              a.c_nationkey::VARCHAR || '|' || substr(a.c_name, 13, 3) AS block,
               levenshtein(a.c_name, b.c_name) AS edit_dist
             FROM customer a
             JOIN customer b ON a.c_nationkey = b.c_nationkey
+              AND substr(a.c_name, 13, 3) = substr(b.c_name, 13, 3)
               AND a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 2"""))
 

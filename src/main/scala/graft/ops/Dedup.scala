@@ -270,25 +270,31 @@ object Dedup {
     * and token position so a downstream pass can excise them.
     *
     * Scale shape: the explode is narrow (windows stream out of the
-    * scan); the only shuffle carries (md5(span), doc, pos) — a fixed
-    * ~50 bytes/window regardless of span length if the caller swaps the
-    * span text for its hash, which the `hashOnly` flag does. Window
-    * count is tokens-per-doc × corpus, the same order as the shingle
-    * index the Jaccard path already builds.
+    * scan); the only shuffle carries (hash, doc, pos) — the hash an
+    * 8-byte long (60 bits of md5), a fixed ~24 bytes/window regardless
+    * of span length, when the `hashOnly` flag swaps the span text for
+    * its hash. Window count is tokens-per-doc × corpus, the same order
+    * as the shingle index the Jaccard path already builds.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      spanLen: Int, hashOnly: Boolean = true): DataFrame = {
     require(spanLen >= 1)
-    val toks = tokens(col(textCol))
+    // tokenize into a BOUND column first: referencing the split
+    // expression directly inside the transform() lambda would re-run
+    // the tokenizer per window (O(len^2) re-splits per document)
+    val toks = col("__toks")
     val windows = when(size(toks) >= spanLen,
       transform(sequence(lit(1), size(toks) - (spanLen - 1)),
         i => concat_ws(" ", slice(toks, i, lit(spanLen)))))
       .otherwise(array()) // sequence(1,0) would count DOWN, not empty
     val spans = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       // positions 1..len-spanLen+1, 1-based to match SQL slicing
       .select(col(idCol), posexplode(windows).as(Seq("pos0", "span")))
       .select(col(idCol), (col("pos0") + 1).as("pos"),
-        (if (hashOnly) md5(col("span")) else col("span")).as("span_key"))
+        (if (hashOnly)
+           conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long")
+         else col("span")).as("span_key"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
     spans.withColumn("n_occurrences", count(lit(1)).over(w))
       .filter(col("n_occurrences") > 1)
