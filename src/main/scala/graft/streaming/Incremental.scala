@@ -88,6 +88,37 @@ object Incremental {
       graft.operators.Sinks.appendDedup(pairs, pairsPath, Seq("id_a", "id_b"))
     }
 
+  /** Bounded-memory streaming dedup: per-shard bloom filters held in
+    * flatMapGroupsWithState, emitting only first-seen ids. State is
+    * FIXED (shards × words × 8 bytes) no matter how many distinct keys
+    * flow through — the answer when even watermarked exact dedup state
+    * ([[dedupStream]]) outgrows the cluster (an unbounded-horizon id
+    * space at 100 TB/day). The trade is explicit and one-sided: a
+    * duplicate is NEVER emitted twice; a ~fpp fraction of true uniques
+    * is wrongly dropped as the filter fills. Shard count spreads both
+    * the state and the per-batch CPU across tasks.
+    */
+  def bloomDedupStream(ids: org.apache.spark.sql.Dataset[Long], shards: Int,
+                       numWords: Int, numHashes: Int):
+      org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import ids.sparkSession.implicits._
+    ids.groupByKey(id => (id % shards + shards) % shards)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Long],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long](numWords))
+          val bloom = new graft.functions.Expressions.LongBloom(numHashes, bits)
+          val fresh = batch.filter { id =>
+            val unseen = !bloom.mightContain(id)
+            if (unseen) bloom.add(id)
+            unseen
+          }.toVector
+          state.update(bits)
+          fresh.iterator
+      }
+  }
+
   /** Streaming -> idempotent table: each micro-batch lands through the
     * dup-tolerant first-write-wins sink (K1/K3 semantics), so replayed or
     * overlapping batches converge — the streaming form of the reference's

@@ -124,6 +124,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("duplicateSpans matches a naive window recount on arbitrary corpora") {
+    val corpusGen = Gen.listOfN(6, textGen)
+    samples(corpusGen, 10).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(docs, "doc_id", "text", 3, hashOnly = false)
+        .select("doc_id", "pos", "span_key")
+        .as[(Long, Int, String)].collect().toSet
+      // naive: every 3-window of every doc, keep those whose text repeats
+      val all = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).zipWithIndex
+          .map { case (w, p) => (i.toLong, p + 1, w.mkString(" ")) }
+      }
+      val repeated = all.groupBy(_._3).filter(_._2.size > 1).values.flatten.toSet
+      assert(got == repeated, s"corpus=$texts")
+    }
+  }
+
+  test("winsorize: clipped values always inside the observed bounds, count preserved") {
+    val valsGen = Gen.listOfN(40, Gen.chooseNum(-1000.0, 1000.0))
+    samples(valsGen, 10).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("g", "id", "v")
+      val out = graft.ops.Features.winsorize(df, "g", "v", 5, 95)
+      assert(out.count() == vs.size, "winsorize never drops rows")
+      val clipped = out.select("v_clipped").as[Double].collect()
+      val sorted = vs.sorted
+      val lo = sorted(math.max((vs.size * 5 + 99) / 100, 1) - 1)
+      val hi = sorted(math.max(vs.size * 95 / 100, math.max((vs.size * 5 + 99) / 100, 1)) - 1)
+      assert(clipped.forall(c => c >= lo && c <= hi),
+        s"clip outside [$lo,$hi]: ${clipped.filterNot(c => c >= lo && c <= hi).toSeq}")
+      assert(clipped.min == lo && clipped.max == hi,
+        "the bounds themselves must be attained (they are real order statistics)")
+    }
+  }
+
   test("WAV codec round-trips arbitrary PCM16 sample arrays") {
     import graft.ops.Multimodal.WavCodec
     val pcmGen = for {

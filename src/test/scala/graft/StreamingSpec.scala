@@ -236,6 +236,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bloom dedup stream: duplicates never re-emitted across batches, state fixed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val out = Incremental.bloomDedupStream(mem.toDS(), shards = 4,
+      numWords = 1024, numHashes = 4)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bloom_dedup_out").start()
+    try {
+      mem.addData(1L, 2L, 3L, 2L) // within-batch dup
+      q.processAllAvailable()
+      mem.addData(3L, 4L, 1L, 5L) // cross-batch dups
+      q.processAllAvailable()
+      val got = spark.table("bloom_dedup_out").as[Long].collect().toSeq
+      assert(got.size == got.toSet.size, s"an id was emitted twice: $got")
+      assert(got.toSet == Set(1L, 2L, 3L, 4L, 5L),
+        "at this fill level (5 ids in 64kbit) no false positives are expected")
+    } finally q.stop()
+  }
+
   test("trailing window filter bounds (exclusive start, inclusive end)") {
     val df = rows.toDF()
     val got = Incremental.trailingWindow(df, "ts", "2024-01-10 10:00:00", 7)
