@@ -484,17 +484,15 @@ object Queries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
     None)
 
-  // 60-bit hash both engines derive identically: 15 hex chars of md5,
-  // nibble-decoded (Spark conv(hex) == DuckDB instr-on-nibbles, the
-  // 15-digit generalization of duckBucket)
-  // same conversion over an already-computed md5 hex column (so the
-  // md5 is evaluated once in a prior CTE, not once per nibble term)
+  // 60-bit hash both engines derive identically: nibble-decode 15 hex
+  // chars of an ALREADY-computed md5 column (Spark conv(hex) == DuckDB
+  // instr-on-nibbles, the 15-digit generalization of duckBucket).
+  // Callers bind md5(...) in a prior CTE so it runs once per row, not
+  // once per nibble term.
   private def duckHex60(hexCol: String): String =
     (1 to 15).map(i =>
       s"(instr('0123456789abcdef', substr($hexCol, $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
       .mkString("(", " + ", ")")
-
-  private def duckHash60(expr: String): String = duckHex60(s"md5($expr)")
 
   // rank of the highest set bit in the 52-bit HLL payload, as a CASE
   // chain (floor(log2) is banned: libm divergence)
@@ -522,9 +520,10 @@ object Queries {
             .apply(col("h")).as("distinct_est"),
           count(lit(1)).as("n_rows"))
     },
-    Some(s"""WITH hashed AS (
-              SELECT event_type, ${duckHash60("event_id::VARCHAR")} AS h
-              FROM events),
+    Some(s"""WITH md AS (
+              SELECT event_type, md5(event_id::VARCHAR) AS mh FROM events),
+            hashed AS (
+              SELECT event_type, ${duckHex60("mh")} AS h FROM md),
             slotted AS (
               SELECT event_type, h // 4503599627370496 AS idx,
                      h % 4503599627370496 AS w
@@ -1108,12 +1107,15 @@ object Queries {
 
   // policy dedup: every doc gets a case-variant twin (same normalized
   // key) and an independent deterministic quality score; the survivor
-  // is the higher-scored copy, ties to the smaller id
+  // is the higher-scored copy, ties to the smaller id. The twin offset
+  // must NOT be divisible by 100: q = 37*id mod 100, so an offset of
+  // 100000 would give every twin pair identical q and the quality
+  // ordering would never be exercised — 100001 shifts twin q by 37
   private val dedupKeepBest = Q(
     "dedup_keep_best",
     (s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val twins = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      val twins = docs.select((col("doc_id") + 100001L).as("doc_id"),
         upper(col("text")).as("text"))
       val scored = docs.union(twins)
         .withColumn("q", pmod(col("doc_id") * 37, lit(100)))
@@ -1122,7 +1124,7 @@ object Queries {
     Some("""WITH all_docs AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+              SELECT doc_id + 100001 AS doc_id, upper(text) AS text
               FROM documents),
             ranked AS (
               SELECT doc_id, (doc_id * 37) % 100 AS q,

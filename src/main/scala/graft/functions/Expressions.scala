@@ -493,12 +493,17 @@ object Expressions {
     def compute(arr: ArrayData): Long = {
       require(arr.numElements() == nCols,
         s"z_value: expected $nCols coordinates, got ${arr.numElements()}")
+      // null coordinates cluster at the origin (0) — explicitly, not via
+      // whatever a null slot happens to read as in a given ArrayData
+      // implementation; matches Layout.zColumn, whose greatest(null, 0)
+      // already maps a null input to 0
       var z = 0L
       var b = 0
       while (b < bits) {
         var i = 0
         while (i < nCols) {
-          z |= ((arr.getLong(i) >>> b) & 1L) << (b * nCols + i)
+          val c = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+          z |= ((c >>> b) & 1L) << (b * nCols + i)
           i += 1
         }
         b += 1

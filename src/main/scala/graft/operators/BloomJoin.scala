@@ -68,10 +68,15 @@ object BloomJoin {
   }
 
   /** The probe predicate as a Column, with the sketch on an explicit
-    * Broadcast so tasks fetch it once per executor.
+    * Broadcast so tasks fetch it once per executor. Each call creates
+    * one broadcast whose lifetime follows the query plan holding it
+    * (ContextCleaner reclaims it with the plan); callers probing MANY
+    * times with one sketch should broadcast once themselves and reuse
+    * `Expressions.bloom_might_contain` directly.
     */
-  def mightContain(df: DataFrame, bloom: LongBloom, key: Column): Column =
-    bloom_might_contain(key, df.sparkSession.sparkContext.broadcast(bloom))
+  def mightContain(spark: org.apache.spark.sql.SparkSession, bloom: LongBloom,
+                   key: Column): Column =
+    bloom_might_contain(key, spark.sparkContext.broadcast(bloom))
 
   /** Exact semi-join of `big` against `small`'s keys, bloom-pruned
     * before the join. The result is EXACTLY the plain semi-join (the
@@ -83,8 +88,10 @@ object BloomJoin {
   def semiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
                expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = buildBloom(small.select(smallKey), smallKey, expectedKeys, fpp)
-    val pruned = big.filter(mightContain(big, bloom, col(bigKey)))
-    val keys = small.select(col(smallKey).as(bigKey)).distinct()
+    val pruned = big.filter(mightContain(big.sparkSession, bloom, col(bigKey)))
+    // no distinct(): left_semi already dedups the build side; an
+    // explicit distinct would add a full extra aggregation of the keys
+    val keys = small.select(col(smallKey).as(bigKey))
     pruned.join(keys, Seq(bigKey), "left_semi")
   }
 }

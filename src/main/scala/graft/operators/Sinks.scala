@@ -268,23 +268,42 @@ object Sinks {
     * the scan-efficient size; at 100 TB the resulting open/seek/footer
     * overhead — and driver-side listing — dominates reads long before
     * row decoding does. Staged rewrite: the compacted copy lands in a
-    * sibling temp dir first, then swaps in via two renames, so a crash
-    * leaves either the old table or the new one, never a half table
-    * (the swap window itself is the transactionality a table format
-    * like Delta/Iceberg would close with an atomic manifest commit).
+    * sibling temp dir first, then swaps in via two renames; a crash
+    * inside the swap leaves the table at exactly one well-known
+    * sibling, and the next call rolls it forward or back before doing
+    * anything else — readers during the swap window still race, which
+    * is the residual transactionality a table format like
+    * Delta/Iceberg closes with an atomic manifest commit. Refuses
+    * hive-partitioned layouts (compact per partition instead).
     * Returns the new file count.
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long): Int = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(path + ".compact.tmp")
     val old = new Path(path + ".compact.old")
+    // crash recovery before anything else: a previous run that died
+    // inside the swap leaves the table at exactly one of tmp (fully
+    // written — roll forward) or old (staged out — roll back); either
+    // way the rerun starts from a live table at `path`
+    if (!fs.exists(p)) {
+      if (fs.exists(tmp)) require(fs.rename(tmp, p),
+        s"compact: could not roll forward $tmp")
+      else if (fs.exists(old)) require(fs.rename(old, p),
+        s"compact: could not roll back $old")
+      else throw new IllegalArgumentException(s"compact: no table at $path")
+    }
+    require(!fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"compact: $path is hive-partitioned; compact each partition " +
+        "directory individually so the layout (and its pruning) survives")
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // repartition, not coalesce: coalesce(1-ish) would collapse the READ
     // parallelism of the job itself; the shuffle is the price of an even
     // rewrite and is proportional to the table, run it off-peak
+    fs.delete(tmp, true)
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(old, true)

@@ -25,8 +25,13 @@ object Features {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 pLowPct: Int, pHighPct: Int): DataFrame = {
     require(0 <= pLowPct && pLowPct < pHighPct && pHighPct <= 100)
+    // ranks over NON-NULL values only: nulls sort first under the
+    // default ordering, so an order-statistic rank could otherwise land
+    // on a null and silently disable that side's clipping (Spark's
+    // least/greatest skip nulls)
+    val nonNull = df.filter(col(valueCol).isNotNull)
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
-    val ranked = df
+    val ranked = nonNull
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
     // integer ceil/floor division (Spark's / is fractional; div keeps
@@ -41,11 +46,16 @@ object Features {
       .agg(
         min(when(col("__rn") === loRank, col(valueCol))).as("__lo"),
         max(when(col("__rn") === hiRank, col(valueCol))).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // LEFT join: rows with a null group key (no bounds row) and rows
+    // with a null value pass through unclipped rather than vanishing
+    val unbounded = col(valueCol).isNull || col("__lo").isNull
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(s"${valueCol}_clipped",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(unbounded, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .withColumn("was_clipped",
-        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+        when(unbounded, lit(false))
+          .otherwise(col(valueCol) < col("__lo") || col(valueCol) > col("__hi")))
       .drop("__lo", "__hi")
   }
 
@@ -58,7 +68,9 @@ object Features {
   def minMaxScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val bounds = df.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // LEFT join: a null group key has no bounds row; scale to null
+    // instead of dropping the row
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(s"${valueCol}_scaled",
         when(col("__max") === col("__min"), lit(null))
           .otherwise((col(valueCol) - col("__min")) / (col("__max") - col("__min"))))

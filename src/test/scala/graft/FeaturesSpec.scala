@@ -31,6 +31,25 @@ class FeaturesSpec extends SparkTestBase {
     assert(out.select("v_clipped").as[Double].head() == 42.0)
   }
 
+  test("winsorize: null values and null group keys survive unclipped") {
+    val withNulls = (Seq(("a", 1L, Option.empty[Double]),
+      (null.asInstanceOf[String], 2L, Some(7.0))) ++
+      (1 to 100).map(i => ("a", i + 10L, Some(i.toDouble))))
+      .toDF("g", "id", "v")
+    val out = Features.winsorize(withNulls, "g", "v", 10, 90)
+    assert(out.count() == 102, "no rows dropped")
+    val nullVal = out.filter($"id" === 1L).head()
+    assert(nullVal.isNullAt(nullVal.fieldIndex("v_clipped")))
+    assert(!nullVal.getAs[Boolean]("was_clipped"))
+    val nullGrp = out.filter($"id" === 2L).head()
+    assert(nullGrp.getAs[Double]("v_clipped") == 7.0, "null group: value passes through")
+    assert(!nullGrp.getAs[Boolean]("was_clipped"))
+    // the non-null hundred still clip on ranks computed WITHOUT the null
+    val a = out.filter($"g" === "a" && $"v".isNotNull)
+    assert(a.agg(min("v_clipped")).head().getDouble(0) == 10.0)
+    assert(a.agg(max("v_clipped")).head().getDouble(0) == 90.0)
+  }
+
   test("minMaxScale: exact [0,1] range, constant group scales to null") {
     val out = Features.minMaxScale(vals, "g", "v")
     val a = out.filter($"g" === "a").select("v", "v_scaled")

@@ -16,6 +16,17 @@ class LayoutSpec extends SparkTestBase {
     assert(out == 7L, s"expected 0b0111=7, got $out")
   }
 
+  test("z_value: null coordinates cluster at the origin, deterministically") {
+    // registered here (not only in SkewExtensionsSpec) for suite-order
+    // independence
+    graft.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT z_value(array(CAST(NULL AS BIGINT), 3L), 2, 2) AS z")
+      .head().getLong(0)
+    // coords (0, 3): bits y0->pos1, y1->pos3 -> 0b1010 = 10
+    assert(out == 10L, s"null x must read as 0: got $out")
+  }
+
   test("z_value: adjacent points get adjacent z (locality sanity)") {
     val zs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L))
       .toDF("x", "y")

@@ -33,6 +33,33 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(!new java.io.File(dir + ".compact.old").exists())
   }
 
+  test("compact: recovers a table stranded mid-swap by a crash") {
+    val dir = Files.createTempDirectory("graft_compact_rec_").toString + "/t"
+    spark.range(0, 1000).repartition(8).write.parquet(dir)
+    def mv(a: String, b: String) =
+      assert(new java.io.File(a).renameTo(new java.io.File(b)))
+
+    // crash after stage-out (table at .old, no tmp): roll back, then compact
+    mv(dir, dir + ".compact.old")
+    Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(spark.read.parquet(dir).count() == 1000)
+
+    // crash after tmp fully written (table gone, tmp present): roll forward
+    mv(dir, dir + ".compact.tmp")
+    Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("compact refuses hive-partitioned layouts") {
+    val dir = Files.createTempDirectory("graft_compact_part_").toString + "/t"
+    Sinks.writePartitioned(
+      spark.range(0, 100).selectExpr("id", "id % 3 AS p"), dir, "p")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, dir, targetFileBytes = 1024)
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("K7/K5: CSV export and seed re-import round trip (with dup collapse)") {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/genres"
     val dims = Dimensions.genres(spark)
