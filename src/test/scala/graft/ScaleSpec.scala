@@ -148,6 +148,20 @@ class ScaleSpec extends SparkTestBase {
     assert(df.count() == 100)
   }
 
+  test("z_value and bloom probe participate in whole-stage codegen") {
+    val bloom = graft.functions.Expressions.LongBloom.sized(100, 0.01)
+    (0L until 50L).foreach(bloom.add)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val df = spark.range(200).select(
+      graft.functions.Expressions.z_value(
+        array(col("id") % 64, (col("id") * 7) % 64), 2, 6).as("z"),
+      graft.functions.Expressions.bloom_might_contain(col("id"), bc).as("in_bloom"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"layout/probe projection must stay in a codegen span; plan:\n$plan")
+    assert(df.filter(col("in_bloom")).count() >= 50, "no false negatives")
+  }
+
   test("custom dot product participates in whole-stage codegen") {
     // non-literal input so the projection cannot constant-fold away
     val df = spark.range(3).select(
