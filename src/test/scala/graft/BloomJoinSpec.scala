@@ -43,6 +43,16 @@ class BloomJoinSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("int-typed keys probe correctly (widened, not misread)") {
+    val factsInt = (1 to 500).map(i => (i.toLong, (i % 97))).toDF("row_id", "key")
+    val dimsInt = (0 until 97).filter(_ % 5 == 0).map(k => Tuple1(k)).toDF("dk")
+    val got = BloomJoin.semiJoin(factsInt, "key", dimsInt, "dk", expectedKeys = 64)
+      .select("row_id").as[Long].collect().toSet
+    val want = factsInt.filter((col("key") % 5) === 0)
+      .select("row_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("empty key side yields an empty result") {
     val out = BloomJoin.semiJoin(facts, "key", dims.filter(lit(false)), "dk", expectedKeys = 16)
     assert(out.count() == 0)
