@@ -90,7 +90,7 @@ object Aggregators {
   /** HyperLogLog distinct-count sketch over pre-hashed keys, built to be
     * CROSS-ENGINE EXACT rather than merely approximately right: the
     * input is a 60-bit hash both engines derive identically (15 hex
-    * chars of md5, see `Queries.duckHash60`), the registers are integer
+    * chars of md5, see `Queries.duckHex60`), the registers are integer
     * maxima, and the raw estimator is evaluated in integer-scaled
     * arithmetic (sum of 2^(wBits - Mj) as a BIGINT) followed by ONE
     * double multiply-divide — so a DuckDB GROUP BY over the same hashes

@@ -89,8 +89,11 @@ object BloomJoin {
                expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = buildBloom(small.select(smallKey), smallKey, expectedKeys, fpp)
     val pruned = big.filter(mightContain(big.sparkSession, bloom, col(bigKey)))
-    // no distinct(): left_semi already dedups the build side; an
-    // explicit distinct would add a full extra aggregation of the keys
+    // no distinct(): left_semi already dedups the build side, and for
+    // the expected near-unique key side an explicit distinct is a full
+    // wasted aggregation. Callers with a HEAVILY duplicated key side
+    // should dedup before calling — every duplicate row is otherwise
+    // carried into the exact join's exchange.
     val keys = small.select(col(smallKey).as(bigKey))
     pruned.join(keys, Seq(bigKey), "left_semi")
   }

@@ -25,11 +25,13 @@ object Features {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 pLowPct: Int, pHighPct: Int): DataFrame = {
     require(0 <= pLowPct && pLowPct < pHighPct && pHighPct <= 100)
-    // ranks over NON-NULL values only: nulls sort first under the
-    // default ordering, so an order-statistic rank could otherwise land
-    // on a null and silently disable that side's clipping (Spark's
-    // least/greatest skip nulls)
-    val nonNull = df.filter(col(valueCol).isNotNull)
+    // ranks over NON-NULL values and group keys only: nulls sort first
+    // under the default ordering, so an order-statistic rank could
+    // otherwise land on a null and silently disable that side's
+    // clipping (Spark's least/greatest skip nulls); a null group key's
+    // bounds row could never match the null-unsafe join below, so
+    // ranking that partition would be dead work
+    val nonNull = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
     val ranked = nonNull
       .withColumn("__rn", row_number().over(w))
@@ -46,7 +48,8 @@ object Features {
       .agg(
         min(when(col("__rn") === loRank, col(valueCol))).as("__lo"),
         max(when(col("__rn") === hiRank, col(valueCol))).as("__hi"))
-    // LEFT join: rows with a null group key (no bounds row) and rows
+    // LEFT join: rows with a null group key (excluded from ranking,
+    // and unmatchable by the null-unsafe equi-join anyway) and rows
     // with a null value pass through unclipped rather than vanishing
     val unbounded = col(valueCol).isNull || col("__lo").isNull
     df.join(broadcast(bounds), Seq(groupCol), "left")
