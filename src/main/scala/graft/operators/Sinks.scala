@@ -278,39 +278,73 @@ object Sinks {
     * Returns the new file count.
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long): Int = {
+    var nFiles = 0
+    stagedReplace(spark, path, "compact") { (fs, p, tmpDir) =>
+      require(!fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.contains("=")),
+        s"compact: $path is hive-partitioned; compact each partition " +
+          "directory individually so the layout (and its pruning) survives")
+      val bytes = fs.getContentSummary(p).getLength
+      nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      // repartition, not coalesce: coalesce(1-ish) would collapse the
+      // READ parallelism of the job itself; the shuffle is the price of
+      // an even rewrite and is proportional to the table, run it off-peak
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    }
+    nFiles
+  }
+
+  /** MERGE/upsert into a parquet table: matched keys take the batch's
+    * row, unmatched stored rows survive, new keys append — the
+    * update-capable sibling of [[appendDedup]]'s first-write-wins
+    * insert. Plain parquet has no row-level update, so the merge is a
+    * full rewrite through the same staged-swap protocol as [[compact]]
+    * (crash inside the swap → the next call rolls forward or back).
+    * Replaying the same batch is idempotent. At 100 TB the rewrite cost
+    * is the argument FOR a table format's row-level MERGE; until then,
+    * partition the table and merge only the touched partitions.
+    */
+  def mergeUpsert(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty)
+    val spark = df.sparkSession
+    if (!exists(spark, path)) { df.write.parquet(path); return }
+    stagedReplace(spark, path, "merge") { (_, _, tmpDir) =>
+      val cur = spark.read.parquet(path)
+      require(cur.columns.sorted.sameElements(df.columns.sorted),
+        s"mergeUpsert: schema mismatch ${cur.columns.toSeq} vs ${df.columns.toSeq}")
+      cur.join(df.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(df)
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    }
+  }
+
+  /** The staged-swap write protocol shared by [[compact]] and
+    * [[mergeUpsert]]: recover any crashed predecessor (the table is at
+    * exactly one of `.tmp` — fully written, roll forward — or `.old` —
+    * staged out, roll back), run `write` into a fresh `.tmp` sibling,
+    * then swap via two renames and drop `.old`.
+    */
+  private def stagedReplace(spark: SparkSession, path: String, op: String)(
+      write: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, String) => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".compact.tmp")
-    val old = new Path(path + ".compact.old")
-    // crash recovery before anything else: a previous run that died
-    // inside the swap leaves the table at exactly one of tmp (fully
-    // written — roll forward) or old (staged out — roll back); either
-    // way the rerun starts from a live table at `path`
+    val tmp = new Path(path + s".$op.tmp")
+    val old = new Path(path + s".$op.old")
     if (!fs.exists(p)) {
       if (fs.exists(tmp)) require(fs.rename(tmp, p),
-        s"compact: could not roll forward $tmp")
+        s"$op: could not roll forward $tmp")
       else if (fs.exists(old)) require(fs.rename(old, p),
-        s"compact: could not roll back $old")
-      else throw new IllegalArgumentException(s"compact: no table at $path")
+        s"$op: could not roll back $old")
+      else throw new IllegalArgumentException(s"$op: no table at $path")
     }
-    require(!fs.listStatus(p).exists(s =>
-        s.isDirectory && s.getPath.getName.contains("=")),
-      s"compact: $path is hive-partitioned; compact each partition " +
-        "directory individually so the layout (and its pruning) survives")
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    // repartition, not coalesce: coalesce(1-ish) would collapse the READ
-    // parallelism of the job itself; the shuffle is the price of an even
-    // rewrite and is proportional to the table, run it off-peak
     fs.delete(tmp, true)
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    write(fs, p, tmp.toString)
     fs.delete(old, true)
-    require(fs.rename(p, old), s"compact: could not stage out $path")
-    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    require(fs.rename(p, old), s"$op: could not stage out $path")
+    require(fs.rename(tmp, p), s"$op: could not swap in $tmp")
     fs.delete(old, true)
-    nFiles
   }
 
   /** Default node-label -> key-column mapping for the movie graph. */

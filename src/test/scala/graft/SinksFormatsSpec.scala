@@ -50,6 +50,36 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("mergeUpsert: updates matched, keeps unmatched, appends new; replay idempotent") {
+    val dir = Files.createTempDirectory("graft_merge_").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(dir)
+    val batch = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+
+    Sinks.mergeUpsert(batch, dir, Seq("k"))
+    def snapshot = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    val want = Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    assert(snapshot == want)
+
+    Sinks.mergeUpsert(batch, dir, Seq("k")) // replay converges
+    assert(snapshot == want)
+    assert(!new java.io.File(dir + ".merge.tmp").exists())
+    assert(!new java.io.File(dir + ".merge.old").exists())
+  }
+
+  test("mergeUpsert: first write creates the table; schema drift rejected") {
+    val dir = Files.createTempDirectory("graft_merge_new_").toString + "/t"
+    val batch = Seq((1L, "a")).toDF("k", "name")
+    Sinks.mergeUpsert(batch, dir, Seq("k"))
+    assert(spark.read.parquet(dir).count() == 1)
+    val drifted = Seq((2L, 5.0)).toDF("k", "other")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeUpsert(drifted, dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("compact refuses hive-partitioned layouts") {
     val dir = Files.createTempDirectory("graft_compact_part_").toString + "/t"
     Sinks.writePartitioned(
