@@ -1559,6 +1559,67 @@ object Queries {
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
+  // one-pass data-quality gate: the engine analog of the reference's
+  // pydantic validation, as declarative expectations with violation
+  // counts — a single map-side-combined aggregation, never a job per
+  // check
+  private val dqExpectations = Q(
+    "dq_expectations",
+    (s, d) => ops.DataQuality.expect(lineitem(s, d), Seq(
+      "qty_range" -> col("l_quantity").between(1, 50),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "discount_range" -> col("l_discount").between(0.0, 0.1),
+      "ship_in_epoch" -> (col("l_shipdate") >= lit("1992-01-01").cast("timestamp")))),
+    Some("""SELECT
+              CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS violations_qty_range,
+              CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS violations_price_positive,
+              CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS violations_flag_domain,
+              CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, false)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS violations_discount_range,
+              CAST(sum(CASE WHEN coalesce(l_shipdate >= TIMESTAMP '1992-01-01', false)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS violations_ship_in_epoch,
+              (sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false)
+                   THEN 0 ELSE 1 END) = 0
+               AND sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+                   THEN 0 ELSE 1 END) = 0
+               AND sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+                   THEN 0 ELSE 1 END) = 0
+               AND sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, false)
+                   THEN 0 ELSE 1 END) = 0
+               AND sum(CASE WHEN coalesce(l_shipdate >= TIMESTAMP '1992-01-01', false)
+                   THEN 0 ELSE 1 END) = 0) AS all_passed
+            FROM lineitem"""))
+
+  // per-column profile (count/null/distinct/min/max) from ONE pass,
+  // pivoted to a row per column. Realized over integer/string columns
+  // only: the type-erased min/max report casts to string, and
+  // double-to-string formatting is engine-specific (Java shortest-repr
+  // vs DuckDB's) — integers and strings render identically everywhere
+  private val dqProfile = Q(
+    "dq_profile",
+    (s, d) => ops.DataQuality.profile(orders(s, d),
+      Seq("o_custkey", "o_orderkey", "o_orderstatus")),
+    Some("""SELECT 'o_custkey' AS column, count(*) AS n_rows,
+              count(*) - count(o_custkey) AS n_null,
+              count(DISTINCT o_custkey) AS n_distinct,
+              CAST(min(o_custkey) AS VARCHAR) AS min_value,
+              CAST(max(o_custkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+              count(DISTINCT o_orderkey),
+              CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+              count(DISTINCT o_orderstatus),
+              CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders"""))
+
   // blocked entity resolution: the block key composes nation with a
   // name-substring (digits 4-6 of the customer number) — the standard
   // multi-attribute blocking that keeps per-block fan-out bounded; a
@@ -1871,6 +1932,6 @@ object Queries {
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
-    erFuzzyPairs,
+    erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures)
 }

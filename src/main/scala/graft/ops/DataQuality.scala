@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation — the engine-side analog of the reference's
+  * pydantic model validation (movie_model.py: required fields, typed
+  * coercions), generalized into declarative expectations evaluated in
+  * ONE aggregation pass: completeness, uniqueness, ranges, row counts.
+  * The report is a single row of measures + booleans, so a pipeline
+  * gates a load on `expectations.filter(not(col("all_passed")))` being
+  * empty — at 100 TB the entire audit costs one map-side-combined scan,
+  * never one job per check.
+  */
+object DataQuality {
+
+  /** Per-column profile in one pass: row count, null count, distinct
+    * count (exact), min/max as strings (type-erased for a uniform
+    * report schema). One row per profiled column, pivoted from a single
+    * aggregation.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__n_$c").as("n_rows"), (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** Evaluate named boolean expectations over the WHOLE frame in one
+    * aggregation: each constraint is a per-row predicate that must hold
+    * everywhere (nulls count as failures — an unknown is not a pass).
+    * Returns one row: per-constraint violation counts plus
+    * `all_passed`.
+    */
+  def expect(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty)
+    val aggs = constraints.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"violations_$name")
+    }
+    val report = df.agg(aggs.head, aggs.tail: _*)
+    report.withColumn("all_passed",
+      constraints.map(c => col(s"violations_${c._1}") === 0L).reduce(_ && _))
+  }
+}

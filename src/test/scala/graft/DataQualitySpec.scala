@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DataQuality
+
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, Some(10.0), "ok"),
+    (2L, Some(-5.0), "ok"),   // violates positive
+    (3L, None, "ok"),         // null value: violates positive (unknown != pass)
+    (4L, Some(7.0), "bad")    // violates domain
+  ).toDF("id", "v", "status")
+
+  test("expect: per-constraint violation counts, nulls fail, all_passed gates") {
+    val report = DataQuality.expect(rows, Seq(
+      "v_positive" -> (col("v") > 0),
+      "status_domain" -> col("status").isin("ok"),
+      "id_nonnull" -> col("id").isNotNull)).head()
+    assert(report.getAs[Long]("violations_v_positive") == 2, "-5 and null both fail")
+    assert(report.getAs[Long]("violations_status_domain") == 1)
+    assert(report.getAs[Long]("violations_id_nonnull") == 0)
+    assert(!report.getAs[Boolean]("all_passed"))
+  }
+
+  test("expect: clean data passes") {
+    val report = DataQuality.expect(rows.filter($"id" === 1L), Seq(
+      "v_positive" -> (col("v") > 0))).head()
+    assert(report.getAs[Boolean]("all_passed"))
+  }
+
+  test("profile: one row per column with exact counts and stringified extremes") {
+    val p = DataQuality.profile(rows, Seq("id", "v", "status"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("id").getAs[Long]("n_null") == 0 && p("id").getAs[Long]("n_distinct") == 4)
+    assert(p("v").getAs[Long]("n_null") == 1 && p("v").getAs[String]("min_value") == "-5.0")
+    assert(p("status").getAs[Long]("n_distinct") == 2)
+    assert(p("id").getAs[Long]("n_rows") == 4)
+  }
+
+  test("profile and expect are single-aggregation plans (no job per check)") {
+    val plan = DataQuality.expect(rows, Seq(
+      "a" -> (col("v") > 0), "b" -> col("status").isin("ok")))
+      .queryExecution.executedPlan.toString
+    val aggregates = "HashAggregate|SortAggregate".r.findAllIn(plan).size
+    assert(aggregates <= 4, s"one partial+final aggregate pair expected:\n$plan")
+  }
+}
