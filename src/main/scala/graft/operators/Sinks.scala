@@ -296,25 +296,37 @@ object Sinks {
   }
 
   /** MERGE/upsert into a parquet table: matched keys take the batch's
-    * row, unmatched stored rows survive, new keys append — the
-    * update-capable sibling of [[appendDedup]]'s first-write-wins
-    * insert. Plain parquet has no row-level update, so the merge is a
-    * full rewrite through the same staged-swap protocol as [[compact]]
-    * (crash inside the swap → the next call rolls forward or back).
-    * Replaying the same batch is idempotent. At 100 TB the rewrite cost
-    * is the argument FOR a table format's row-level MERGE; until then,
-    * partition the table and merge only the touched partitions.
+    * row (batch-internal duplicates collapse first, dropDuplicates
+    * semantics, matching [[appendDedup]]), unmatched stored rows
+    * survive, new keys append. Plain parquet has no row-level update,
+    * so the merge is a full rewrite through the same staged-swap
+    * protocol as [[compact]] (crash inside the swap → the next call
+    * rolls forward or back — checked BEFORE the first-write test, so a
+    * stranded table is never mistaken for an empty one). The key match
+    * is null-safe, so replaying the same batch is idempotent even with
+    * null key values. At 100 TB the rewrite cost is the argument FOR a
+    * table format's row-level MERGE; until then, partition the table
+    * and merge only the touched partitions.
     */
   def mergeUpsert(df: DataFrame, path: String, keys: Seq[String]): Unit = {
     require(keys.nonEmpty)
     val spark = df.sparkSession
-    if (!exists(spark, path)) { df.write.parquet(path); return }
+    val batch = df.dropDuplicates(keys)
+    // recover a stranded predecessor FIRST: treating "no table at path"
+    // as first-write while a fully-written .tmp/.old sibling exists
+    // would shadow (and later delete) every pre-crash row
+    val live = recoverStaged(spark, path, "merge") || exists(spark, path)
+    if (!live) { batch.write.parquet(path); return }
     stagedReplace(spark, path, "merge") { (_, _, tmpDir) =>
       val cur = spark.read.parquet(path)
-      require(cur.columns.sorted.sameElements(df.columns.sorted),
-        s"mergeUpsert: schema mismatch ${cur.columns.toSeq} vs ${df.columns.toSeq}")
-      cur.join(df.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(df)
+      val curTypes = cur.schema.map(f => f.name -> f.dataType).toMap
+      val dfTypes = batch.schema.map(f => f.name -> f.dataType).toMap
+      require(curTypes == dfTypes,
+        s"mergeUpsert: schema mismatch ${cur.schema.sql} vs ${batch.schema.sql}")
+      val probe = batch.select(keys.map(col): _*)
+      val cond = keys.map(k => cur(k) <=> probe(k)).reduce(_ && _)
+      cur.join(probe, cond, "left_anti")
+        .unionByName(batch)
         .write.mode(SaveMode.Overwrite).parquet(tmpDir)
     }
   }
@@ -325,8 +337,12 @@ object Sinks {
     * staged out, roll back), run `write` into a fresh `.tmp` sibling,
     * then swap via two renames and drop `.old`.
     */
-  private def stagedReplace(spark: SparkSession, path: String, op: String)(
-      write: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, String) => Unit): Unit = {
+  /** Recovery half of the protocol, callable on its own: if nothing
+    * lives at `path` but a stranded `.tmp` (fully written — roll
+    * forward) or `.old` (staged out — roll back) sibling does, restore
+    * it. Returns whether a table now exists at `path`.
+    */
+  private def recoverStaged(spark: SparkSession, path: String, op: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -337,8 +353,19 @@ object Sinks {
         s"$op: could not roll forward $tmp")
       else if (fs.exists(old)) require(fs.rename(old, p),
         s"$op: could not roll back $old")
-      else throw new IllegalArgumentException(s"$op: no table at $path")
     }
+    fs.exists(p)
+  }
+
+  private def stagedReplace(spark: SparkSession, path: String, op: String)(
+      write: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path, String) => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + s".$op.tmp")
+    val old = new Path(path + s".$op.old")
+    if (!recoverStaged(spark, path, op))
+      throw new IllegalArgumentException(s"$op: no table at $path")
     fs.delete(tmp, true)
     write(fs, p, tmp.toString)
     fs.delete(old, true)

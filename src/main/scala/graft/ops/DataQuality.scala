@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  /** Per-column profile in one pass: row count, null count, distinct
+  /** Per-column profile in one scan: row count, null count, distinct
     * count (exact), min/max as strings (type-erased for a uniform
     * report schema). One row per profiled column, pivoted from a single
-    * aggregation.
+    * aggregation. The exact multi-column countDistinct rewrites to one
+    * Expand (rows × profiled columns) feeding a single aggregation
+    * pair — still one pass over the data, not a job per column; swap in
+    * approx_count_distinct when the expansion matters at scale.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
         count(col(c)).as(s"__nn_$c"),
         countDistinct(col(c)).as(s"__d_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
@@ -31,7 +33,7 @@ object DataQuality {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val perCol = cols.map { c =>
       struct(lit(c).as("column"),
-        col(s"__n_$c").as("n_rows"), (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col("__n").as("n_rows"), (col("__n") - col(s"__nn_$c")).as("n_null"),
         col(s"__d_$c").as("n_distinct"),
         col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
     }
@@ -46,11 +48,17 @@ object DataQuality {
     */
   def expect(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
     require(constraints.nonEmpty)
+    // coalesce(sum, 0): an EMPTY frame must report zero violations and
+    // a definite all_passed, not nulls the downstream gate silently
+    // drops — if zero input rows is itself a failure, gate on n_rows
+    // separately (e.g. an expectation over count)
     val aggs = constraints.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"violations_$name")
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"violations_$name")
     }
     val report = df.agg(aggs.head, aggs.tail: _*)
+    // backtick-quoted so constraint names with dots resolve as columns
     report.withColumn("all_passed",
-      constraints.map(c => col(s"violations_${c._1}") === 0L).reduce(_ && _))
+      constraints.map(c => col(s"`violations_${c._1}`") === 0L).reduce(_ && _))
   }
 }

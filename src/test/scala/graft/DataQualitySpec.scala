@@ -39,11 +39,33 @@ class DataQualitySpec extends SparkTestBase {
     assert(p("id").getAs[Long]("n_rows") == 4)
   }
 
-  test("profile and expect are single-aggregation plans (no job per check)") {
+  test("expect on an EMPTY frame reports zero violations and a definite pass") {
+    val report = DataQuality.expect(rows.filter(lit(false)), Seq(
+      "v_positive" -> (col("v") > 0))).head()
+    assert(report.getAs[Long]("violations_v_positive") == 0L,
+      "empty input: 0 violations, not null")
+    assert(report.getAs[Boolean]("all_passed"),
+      "all_passed must be a definite boolean the gate can read")
+  }
+
+  test("expect: constraint names containing dots resolve") {
+    val report = DataQuality.expect(rows, Seq("v.pos" -> (col("v") > 0))).head()
+    assert(report.getAs[Long]("violations_v.pos") == 2)
+    assert(!report.getAs[Boolean]("all_passed"))
+  }
+
+  test("expect is a single-aggregation plan; profile is one scan with one expand") {
     val plan = DataQuality.expect(rows, Seq(
       "a" -> (col("v") > 0), "b" -> col("status").isin("ok")))
       .queryExecution.executedPlan.toString
     val aggregates = "HashAggregate|SortAggregate".r.findAllIn(plan).size
     assert(aggregates <= 4, s"one partial+final aggregate pair expected:\n$plan")
+
+    val pplan = DataQuality.profile(rows, Seq("id", "v", "status"))
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(pplan).size <= 1,
+      s"multi-column countDistinct must rewrite to ONE expand, not one per column:\n$pplan")
+    assert("LocalTableScan|Scan".r.findAllIn(pplan).size <= 2,
+      s"profile must read its input once:\n$pplan")
   }
 }

@@ -68,16 +68,42 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(!new java.io.File(dir + ".merge.old").exists())
   }
 
-  test("mergeUpsert: first write creates the table; schema drift rejected") {
+  test("mergeUpsert: first write creates the table; name and TYPE drift rejected") {
     val dir = Files.createTempDirectory("graft_merge_new_").toString + "/t"
     val batch = Seq((1L, "a")).toDF("k", "name")
     Sinks.mergeUpsert(batch, dir, Seq("k"))
     assert(spark.read.parquet(dir).count() == 1)
-    val drifted = Seq((2L, 5.0)).toDF("k", "other")
-    val e = intercept[IllegalArgumentException] {
-      Sinks.mergeUpsert(drifted, dir, Seq("k"))
-    }
-    assert(e.getMessage.contains("schema mismatch"))
+    val renamed = Seq((2L, 5.0)).toDF("k", "other")
+    assert(intercept[IllegalArgumentException] {
+      Sinks.mergeUpsert(renamed, dir, Seq("k"))
+    }.getMessage.contains("schema mismatch"))
+    // same names, k typed as string: silent coercion would rewrite the table
+    val retyped = Seq(("2", "b")).toDF("k", "name")
+    assert(intercept[IllegalArgumentException] {
+      Sinks.mergeUpsert(retyped, dir, Seq("k"))
+    }.getMessage.contains("schema mismatch"))
+  }
+
+  test("mergeUpsert: recovers a table stranded mid-swap instead of treating it as first write") {
+    val dir = Files.createTempDirectory("graft_merge_rec_").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name").write.parquet(dir)
+    // simulate a crash between the two swap renames: table fully at .tmp
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".merge.tmp")))
+    Sinks.mergeUpsert(Seq((3L, "c")).toDF("k", "name"), dir, Seq("k"))
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "pre-crash rows must survive — a stranded table is NOT an empty one")
+  }
+
+  test("mergeUpsert: null keys replay idempotently; batch-internal dups collapse") {
+    val dir = Files.createTempDirectory("graft_merge_null_").toString + "/t"
+    val batch = Seq((Some(1L), "a"), (None, "nullkey"), (Some(2L), "b1"), (Some(2L), "b1"))
+      .toDF("k", "name")
+    Sinks.mergeUpsert(batch, dir, Seq("k"))
+    Sinks.mergeUpsert(batch, dir, Seq("k")) // replay
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length == 3, s"1, null, 2 — no replay duplication: ${rows.toSeq}")
+    assert(rows.count(_.isNullAt(0)) == 1, "the null-key row merged null-safely")
   }
 
   test("compact refuses hive-partitioned layouts") {
