@@ -337,6 +337,46 @@ object Sinks {
     * staged out, roll back), run `write` into a fresh `.tmp` sibling,
     * then swap via two renames and drop `.old`.
     */
+  /** Partition-scoped MERGE/upsert: the 100 TB shape [[mergeUpsert]]'s
+    * doc points at. The batch's distinct partition values (driver-held
+    * metadata, capped like [[appendDedup]]'s pruning list) scope BOTH
+    * sides: the stored read partition-prunes to touched partitions
+    * only, and the write uses dynamic partition overwrite, so only
+    * those directories are replaced — merge cost is proportional to
+    * touched data, not the table.
+    *
+    * Contract: a key's partition value must be stable across batches
+    * (a row "moving" partitions would leave its old version alive in
+    * the untouched directory — the same rule every partitioned MERGE
+    * imposes short of a full scan).
+    */
+  def mergeUpsertPartitioned(df: DataFrame, path: String, keys: Seq[String],
+                             partCol: String,
+                             maxPruned: Int = maxPrunedPartitions): Unit = {
+    require(keys.nonEmpty)
+    val spark = df.sparkSession
+    val batch = df.dropDuplicates(keys)
+    if (!exists(spark, path)) {
+      batch.write.partitionBy(partCol).parquet(path)
+      return
+    }
+    val parts = batch.select(partCol).distinct().limit(maxPruned + 1).collect()
+      .map(_.get(0))
+    require(parts.length <= maxPruned,
+      s"mergeUpsertPartitioned: batch touches > $maxPruned partitions — " +
+        "effectively a full-table merge; use mergeUpsert or raise the cap")
+    val cur = spark.read.parquet(path)
+      .filter(col(partCol).isin(parts: _*)) // planning-time partition pruning
+    val probe = batch.select(keys.map(col): _*)
+    val cond = keys.map(k => cur(k) <=> probe(k)).reduce(_ && _)
+    cur.join(probe, cond, "left_anti")
+      .unionByName(batch.select(cur.columns.map(col): _*))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+  }
+
   /** Recovery half of the protocol, callable on its own: if nothing
     * lives at `path` but a stranded `.tmp` (fully written — roll
     * forward) or `.old` (staged out — roll back) sibling does, restore

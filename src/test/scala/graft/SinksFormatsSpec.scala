@@ -106,6 +106,31 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(rows.count(_.isNullAt(0)) == 1, "the null-key row merged null-safely")
   }
 
+  test("mergeUpsertPartitioned rewrites ONLY touched partitions, replay idempotent") {
+    val dir = Files.createTempDirectory("graft_merge_part_").toString + "/t"
+    Sinks.mergeUpsertPartitioned(
+      Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3")).toDF("k", "name", "part"),
+      dir, Seq("k"), "part")
+
+    def partFiles(p: String) = new java.io.File(s"$dir/part=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toSet
+    val p2Before = partFiles("p2")
+    val p3Before = partFiles("p3")
+
+    // touch only p1: update k=1, insert k=4
+    val batch = Seq((1L, "a2", "p1"), (4L, "d", "p1")).toDF("k", "name", "part")
+    Sinks.mergeUpsertPartitioned(batch, dir, Seq("k"), "part")
+
+    val got = spark.read.parquet(dir).select("k", "name")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(partFiles("p2") == p2Before && partFiles("p3") == p3Before,
+      "untouched partitions must keep their exact files — merge cost is per touched partition")
+
+    Sinks.mergeUpsertPartitioned(batch, dir, Seq("k"), "part") // replay
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("compact refuses hive-partitioned layouts") {
     val dir = Files.createTempDirectory("graft_compact_part_").toString + "/t"
     Sinks.writePartitioned(
