@@ -23,7 +23,9 @@ object GraftExtensions {
     registerFunction(spark, "float_vector_dot", args => FloatVectorDot(args(0), args(1)))
     registerFunction(spark, "minhash_signature", args => MinHashSignature(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
-    registerFunction(spark, "simhash64", args => SimHash64(args(0)))
+    registerFunction(spark, "simhash60", args => SimHash60(args(0)))
+    registerFunction(spark, "md5_bits", args => Md5Bits(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
     registerFunction(spark, "word_shingles", args => WordShingles(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
     registerFunction(spark, "hyperplane_signatures", args => HyperplaneSignatures(args(0),
@@ -58,9 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature", "_FUNC_(tokens, k) - k-component minhash signature"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "_FUNC_(tokens) - 64-bit simhash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "_FUNC_(tokens) - 60-bit md5-derived simhash of a token array"),
+      (args: Seq[Expression]) => SimHash60(args(0))))
+    e.injectFunction((FunctionIdentifier("md5_bits"),
+      info("md5_bits", "_FUNC_(str, nibbles) - value of the first n hex digits of md5(str)"),
+      (args: Seq[Expression]) => Md5Bits(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),

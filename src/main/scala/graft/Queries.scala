@@ -510,8 +510,7 @@ object Queries {
   private val sketchHllDistinct = Q(
     "sketch_hll_distinct",
     (s, d) => {
-      val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.functions.Expressions.md5_bits(col("event_id").cast("string"), 15)
       events(s, d).select(col("event_type"), h.as("h"))
         .groupBy(col("event_type"))
         .agg(
@@ -570,7 +569,7 @@ object Queries {
         }
       }.toArray
       val bucketCols = (0 until depth).map(j =>
-        conv(substring(md5(concat_ws("_", lit(j), col("user_id"))), 1, 2), 16, 10)
+        graft.functions.Expressions.md5_bits(concat_ws("_", lit(j), col("user_id")), 2)
           .cast("int"))
       val cms = udaf(
         new graft.functions.Aggregators.CountMinFreq(depth, width, probeBuckets),
@@ -1175,17 +1174,110 @@ object Queries {
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter >= 0.1 * (sa.n_sh + sb.n_sh - n_inter)"""))
 
+  // the trigram shingle CTEs shared by the ngram-jaccard, minhash, and
+  // clusters oracles (Spark side: word_shingles(tokens(text), 3))
+  private val duckShingles: String =
+    """tok AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              UNION
+              SELECT doc_id,
+                array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS shingle
+              FROM documents
+              WHERE len(string_split_regex(lower(trim(text)), '\s+')) < 3)"""
+
+  // MinHash+LSH verified END TO END against an independent rebuild: the
+  // signature family is md5-based mod-2^60 arithmetic (see
+  // Expressions.MinHashFamily), so the oracle recomputes every component
+  // with HUGEINT multiplies — same shingles, same permutations, same
+  // banding (k=32, bands=16, r=2), same agreement estimate. est_jaccard
+  // is agreement/2^5, an exact binary fraction — identical on any IEEE
+  // engine without rounding.
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
       n = 3, k = 32, bands = 16, threshold = 0.1),
-    None)
+    Some {
+      import graft.functions.Expressions.MinHashFamily
+      val mixRows = (0 until 32)
+        .map(j => s"(${j}, ${MinHashFamily.mixA(j)}, ${MinHashFamily.mixB(j)})")
+        .mkString(", ")
+      s"""WITH $duckShingles,
+            md AS (SELECT doc_id, md5(shingle) AS mh FROM sh0),
+            hashed AS (SELECT doc_id, ${duckHex60("mh")} AS h FROM md),
+            mixes AS (SELECT * FROM (VALUES $mixRows) AS t(j, a, b)),
+            z1 AS (
+              SELECT doc_id, j,
+                CAST((h::HUGEINT * a + b) % ${MinHashFamily.Mod} AS BIGINT) AS z
+              FROM hashed CROSS JOIN mixes),
+            z2 AS (SELECT doc_id, j, xor(z, z >> 30) AS z FROM z1),
+            z3 AS (
+              SELECT doc_id, j,
+                CAST((z::HUGEINT * ${MinHashFamily.Fin}) % ${MinHashFamily.Mod} AS BIGINT) AS z
+              FROM z2),
+            z4 AS (SELECT doc_id, j, xor(z, z >> 31) AS z FROM z3),
+            comp AS (SELECT doc_id, j, min(z) AS m FROM z4 GROUP BY 1, 2),
+            bandk AS (
+              SELECT doc_id, j // 2 AS band,
+                string_agg(m::VARCHAR, ',' ORDER BY j) AS bk
+              FROM comp GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bandk x JOIN bandk y
+                ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+            agree AS (
+              SELECT c.id_a, c.id_b,
+                count(*) FILTER (WHERE ca.m = cb.m) AS n_agree
+              FROM cand c
+              JOIN comp ca ON ca.doc_id = c.id_a
+              JOIN comp cb ON cb.doc_id = c.id_b AND cb.j = ca.j
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_agree / 32.0 AS est_jaccard
+            FROM agree WHERE n_agree / 32.0 >= 0.1"""
+    })
 
+  // SimHash verified end to end: the 60-bit md5-derived signature is
+  // rebuilt per document with 60 per-bit SUMs (bit j set iff set-bit
+  // count exceeds half the tokens), then the pair set is the brute-force
+  // hamming join — equal to Spark's pigeonhole-bucketed set because the
+  // bucketing is exact-complete (chunks = maxHamming + 1) and every
+  // candidate is verified with bit_count(xor).
+  // maxBucket: the library default (1000) is a skew guard that DROPS
+  // pairs in degenerate buckets; the harness corpus at sf0.1 has chunk
+  // buckets up to ~1.3k (similar-vocabulary docs -> similar majority-vote
+  // signatures), so the verified query raises it to stay exact-complete.
+  // Worst bucket cost is maxBucket^2/2 comparisons in one task — size it
+  // to the corpus's hot-bucket ceiling, not to infinity.
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text",
-      maxHamming = 7),
-    None)
+      maxHamming = 7, maxBucket = 5000),
+    Some {
+      val bitSums = (0 until 60).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
+      val sigBits = (0 until 60)
+        .map(j => s"(CASE WHEN 2 * s$j > n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+            md AS (SELECT doc_id, md5(w) AS mh FROM tok),
+            hashed AS (SELECT doc_id, ${duckHex60("mh")} AS h FROM md),
+            bitsums AS (
+              SELECT doc_id, count(*) AS n, $bitSums
+              FROM hashed GROUP BY 1),
+            sig AS (SELECT doc_id, $sigBits AS sig FROM bitsums)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 7"""
+    })
 
   // the clustering half is verified over the DETERMINISTIC exact-Jaccard
   // pair set (the minhash edge set is xxhash64-seeded, so no SQL engine

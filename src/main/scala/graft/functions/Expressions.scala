@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,6 +24,103 @@ object Expressions {
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit hash of a string's UTF-8 bytes: the value of the first 15 hex
+    * digits of its md5 — i.e. the first 8 digest bytes read big-endian,
+    * shifted right 4. Chosen over xxhash64 for the signature families
+    * because ANY SQL engine with an md5() function can rebuild it exactly
+    * (Spark: conv(substring(md5(x),1,15),16,10); DuckDB: nibble decode of
+    * the hex string), which is what lets the minhash/simhash pair sets be
+    * verified against an independent oracle. 60 bits keeps every derived
+    * value positive in a signed BIGINT, so `>>` and `%` agree across
+    * engines with no sign traps.
+    */
+  private[functions] def md5_60(s: UTF8String): Long = {
+    val d = md5Local.get().digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** The value of the first `nibbles` hex digits of md5(input) — the
+    * codegen'd twin of `conv(substring(md5(x), 1, nibbles), 16, 10)`,
+    * which Catalyst evaluates through hex-encode / substring / radix-conv
+    * string machinery at ~7 us/row; this computes the same long straight
+    * off the digest bytes. Every cross-engine hash derivation (HLL/CMS
+    * registers, span keys, split buckets) funnels through the same
+    * md5-prefix construction, so the oracle side stays the established
+    * nibble-decode SQL while the Spark side runs at scan speed.
+    */
+  case class Md5Bits(child: Expression, nibbles: Int)
+      extends UnaryExpression {
+    require(nibbles >= 1 && nibbles <= 15, "1..15 hex digits fit a signed long")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"md5_bits requires a string input, got ${other.sql}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_bits"
+
+    def compute(s: UTF8String): Long = {
+      val d = md5Local.get().digest(s.getBytes)
+      var v = 0L
+      var i = 0
+      while (i < nibbles) {
+        val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+        v = (v << 4) | nib
+        i += 1
+      }
+      v
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(compute(input.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5bits", this, classOf[Md5Bits].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The minhash permutation family over the 60-bit md5 hash space, shared
+    * by [[MinHashSignature]] and the oracle-SQL generator so both engines
+    * compute component j of a shingle set as
+    * `min over shingles of perm_j(md5_60(shingle))`.
+    *
+    * perm_j is a bijection of [0, 2^60): an affine map with an odd
+    * multiplier mod 2^60 (invertible), then xorshift / odd-multiply /
+    * xorshift avalanche steps (each bijective). Every step is exact in
+    * plain SQL: the wrapping multiplies are `(x * a) % 2^60` — DuckDB runs
+    * them in HUGEINT; the JVM's wrapping 64-bit multiply masked to 60 bits
+    * is the same value — and all intermediates stay positive.
+    */
+  object MinHashFamily {
+    val Mod: Long = 1L << 60
+    val Mask: Long = Mod - 1L
+    /** Final odd avalanche multiplier (a 60-bit truncation of the
+      * splitmix64 finalizer constant). */
+    val Fin: Long = (0x94d049bb133111ebL & Mask) | 1L
+    def mixA(j: Int): Long = (splitmix64(2L * j + 1) & Mask) | 1L
+    def mixB(j: Int): Long = splitmix64(2L * j + 2) & Mask
+    def component(h: Long, a: Long, b: Long): Long = {
+      var z = (h * a + b) & Mask
+      z ^= (z >>> 30)
+      z = (z * Fin) & Mask
+      z ^ (z >>> 31)
+    }
   }
 
   /** Sequential double-precision dot product over two float vectors.
@@ -64,9 +161,12 @@ object Expressions {
       copy(left = l, right = r)
   }
 
-  /** k-component MinHash signature of a string array: component i is the
-    * minimum of xxhash64(element, seed = i) over the array. One pass per
-    * element; element bytes hashed k times with no per-hash allocation.
+  /** k-component MinHash signature of a string array: component j is the
+    * minimum of [[MinHashFamily]] permutation j over the md5-derived
+    * 60-bit element hashes. One pass per element; element bytes hashed
+    * ONCE (md5), then the k permutations are cheap affine+avalanche mixes.
+    * The md5 base + mod-2^60 arithmetic make every component rebuildable
+    * by an independent SQL oracle — see MinHashFamily.
     */
   /** Codegen note (applies to every expression below): instead of
     * CodegenFallback — which knocks the WHOLE operator out of whole-stage
@@ -81,11 +181,8 @@ object Expressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
-    // per-component odd multipliers/offsets (splitmix64 of the index):
-    // each element is hashed ONCE, then the k permutations are affine
-    // mixes + an avalanche finalizer — 32x fewer byte hashes per row
-    private val mixA: Array[Long] = Array.tabulate(k)(j => Expressions.splitmix64(2L * j + 1) | 1L)
-    private val mixB: Array[Long] = Array.tabulate(k)(j => Expressions.splitmix64(2L * j + 2))
+    private val mixA: Array[Long] = Array.tabulate(k)(MinHashFamily.mixA)
+    private val mixB: Array[Long] = Array.tabulate(k)(MinHashFamily.mixB)
 
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
@@ -94,11 +191,10 @@ object Expressions {
       while (i < n) {
         val s = arr.getUTF8String(i)
         if (s != null) {
-          val h = XXH64.hashUTF8String(s, 42L)
+          val h = Expressions.md5_60(s)
           var j = 0
           while (j < k) {
-            var z = h * mixA(j) + mixB(j)
-            z ^= (z >>> 33); z *= 0xff51afd7ed558ccdL; z ^= (z >>> 33)
+            val z = MinHashFamily.component(h, mixA(j), mixB(j))
             if (z < mins(j)) mins(j) = z
             j += 1
           }
@@ -118,25 +214,29 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 64-bit SimHash of a string-array (bag of tokens): per token one
-    * xxhash64, then +-1 per bit position; bit set where the sum is
-    * positive.
+  /** 60-bit SimHash of a string-array (bag of tokens): per token one
+    * md5-derived 60-bit hash ([[Expressions.md5_60]]), then +-1 per bit
+    * position; bit set where the sum is positive. 60 bits rather than 64
+    * so an independent SQL oracle can rebuild the signature from md5()
+    * with per-bit SUMs — bit j is set iff 2 * count(tokens with bit j)
+    * exceeds the token count — and every signature stays positive in a
+    * signed BIGINT.
     */
-  case class SimHash64(child: Expression)
+  case class SimHash60(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def prettyName: String = "simhash64"
+    override def prettyName: String = "simhash60"
 
     def compute(arr: ArrayData): Long = {
       val n = arr.numElements()
-      val sums = new Array[Int](64)
+      val sums = new Array[Int](60)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
         if (s != null) {
-          val h = XXH64.hashUTF8String(s, 42L)
+          val h = Expressions.md5_60(s)
           var j = 0
-          while (j < 64) {
+          while (j < 60) {
             if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
             j += 1
           }
@@ -145,7 +245,7 @@ object Expressions {
       }
       var out = 0L
       var j = 0
-      while (j < 64) { if (sums(j) > 0) out |= (1L << j); j += 1 }
+      while (j < 60) { if (sums(j) > 0) out |= (1L << j); j += 1 }
       out
     }
 
@@ -153,7 +253,7 @@ object Expressions {
       java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash60].getName)
       nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
 
@@ -627,7 +727,9 @@ object Expressions {
     column(FloatVectorDot(expression(a), expression(b)))
   def minhash_signature(tokens: Column, k: Int): Column =
     column(MinHashSignature(expression(tokens), k))
-  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
+  def md5_bits(s: Column, nibbles: Int): Column =
+    column(Md5Bits(expression(s), nibbles))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
   def hyperplane_signatures(vec: Column, dim: Int, bits: Int, bands: Int,

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
-import graft.functions.Expressions.{minhash_signature, signature_agreement, simhash64, simhash_id_pairs, sorted_id_pairs, word_shingles}
+import graft.functions.Expressions.{minhash_signature, signature_agreement, simhash60, simhash_id_pairs, sorted_id_pairs, word_shingles}
 
 /** Deduplication suite for large-scale corpus curation: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -29,20 +29,25 @@ object Dedup {
 
   /** Policy dedup: keep the BEST row of each text key — highest
     * `qualityCol`, ties to the smallest id so the survivor is
-    * deterministic on any engine and partitioning. One window pass on
-    * the content-key shuffle; survivors keep their full row (unlike
-    * [[exact]], which reports the group). At corpus scale this is the
-    * "multiple crawls of the same page, keep the cleanest capture"
-    * dedup a training pipeline runs between exact and near-dup passes.
+    * deterministic on any engine and partitioning. Survivors keep their
+    * full row (unlike [[exact]], which reports the group). At corpus
+    * scale this is the "multiple crawls of the same page, keep the
+    * cleanest capture" dedup a training pipeline runs between exact and
+    * near-dup passes.
+    *
+    * max_by over (quality, -id) rather than a row_number window: the
+    * aggregate is map-side combinable (partial max_by before the
+    * shuffle) and needs no per-partition sort, so the only cost is one
+    * exchange of one candidate row per (partition x key) — strictly
+    * less work than window+filter at any scale.
     */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
                qualityCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(normalizeText(col(textCol)))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
-    docs.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") === 1)
-      .drop("__rank")
+    val outCols = docs.columns
+    docs.groupBy(normalizeText(col(textCol)).as("__text_key"))
+      .agg(max_by(struct(outCols.map(col): _*),
+        struct(col(qualityCol), -col(idCol))).as("__best"))
+      .select(outCols.map(c => col(s"__best.$c")): _*)
   }
 
   /** Distinct word n-gram shingle array, computed per-row (no shuffle).
@@ -139,17 +144,26 @@ object Dedup {
     pairs
       .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
-      .withColumn("est_jaccard", round(
-        signature_agreement(col("sig_a"), col("sig_b")) / lit(k.toDouble), 4))
+      // agreement / 2^5: an exact binary fraction, so the double is
+      // bit-identical on any IEEE engine — no rounding step needed (or
+      // wanted: rounding a .5-in-decimal value is where engines diverge)
+      .withColumn("est_jaccard",
+        signature_agreement(col("sig_a"), col("sig_b")) / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** LSH band buckets of a signature table: (id, band, bh). */
+  /** LSH band buckets of a signature table: (id, band, bh). The bucket
+    * key is the band's component slice ITSELF (array<bigint> equality),
+    * not a hash of it: grouping on the values is collision-exact — a
+    * candidate pair means the band genuinely agrees — at the cost of r
+    * longs per bucket row instead of one int, noise next to the shuffle's
+    * per-row overhead.
+    */
   private def lshBuckets(sigs: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
     sigs.select(col(idCol), explode(expr(
         s"transform(sequence(0, ${bands - 1}), c -> " +
-        s"struct(c as band, hash(slice(signature, c * $r + 1, $r)) as bh))")).as("b"))
+        s"struct(c as band, slice(signature, c * $r + 1, $r) as bh))")).as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
 
   /** Incremental near-dup detection against a persisted signature store:
@@ -182,27 +196,31 @@ object Dedup {
     pairs
       .join(store.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(store.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
-      .withColumn("est_jaccard", round(
-        signature_agreement(col("sig_a"), col("sig_b")) / lit(k.toDouble), 4))
+      .withColumn("est_jaccard",
+        signature_agreement(col("sig_a"), col("sig_b")) / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens (custom expression, no
-    * shuffle): per bit j, sum +-1 over token hashes; bit set where the
-    * sum is positive.
+  /** 60-bit md5-derived SimHash over whitespace tokens (custom
+    * expression, no shuffle): per bit j, sum +-1 over token hashes; bit
+    * set where the sum is positive. 60 bits so an oracle can rebuild the
+    * signature from md5() — see [[graft.functions.Expressions.SimHash60]].
     */
-  def simhash(textCol: String): Column = simhash64(tokens(col(textCol)))
+  def simhash(textCol: String): Column = simhash60(tokens(col(textCol)))
 
   /** SimHash near-dup pairs: pigeonhole banding — two docs within
     * `maxHamming` of each other must agree on at least one of
     * (maxHamming+1) disjoint bit chunks, so bucket by chunk value and
-    * verify candidates with bit_count(xor). No cross join.
+    * verify candidates with bit_count(xor). No cross join. (Disjointness
+    * alone gives completeness: the <= maxHamming differing bits can touch
+    * at most maxHamming of the chunks+1 chunks, so some chunk agrees even
+    * when 60 % chunks bits are left uncovered.)
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
+    val width = 60 / chunks
     val sims = docs.select(col(idCol), simhash(textCol).as("simhash"))
     val buckets = sims.select(col(idCol), col("simhash"), explode(expr(
         s"transform(sequence(0, ${chunks - 1}), c -> " +
@@ -292,12 +310,19 @@ object Dedup {
       // positions 1..len-spanLen+1, 1-based to match SQL slicing
       .select(col(idCol), posexplode(windows).as(Seq("pos0", "span")))
       .select(col(idCol), (col("pos0") + 1).as("pos"),
-        (if (hashOnly)
-           conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long")
+        (if (hashOnly) graft.functions.Expressions.md5_bits(col("span"), 15)
          else col("span")).as("span_key"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
-    spans.withColumn("n_occurrences", count(lit(1)).over(w))
+    // aggregate + join back, NOT count() OVER (PARTITION BY span_key):
+    // the window formulation sorts every span within its partition for a
+    // count that needs no order. The aggregate is map-side combinable,
+    // the >1 filter shrinks the dup-key side to the actual duplicates
+    // (AQE broadcasts it when small), and the spans side is re-derived
+    // narrowly from the scan rather than cached through a sort.
+    val dupKeys = spans.groupBy(col("span_key"))
+      .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > 1)
+    spans.join(dupKeys, "span_key")
+      .select(col(idCol), col("pos"), col("span_key"), col("n_occurrences"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold within blocking

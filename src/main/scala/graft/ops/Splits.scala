@@ -26,7 +26,7 @@ object Splits {
     * changed surrogate id).
     */
   def contentBucket(content: Column): Column =
-    conv(substring(md5(content), 1, 2), 16, 10).cast("long")
+    graft.functions.Expressions.md5_bits(content, 2)
 
   /** Deterministic train/val/test assignment: bucket < `trainUpto` →
     * train, < `valUpto` → val, else test (fractions of 256; defaults

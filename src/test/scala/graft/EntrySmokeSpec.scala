@@ -23,11 +23,11 @@ class EntrySmokeSpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs))
     assert((qs -- os) ==
-      Set("dedup_minhash_lsh", "dedup_simhash",
-        "ann_lsh_topk", "ann_ivf_topk",
+      Set("ann_lsh_topk", "ann_ivf_topk",
         "multimodal_features", "sketch_agg"),
-      "rows-only set is exactly the hash-seeded LSH/banding/sketch queries " +
-        "+ multimodal (features come from decoded media, not SQL)")
+      "rows-only set is exactly the float-internal ANN queries + " +
+        "multimodal (features come from decoded media, not SQL) + the " +
+        "approx-sketch query whose error bound is the contract")
   }
 
   test("frame sampling decodes real frames and keeps every stride-th one") {

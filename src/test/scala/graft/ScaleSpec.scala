@@ -136,7 +136,7 @@ class ScaleSpec extends SparkTestBase {
       col("id"),
       graft.functions.Expressions.minhash_signature(
         array(concat(lit("tok"), col("id") % 7), concat(lit("w"), col("id") % 3)), 8).as("mh"),
-      graft.functions.Expressions.simhash64(
+      graft.functions.Expressions.simhash60(
         array(concat(lit("tok"), col("id") % 7))).as("sh"),
       graft.functions.Expressions.hyperplane_signatures(
         array((col("id") % 5).cast("float"), lit(1f)), 2, 4, 2).as("hp"),

@@ -53,7 +53,7 @@ class SkewExtensionsSpec extends SparkTestBase {
     val r = s2.sql(
         """SELECT float_vector_dot(array(cast(1.0 as float), cast(2.0 as float)),
           |                        array(cast(3.0 as float), cast(4.0 as float))) AS d,
-          |       simhash64(array('a','b')) AS sh,
+          |       simhash60(array('a','b')) AS sh,
           |       size(minhash_signature(array('x','y'), 8)) AS mk,
           |       size(word_shingles(array('a','b','c'), 2)) AS ws,
           |       signature_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS sa
