@@ -1007,10 +1007,18 @@ object Queries {
 
   private val skewSaltedJoin = Q(
     "skew_salted_join",
-    (s, d) => graft.ops.Skew.saltedJoin(
+    // the ADAPTIVE variant: only sampled-hot orderkeys (>= ~13 lines,
+    // the top ~0.03% of keys in this distribution) pay the salt
+    // replication; the cold majority joins plain. Detection noise moves
+    // keys between the paths without changing the result, which is
+    // exactly what the shared plain-join oracle proves. (A bar of 10
+    // would put >1000 keys over it — "everything is hot" — and the
+    // operator would honestly degrade to unconditional salting.)
+    (s, d) => graft.ops.Skew.saltedJoinAdaptive(
         lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
         orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
-        "l_orderkey", col("l_quantity"), salts = 8)
+        "l_orderkey", col("l_quantity"), salts = 8,
+        hotKeyMinRows = 13, sampleFraction = 0.5)
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty")),
     Some("""SELECT l_orderkey, count(*) AS n_lines,

@@ -348,11 +348,28 @@ object Sinks {
     * Contract: a key's partition value must be stable across batches
     * (a row "moving" partitions would leave its old version alive in
     * the untouched directory — the same rule every partitioned MERGE
-    * imposes short of a full scan).
+    * imposes short of a full scan). `strict = true` buys detection of a
+    * violation at the cost of one column-pruned scan of (keys, partCol)
+    * over the UNTOUCHED remainder: any batch key found there fails the
+    * merge before a byte is written. Null partition values are rejected
+    * up front — `isin` pruning is null-unsafe, so a null-partition batch
+    * row would silently skip reading the stored null partition while
+    * dynamic overwrite still replaced its directory, deleting every
+    * unmatched pre-existing row in it.
+    *
+    * Crash safety: dynamic partition overwrite commits by replacing each
+    * touched partition directory at job commit — per-directory renames,
+    * NOT one atomic swap. A crash mid-commit can leave some touched
+    * partitions updated and others stale; the merge is idempotent
+    * (replaying the same batch converges), so the recovery is re-run,
+    * unlike [[mergeUpsert]]/[[compact]] whose staged swap leaves a
+    * roll-forward/back marker. That narrower guarantee is the price of
+    * not rewriting the whole table.
     */
   def mergeUpsertPartitioned(df: DataFrame, path: String, keys: Seq[String],
                              partCol: String,
-                             maxPruned: Int = maxPrunedPartitions): Unit = {
+                             maxPruned: Int = maxPrunedPartitions,
+                             strict: Boolean = false): Unit = {
     require(keys.nonEmpty)
     val spark = df.sparkSession
     val batch = df.dropDuplicates(keys)
@@ -362,14 +379,36 @@ object Sinks {
     }
     val parts = batch.select(partCol).distinct().limit(maxPruned + 1).collect()
       .map(_.get(0))
+    require(!parts.contains(null),
+      s"mergeUpsertPartitioned: batch has rows with null $partCol — null " +
+        "partition values cannot be pruned safely; filter or default them first")
     require(parts.length <= maxPruned,
       s"mergeUpsertPartitioned: batch touches > $maxPruned partitions — " +
         "effectively a full-table merge; use mergeUpsert or raise the cap")
     val cur = spark.read.parquet(path)
       .filter(col(partCol).isin(parts: _*)) // planning-time partition pruning
+    // the same type-drift guard as mergeUpsert: unionByName would
+    // otherwise coerce a retyped batch column and silently rewrite every
+    // touched partition with coerced values
+    val curTypes = cur.schema.map(f => f.name -> f.dataType).toMap
+    val dfTypes = batch.schema.map(f => f.name -> f.dataType).toMap
+    require(curTypes == dfTypes,
+      s"mergeUpsertPartitioned: schema mismatch ${cur.schema.sql} vs ${batch.schema.sql}")
+    if (strict) {
+      val remainder = spark.read.parquet(path)
+        .filter(!col(partCol).isin(parts: _*) || col(partCol).isNull)
+      val bKeys = batch.select(keys.map(col): _*)
+      val moved = remainder.join(bKeys,
+          keys.map(k => remainder(k) <=> bKeys(k)).reduce(_ && _), "left_semi")
+        .select((keys :+ partCol).map(col): _*)
+      val sample = moved.limit(3).collect()
+      require(sample.isEmpty,
+        s"mergeUpsertPartitioned: batch keys exist in untouched partitions " +
+          s"(a key changed its $partCol value) — merging would leave stale " +
+          s"rows alive there. Examples: ${sample.mkString(", ")}")
+    }
     val probe = batch.select(keys.map(col): _*)
-    val cond = keys.map(k => cur(k) <=> probe(k)).reduce(_ && _)
-    cur.join(probe, cond, "left_anti")
+    cur.join(probe, keys.map(k => cur(k) <=> probe(k)).reduce(_ && _), "left_anti")
       .unionByName(batch.select(cur.columns.map(col): _*))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -377,22 +416,38 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Every op that stages through [[stagedReplace]]. Recovery scans ALL
+    * of them: a table stranded mid-compact must be rolled forward by a
+    * subsequent mergeUpsert too, or the merge's first-write test would
+    * mistake the stranded table for an empty one and shadow every
+    * pre-crash row.
+    */
+  private val stagedOps = Seq("merge", "compact")
+
   /** Recovery half of the protocol, callable on its own: if nothing
     * lives at `path` but a stranded `.tmp` (fully written — roll
-    * forward) or `.old` (staged out — roll back) sibling does, restore
-    * it. Returns whether a table now exists at `path`.
+    * forward) or `.old` (staged out — roll back) sibling from ANY
+    * staged op does, restore it. A `.tmp` wins over any `.old`: the tmp
+    * is a complete newer table, the old a complete predecessor; at most
+    * one op can be stranded per path (ops on one table are sequential),
+    * so the scan is a safety net, not an arbitration. Returns whether a
+    * table now exists at `path`.
     */
   private def recoverStaged(spark: SparkSession, path: String, op: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + s".$op.tmp")
-    val old = new Path(path + s".$op.old")
     if (!fs.exists(p)) {
-      if (fs.exists(tmp)) require(fs.rename(tmp, p),
-        s"$op: could not roll forward $tmp")
-      else if (fs.exists(old)) require(fs.rename(old, p),
-        s"$op: could not roll back $old")
+      val candidates =
+        stagedOps.map(o => (new Path(path + s".$o.tmp"), new Path(path + s".$o.old"))) ++
+        stagedOps.map(o => (new Path(path + s".$o.old"), new Path(path + s".$o.tmp")))
+      candidates.find(c => fs.exists(c._1)).foreach { case (c, sibling) =>
+        require(fs.rename(c, p), s"$op: could not restore stranded $c")
+        // the losing sibling is now a superseded copy; deleting it here
+        // keeps a long-stale .old from ever being resurrected by a later
+        // recovery scan
+        fs.delete(sibling, true)
+      }
     }
     fs.exists(p)
   }

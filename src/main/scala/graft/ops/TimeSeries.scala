@@ -62,7 +62,10 @@ object TimeSeries {
            attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
     val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
-    val isFirst = lag(col(tieCol), 1).over(w).isNull
+    // row_number, NOT lag(tieCol).isNull: a null tie-breaker VALUE in the
+    // log would make lag() read null on the FOLLOWING row and emit a
+    // spurious segment boundary; position is what "first" means
+    val isFirst = row_number().over(w) === 1
     val changed = attrCols
       .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
       .reduce(_ || _)

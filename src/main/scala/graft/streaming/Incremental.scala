@@ -129,4 +129,25 @@ object Incremental {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) => graft.operators.Sinks.appendDedup(batch, path, keys)
     }
+
+  /** Streaming -> partition-scoped MERGE: each micro-batch upserts
+    * through [[graft.operators.Sinks.mergeUpsertPartitioned]], touching
+    * only the partitions the batch's rows land in — the weekly
+    * incremental shape (reference cron: prefect.yaml:52-56) as a
+    * continuous query. Matched keys take the newest batch's row, so
+    * overlapping or replayed micro-batches converge to the same table
+    * one big batch merge would produce, PROVIDED a key's partition
+    * value is stable (the merge's documented contract; pass
+    * `strict = true` to pay a remainder probe per batch that fails
+    * loudly on a violation).
+    */
+  def foreachBatchMergePartitioned(stream: DataFrame, path: String,
+                                   keys: Seq[String], partCol: String,
+                                   strict: Boolean = false):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.operators.Sinks.mergeUpsertPartitioned(
+          batch, path, keys, partCol, strict = strict)
+    }
 }

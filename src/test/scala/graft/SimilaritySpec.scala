@@ -121,6 +121,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
   }
 
+  test("IVF at the ann_ivf_topk query's config clears a 0.6 recall floor") {
+    // the quantitative check behind the rows-only query: same harness
+    // embeddings, same (k, kCells, nProbe) as Queries.annIvf — the
+    // rows-only gate proves shape, this proves the answers are near
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+        k = 5, kCells = 8, nProbe = 3)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall below the stated 0.6 floor " +
+      "at nProbe=3 — the bound the rows-only ann_ivf_topk query relies on")
+    assert(ivf.size <= brute.size, "IVF visits a subset of cells, never more hits")
+  }
+
   test("IVF codebook training is deterministic") {
     val corpus = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(4)(j => math.cos(i * 3 + j).toFloat))

@@ -131,6 +131,59 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("mergeUpsertPartitioned: strict mode fails loudly when a key changes partition") {
+    val dir = Files.createTempDirectory("graft_merge_strict_").toString + "/t"
+    Sinks.mergeUpsertPartitioned(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "name", "part"),
+      dir, Seq("k"), "part")
+    // k=2 moves p2 -> p1: the pruned merge would leave the stale p2 row alive
+    val moved = Seq((2L, "b2", "p1")).toDF("k", "name", "part")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeUpsertPartitioned(moved, dir, Seq("k"), "part", strict = true)
+    }
+    assert(e.getMessage.contains("untouched partitions"), e.getMessage)
+    // nothing was written: the table still has exactly the original rows
+    assert(spark.read.parquet(dir).select("k", "name").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the default (documented-contract) path still merges stable keys fine
+    Sinks.mergeUpsertPartitioned(
+      Seq((2L, "b3", "p2")).toDF("k", "name", "part"), dir, Seq("k"), "part",
+      strict = true)
+    assert(spark.read.parquet(dir).filter(col("k") === 2)
+      .select("name").as[String].head() == "b3")
+  }
+
+  test("mergeUpsertPartitioned: null partition values and type drift rejected") {
+    val dir = Files.createTempDirectory("graft_merge_guard_").toString + "/t"
+    Sinks.mergeUpsertPartitioned(
+      Seq((1L, "a", "p1")).toDF("k", "name", "part"), dir, Seq("k"), "part")
+    val nullPart = Seq((2L, "b", null: String)).toDF("k", "name", "part")
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.mergeUpsertPartitioned(nullPart, dir, Seq("k"), "part")
+    }
+    assert(e1.getMessage.contains("null part"), e1.getMessage)
+    // name type drift (string name -> int) must be rejected, not coerced
+    val retyped = Seq((1L, 7, "p1")).toDF("k", "name", "part")
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.mergeUpsertPartitioned(retyped, dir, Seq("k"), "part")
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+  }
+
+  test("cross-op recovery: a table stranded mid-compact is restored by mergeUpsert") {
+    val dir = Files.createTempDirectory("graft_xop_rec_").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
+    def mv(a: String, b: String): Unit =
+      assert(new java.io.File(a).renameTo(new java.io.File(b)))
+    // crash between compact's two renames: table only at .compact.tmp
+    mv(dir, dir + ".compact.tmp")
+    Sinks.mergeUpsert(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), dir, Seq("k"))
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "pre-crash rows must survive a merge that follows a stranded compact")
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+  }
+
   test("compact refuses hive-partitioned layouts") {
     val dir = Files.createTempDirectory("graft_compact_part_").toString + "/t"
     Sinks.writePartitioned(

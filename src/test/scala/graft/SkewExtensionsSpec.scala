@@ -29,6 +29,33 @@ class SkewExtensionsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("adaptive salted join: hot key salted, cold keys plain, result equals plain join") {
+    val large = (1 to 5000).map(i => (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+    val medium = (1L to 500L).map(k => (k, s"m$k")).toDF("k", "name")
+    val plain = large.join(medium, "k").select("k", "v", "name")
+      .as[(Long, Int, String)].collect().toSet
+    // key 7 has 4500 rows; every other key has 1 — only 7 clears the bar
+    val adaptive = Skew.saltedJoinAdaptive(large, medium, "k", col("v"),
+      salts = 8, hotKeyMinRows = 100, sampleFraction = 0.5)
+    assert(adaptive.select("k", "v", "name").as[(Long, Int, String)]
+      .collect().toSet == plain)
+    val plan = adaptive.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"the hot branch must be salted; plan:\n$plan")
+
+    // no keys hot -> degenerates to exactly the plain join (no salt column)
+    val uniform = (1 to 2000).map(i => (i.toLong % 500, i)).toDF("k", "v")
+    val noneHot = Skew.saltedJoinAdaptive(uniform, medium, "k", col("v"),
+      salts = 8, hotKeyMinRows = 1000, sampleFraction = 0.5)
+    assert(!noneHot.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(noneHot.count() == uniform.join(medium, "k").count())
+
+    // everything hot -> degrades to the unconditional salted join, same rows
+    val allHot = Skew.saltedJoinAdaptive(large, medium, "k", col("v"),
+      salts = 4, hotKeyMinRows = 1, sampleFraction = 1.0, maxHotKeys = 3)
+    assert(allHot.select("k", "v", "name").as[(Long, Int, String)]
+      .collect().toSet == plain)
+  }
+
   test("non-broadcast salted join shuffles on (key, salt) — hot key spread over tasks") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

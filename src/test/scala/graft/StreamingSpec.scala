@@ -236,6 +236,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming partitioned merge: overlapping micro-batches converge to the one-batch table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_smerge_").toString
+    val streamed = s"$dir/streamed"; val oneShot = s"$dir/oneshot"
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Incremental.foreachBatchMergePartitioned(
+        mem.toDF().toDF("k", "v", "part"), streamed, Seq("k"), "part")
+      .start()
+    try {
+      mem.addData((1L, "a", "p1"), (2L, "b", "p2"))
+      q.processAllAvailable()
+      // overlaps batch 1: k=2 updated, k=3 new — and replays k=1 verbatim
+      mem.addData((1L, "a", "p1"), (2L, "b2", "p2"), (3L, "c", "p1"))
+      q.processAllAvailable()
+      val asStream = spark.read.parquet(streamed)
+        .select("k", "v", "part").as[(Long, String, String)].collect().toSet
+      // the same rows merged as ONE batch (last write per key)
+      graft.operators.Sinks.mergeUpsertPartitioned(
+        Seq((1L, "a", "p1"), (2L, "b2", "p2"), (3L, "c", "p1"))
+          .toDF("k", "v", "part"),
+        oneShot, Seq("k"), "part")
+      val asBatch = spark.read.parquet(oneShot)
+        .select("k", "v", "part").as[(Long, String, String)].collect().toSet
+      assert(asStream == asBatch, s"stream $asStream vs batch $asBatch")
+      assert(asStream == Set((1L, "a", "p1"), (2L, "b2", "p2"), (3L, "c", "p1")))
+    } finally q.stop()
+  }
+
   test("bloom dedup stream: duplicates never re-emitted across batches, state fixed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]

@@ -74,6 +74,21 @@ class TimeSeriesSpec extends SparkTestBase {
       (2L, "X", "2024-01-01", None, true)))
   }
 
+  test("scd2: a null tie-breaker VALUE does not fake a segment start") {
+    // eid null on the first row: with lag(eid).isNull first-row detection,
+    // the SECOND row would read lag=null and open a spurious interval
+    // even though the state is unchanged
+    val nullTie = Seq(
+      (1L, ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Long], "A"),
+      (1L, ts("2024-01-02 00:00:00"), java.lang.Long.valueOf(2L), "A"),
+      (1L, ts("2024-01-03 00:00:00"), java.lang.Long.valueOf(3L), "B")
+    ).toDF("user", "ts", "eid", "state")
+    val out = TimeSeries.scd2(nullTie, "user", "ts", "eid", Seq("state"))
+      .orderBy("valid_from").select("state").as[String].collect().toSeq
+    assert(out == Seq("A", "B"),
+      "unchanged-state rows collapse even when the tie-breaker is null")
+  }
+
   test("scd2: null attribute values are states (null-safe comparison)") {
     val withNull = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, null.asInstanceOf[String]),
