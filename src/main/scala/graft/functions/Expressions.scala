@@ -621,6 +621,84 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Hash-aggregable argmax: the `value` of the row with the greatest
+    * `ord`, ties already broken by the caller's ordering. The built-in
+    * declarative max_by keeps a struct in its aggregation buffer, which
+    * HashAggregate cannot hold (structs aren't mutable buffer types), so
+    * Spark silently plans SortAggregate — a per-partition sort on both
+    * the partial and final sides. This TypedImperativeAggregate buffers
+    * the best (value, ord) pair as one UnsafeRow, so the planner picks
+    * ObjectHashAggregate: hash-based, map-side combinable, sort-free —
+    * the argmax a keep-best dedup runs over every content key of a
+    * 100 TB corpus.
+    *
+    * Null `ord` rows are ignored (max_by semantics); an all-null group
+    * yields null.
+    */
+  case class MaxByRow(value: Expression, ord: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow] {
+    import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(ord.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"max_by_row ordering type ${ord.dataType.sql} is not orderable")
+
+    override def children: Seq[Expression] = Seq(value, ord)
+    override def dataType: DataType = value.dataType
+    override def nullable: Boolean = true
+    override def prettyName: String = "max_by_row"
+
+    @transient private lazy val pairTypes = Array(value.dataType, ord.dataType)
+    @transient private lazy val toUnsafe = UnsafeProjection.create(pairTypes)
+    @transient private lazy val ordering =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(ord.dataType)
+
+    override def createAggregationBuffer(): UnsafeRow = null
+
+    override def update(buffer: UnsafeRow, input: InternalRow): UnsafeRow = {
+      val o = ord.eval(input)
+      if (o == null) return buffer
+      if (buffer == null || ordering.compare(o, buffer.get(1, ord.dataType)) > 0) {
+        val v = value.eval(input)
+        // copy(): the projection's backing buffer is reused per input row
+        toUnsafe(new GenericInternalRow(Array[Any](v, o))).copy()
+      } else buffer
+    }
+
+    override def merge(a: UnsafeRow, b: UnsafeRow): UnsafeRow =
+      if (a == null) b
+      else if (b == null) a
+      else if (ordering.compare(b.get(1, ord.dataType), a.get(1, ord.dataType)) > 0) b
+      else a
+
+    override def eval(buffer: UnsafeRow): Any =
+      if (buffer == null) null else buffer.get(0, value.dataType)
+
+    override def serialize(buffer: UnsafeRow): Array[Byte] =
+      if (buffer == null) Array.emptyByteArray else buffer.getBytes
+
+    override def deserialize(bytes: Array[Byte]): UnsafeRow =
+      if (bytes.isEmpty) null
+      else {
+        val row = new UnsafeRow(2)
+        row.pointTo(bytes, bytes.length)
+        row
+      }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MaxByRow =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MaxByRow =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(value = c(0), ord = c(1))
+  }
+
   /** A fixed-size blocked Bloom filter over 64-bit keys — the sketch a
     * bloom-pruned semi-join broadcasts in place of the exact key set.
     * Double hashing (Kirsch–Mitzenmacher): the i-th probe bit is
@@ -730,6 +808,9 @@ object Expressions {
   def simhash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
   def md5_bits(s: Column, nibbles: Int): Column =
     column(Md5Bits(expression(s), nibbles))
+  def max_by_row(value: Column, ord: Column): Column =
+    column(MaxByRow(expression(value), expression(ord))
+      .toAggregateExpression(isDistinct = false))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
   def hyperplane_signatures(vec: Column, dim: Int, bits: Int, bands: Int,

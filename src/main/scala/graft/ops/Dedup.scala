@@ -35,17 +35,20 @@ object Dedup {
     * cleanest capture" dedup a training pipeline runs between exact and
     * near-dup passes.
     *
-    * max_by over (quality, -id) rather than a row_number window: the
-    * aggregate is map-side combinable (partial max_by before the
+    * argmax over (quality, -id) rather than a row_number window: the
+    * aggregate is map-side combinable (partial argmax before the
     * shuffle) and needs no per-partition sort, so the only cost is one
     * exchange of one candidate row per (partition x key) — strictly
-    * less work than window+filter at any scale.
+    * less work than window+filter at any scale. max_by_row, not the
+    * built-in max_by: the builtin's struct buffer silently demotes the
+    * plan to SortAggregate (see Expressions.MaxByRow), re-buying the
+    * sort this formulation exists to drop.
     */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
                qualityCol: String): DataFrame = {
     val outCols = docs.columns
     docs.groupBy(normalizeText(col(textCol)).as("__text_key"))
-      .agg(max_by(struct(outCols.map(col): _*),
+      .agg(graft.functions.Expressions.max_by_row(struct(outCols.map(col): _*),
         struct(col(qualityCol), -col(idCol))).as("__best"))
       .select(outCols.map(c => col(s"__best.$c")): _*)
   }

@@ -91,6 +91,22 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("keepBest and duplicateSpans plan sort-free (aggregate, not window)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val kb = graft.ops.Dedup.keepBest(
+      docs.withColumn("q", col("doc_id") % 100), "doc_id", "text", "q")
+    val kbPlan = kb.queryExecution.executedPlan.toString
+    assert(!kbPlan.contains("Window"), s"keepBest must not window:\n$kbPlan")
+    assert(!kbPlan.contains("Sort "), s"keepBest must not sort:\n$kbPlan")
+    assert(kbPlan.contains("Aggregate"),
+      s"keepBest is one max_by aggregation:\n$kbPlan")
+
+    val spans = graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text", 8)
+    val spPlan = spans.queryExecution.executedPlan.toString
+    assert(!spPlan.contains("Window"), s"duplicateSpans must not window:\n$spPlan")
+    assert(!spPlan.contains("Sort "), s"duplicateSpans must not sort:\n$spPlan")
+  }
+
   test("multi-band LSH plans bucket equi-joins with broadcast probes, never all-pairs") {
     import spark.implicits._
     val corpus = (0 until 50).map(i =>
