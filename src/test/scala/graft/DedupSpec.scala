@@ -33,6 +33,31 @@ class DedupSpec extends SparkTestBase {
       "survivors keep their full original row")
   }
 
+  test("keepBest: null quality sorts below any value; all-null group keeps min id") {
+    val scored = Seq(
+      (1L, "same text here", null.asInstanceOf[java.lang.Double]),
+      (2L, "Same  TEXT here", java.lang.Double.valueOf(3.0)), // only non-null -> wins
+      (5L, "other text", null.asInstanceOf[java.lang.Double]),
+      (4L, "OTHER text", null.asInstanceOf[java.lang.Double]) // all null -> min id 4
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.keepBest(scored, "doc_id", "text", "q")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 4L),
+      "null quality loses to any value; an all-null group still keeps one row")
+  }
+
+  test("md5_bits equals the conv(substring(md5)) construction it replaces") {
+    // the parity the oracle SQL relies on: nibble-decode of the md5 hex
+    // prefix == the codegen'd digest-byte path, for every prefix width
+    val df = spark.range(200).select(
+      concat(lit("probe_"), col("id")).cast("string").as("s"))
+    for (n <- Seq(1, 2, 8, 15)) {
+      val mismatch = df.filter(
+        graft.functions.Expressions.md5_bits(col("s"), n) =!=
+          conv(substring(md5(col("s")), 1, n), 16, 10).cast("long")).count()
+      assert(mismatch == 0, s"md5_bits($n) diverges from the SQL construction")
+    }
+  }
+
   test("duplicateSpans finds cross-document repeated windows with positions") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
