@@ -17,6 +17,11 @@ object Bench {
       // after a selective filter.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // the engine's object-buffered aggregates (MaxByRow) hold ONE row
+      // per group, not a collect_list — the conservative 128-key default
+      // exists for the latter and silently sorts the tail of any
+      // high-cardinality task (see Expressions.MaxByRow)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb

@@ -632,6 +632,15 @@ object Expressions {
     * the argmax a keep-best dedup runs over every content key of a
     * 100 TB corpus.
     *
+    * One runtime caveat to carry to a real deployment:
+    * ObjectHashAggregate falls back to sort-based processing after
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * distinct keys per task (default 128 — sized for huge object
+    * buffers like collect_list's). This buffer is ONE row, so raise the
+    * threshold generously when tasks carry many groups; at the default
+    * the plan is hash-flavored but high-cardinality tasks quietly sort
+    * their tail.
+    *
     * Null `ord` rows are ignored (max_by semantics); an all-null group
     * yields null.
     */
