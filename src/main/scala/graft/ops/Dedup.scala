@@ -75,9 +75,11 @@ object Dedup {
     * O(df^2) candidate pairs — the worst case per shingle is bounded by
     * maxDf*(maxDf-1)/2. Jaccard is then defined over the surviving
     * (distinctive) shingle space, the standard trade: frequent shingles
-    * carry no near-dup signal anyway. The df count is a window over the
-    * same `shingle` key the self-join shuffles on, so the prune reuses
-    * that exchange rather than adding one.
+    * carry no near-dup signal anyway. The prune is an aggregate for the
+    * OVER-cap shingles (map-side combinable) anti-joined back broadcast:
+    * the stop list is tiny by definition — it only holds keys hot enough
+    * to matter — where the previous windowed-count formulation shuffled
+    * AND sorted every (id, shingle) row just to read a count.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
@@ -86,10 +88,16 @@ object Dedup {
     val pruned =
       if (maxDf == Int.MaxValue) all
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-        all.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxDf)
-          .drop("__df")
+        val stop = all.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select(col("shingle"))
+        // no broadcast hint: AQE sees the post-filter size and picks the
+        // broadcast anti-join itself; on a pathological corpus where the
+        // stop list is actually large, forcing broadcast would OOM the
+        // driver while the shuffled anti-join (still sort-free) degrades
+        // gracefully
+        all.join(stop, Seq("shingle"), "left_anti")
       }
     val sh = pruned.cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
