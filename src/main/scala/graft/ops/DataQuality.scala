@@ -14,23 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  /** Per-column profile in one scan: row count, null count, distinct
-    * count (exact), min/max as strings (type-erased for a uniform
-    * report schema). One row per profiled column, pivoted from a single
-    * aggregation. The exact multi-column countDistinct rewrites to one
-    * Expand (rows × profiled columns) feeding a single aggregation
-    * pair — still one pass over the data, not a job per column; swap in
-    * approx_count_distinct when the expansion matters at scale.
+  /** Per-column profile: row count, null count, distinct count (exact),
+    * min/max as strings (type-erased for a uniform report schema). One
+    * row per profiled column, pivoted from two 1-row aggregations.
+    *
+    * Two aggregations, DELIBERATELY: min/max over a string column is
+    * not hash-aggregable (var-length buffer), and mixing it into the
+    * same agg as the multi-column countDistinct demotes the distinct
+    * rewrite's grouped phase to SortAggregate — two real sorts of the
+    * Expand'ed input (rows × profiled columns), the dominant cost at
+    * scale. Split, the counts/min/max agg is a global streaming fold
+    * (no grouping keys — no sort even as SortAggregate) and the
+    * distinct Expand hash-aggregates; the two 1-row results cross-join
+    * for free. Two scans, zero sorts, still never a job per column;
+    * swap in approx_count_distinct when even the Expand matters.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+    val statAggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__d_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = cols.map(c => countDistinct(col(c)).as(s"__d_$c"))
+    val wide = df.agg(statAggs.head, statAggs.tail: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
     val perCol = cols.map { c =>
       struct(lit(c).as("column"),
         col("__n").as("n_rows"), (col("__n") - col(s"__nn_$c")).as("n_null"),

@@ -105,6 +105,16 @@ class ScaleSpec extends SparkTestBase {
     val spPlan = spans.queryExecution.executedPlan.toString
     assert(!spPlan.contains("Window"), s"duplicateSpans must not window:\n$spPlan")
     assert(!spPlan.contains("Sort "), s"duplicateSpans must not sort:\n$spPlan")
+
+    // the profile's split-aggregation design: string min/max in the same
+    // agg as the multi-column distinct would demote the Expand's grouped
+    // phase to SortAggregate and sort rows x profiled-columns
+    val prof = graft.ops.DataQuality.profile(
+      graft.Tables.orders(spark, sf("sf0.001")),
+      Seq("o_custkey", "o_orderkey", "o_orderstatus"))
+    val prPlan = prof.queryExecution.executedPlan.toString
+    assert(!prPlan.contains("Sort ["),
+      s"profile must not sort the expanded input:\n$prPlan")
   }
 
   test("multi-band LSH plans bucket equi-joins with broadcast probes, never all-pairs") {
