@@ -26,6 +26,8 @@ object GraftExtensions {
     registerFunction(spark, "simhash60", args => SimHash60(args(0)))
     registerFunction(spark, "md5_bits", args => Md5Bits(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
+    registerFunction(spark, "max_by_row", args => MaxByRow(args(0), args(1))
+      .toAggregateExpression(isDistinct = false))
     registerFunction(spark, "word_shingles", args => WordShingles(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
     registerFunction(spark, "hyperplane_signatures", args => HyperplaneSignatures(args(0),
@@ -67,6 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_bits", "_FUNC_(str, nibbles) - value of the first n hex digits of md5(str)"),
       (args: Seq[Expression]) => Md5Bits(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("max_by_row"),
+      info("max_by_row",
+        "_FUNC_(value, ord) - hash-aggregable argmax: value of the row with the greatest ord"),
+      (args: Seq[Expression]) => MaxByRow(args(0), args(1))
+        .toAggregateExpression(isDistinct = false)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),

@@ -199,7 +199,16 @@ object Dedup {
     val newBuckets = lshBuckets(newSigs, idCol, bands, r)
       .withColumnRenamed(idCol, "__new_id")
     val storeBuckets = lshBuckets(store, idCol, bands, r)
-    val pairs = newBuckets.join(storeBuckets, Seq("band", "bh"))
+    // enforce the maxBucket guard (it was accepted but silently unused
+    // before): a degenerate store bucket would fan out new x bucket
+    // rows; the hot-bucket list is tiny by definition, so the anti-join
+    // broadcasts
+    val hotBuckets = storeBuckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band"), col("bh"))
+    val safeStore = storeBuckets.join(hotBuckets, Seq("band", "bh"), "left_anti")
+    val pairs = newBuckets.join(safeStore, Seq("band", "bh"))
       .filter(col("__new_id") =!= col(idCol))
       .select(least(col("__new_id"), col(idCol)).as("id_a"),
         greatest(col("__new_id"), col(idCol)).as("id_b"))
@@ -219,6 +228,47 @@ object Dedup {
     * signature from md5() — see [[graft.functions.Expressions.SimHash60]].
     */
   def simhash(textCol: String): Column = simhash60(tokens(col(textCol)))
+
+  /** Incremental simhash near-dup detection against a persisted
+    * signature store — the simhash twin of [[incrementalMinhashPairs]]:
+    * sign ONLY the new batch, append idempotently (first-write-wins on
+    * id), and probe the new batch's pigeonhole chunks against the full
+    * store's, so old-vs-old pairs are never recomputed and per-run work
+    * is O(new x collision rate). Store chunk buckets over `maxBucket`
+    * are dropped (the skew valve; the hot list is tiny so its anti-join
+    * broadcasts). Returns (id_a, id_b, hamming) pairs where at least one
+    * side is new, ordered id_a < id_b.
+    */
+  def incrementalSimhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                              storePath: String, maxHamming: Int = 3,
+                              maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val chunks = maxHamming + 1
+    val width = 60 / chunks
+    val newSims = newDocs.select(col(idCol), simhash(textCol).as("simhash"))
+    graft.operators.Sinks.appendDedup(newSims, storePath, Seq(idCol))
+    val store = spark.read.parquet(storePath)
+    def chunkBuckets(sims: DataFrame): DataFrame =
+      sims.select(col(idCol), col("simhash"), explode(expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> " +
+          s"struct(c as chunk, shiftright(simhash, c * $width) & ${(1L << width) - 1} as cv))")).as("b"))
+        .select(col(idCol), col("simhash"), col("b.chunk"), col("b.cv"))
+    val newB = chunkBuckets(newSims).select(col(idCol).as("__new_id"),
+      col("simhash").as("__new_sh"), col("chunk"), col("cv"))
+    val storeB = chunkBuckets(store)
+    val hot = storeB.groupBy(col("chunk"), col("cv"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("chunk"), col("cv"))
+    newB.join(storeB.join(hot, Seq("chunk", "cv"), "left_anti"), Seq("chunk", "cv"))
+      .filter(col("__new_id") =!= col(idCol))
+      .withColumn("hamming",
+        bit_count(col("__new_sh").bitwiseXOR(col("simhash"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("__new_id"), col(idCol)).as("id_a"),
+        greatest(col("__new_id"), col(idCol)).as("id_b"), col("hamming"))
+      .distinct()
+  }
 
   /** SimHash near-dup pairs: pigeonhole banding — two docs within
     * `maxHamming` of each other must agree on at least one of

@@ -33,6 +33,30 @@ class DedupSpec extends SparkTestBase {
       "survivors keep their full original row")
   }
 
+  test("incremental simhash: new-vs-store pairs only, store grows idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_isim_").toString + "/store"
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document about spark")).toDF("doc_id", "text")
+    val p1 = Dedup.incrementalSimhashPairs(b1, "doc_id", "text", dir, maxHamming = 16)
+    assert(p1.count() == 0, "first batch has no prior store to collide with... " +
+      "except itself: both docs are new, so only cross-new pairs could appear")
+    // batch 2: a near-dup of doc 1 (one word changed) + replay of doc 2
+    val b2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "an entirely different document about spark")).toDF("doc_id", "text")
+    val p2 = Dedup.incrementalSimhashPairs(b2, "doc_id", "text", dir, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2.contains((1L, 3L)), s"near-dup must surface against the store: $p2")
+    assert(!p2.exists(p => p._1 == 2L && p._2 == 2L))
+    assert(spark.read.parquet(dir).count() == 3, "one signature per unique doc")
+    // full replay converges: same pairs, no store growth
+    val p3 = Dedup.incrementalSimhashPairs(b2, "doc_id", "text", dir, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p3 == p2)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("keepBest: null quality sorts below any value; all-null group keeps min id") {
     val scored = Seq(
       (1L, "same text here", null.asInstanceOf[java.lang.Double]),

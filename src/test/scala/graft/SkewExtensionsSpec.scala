@@ -98,6 +98,15 @@ class SkewExtensionsSpec extends SparkTestBase {
           |""".stripMargin).collect().head
     assert(r2.getInt(0) == 3)
     assert(r2.getLong(1) == 3L)
+
+    // aggregate + hash-derivation registrations
+    val r3 = s2.sql(
+        """SELECT md5_bits('probe', 2) AS mb,
+          |       max_by_row(named_struct('v', x), named_struct('q', q)).v AS best
+          |FROM VALUES (1L, 10L), (2L, 30L), (3L, 20L) AS t(x, q)
+          |""".stripMargin).collect().head
+    assert(r3.getLong(0) >= 0L && r3.getLong(0) <= 255L)
+    assert(r3.getLong(1) == 2L, "argmax by q picks x=2")
     assert(r2.getLong(2) == 7L)
   }
 }
