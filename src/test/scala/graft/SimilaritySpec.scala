@@ -121,6 +121,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
   }
 
+  test("LSH at the ann_lsh_topk query's config clears a 0.6 recall floor") {
+    // same harness embeddings and (dim, k, bits, bands, multiProbe) as
+    // Queries.annLsh — the quantitative check behind that rows-only
+    // query. Random embeddings are LSH's hardest case; this config
+    // measures 0.82 here (a 10-bit 4-band config recalled 0.22, which is
+    // what prompted pinning the floor).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, probes, "vec_id", "embedding",
+        dim = 64, k = 5, bits = 8, bands = 16, maxBucket = 2000,
+        multiProbe = true)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall below the stated 0.6 floor " +
+      "at the ann_lsh_topk configuration")
+  }
+
   test("IVF at the ann_ivf_topk query's config clears a 0.6 recall floor") {
     // the quantitative check behind the rows-only query: same harness
     // embeddings, same (k, kCells, nProbe) as Queries.annIvf — the
