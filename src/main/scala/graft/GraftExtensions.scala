@@ -15,10 +15,32 @@ import graft.functions.Expressions._
   * or programmatically via `.withExtensions(new GraftExtensions)`.
   */
 object GraftExtensions {
+  /** Session configs the engine's operators are designed around. The
+    * object-buffered aggregates (Expressions.MaxByRow) hold ONE row per
+    * group, but ObjectHashAggregate's sort-based fallback threshold
+    * defaults to 128 distinct keys per task — sized for collect_list
+    * buffers — so without this raise any high-cardinality keepBest
+    * quietly sorts its tail, re-buying the sort MaxByRow exists to
+    * drop. Applied by [[register]] and (via a one-shot optimizer rule)
+    * by the builder-installed extension, in both cases only when the
+    * user has not set the key explicitly.
+    */
+  val recommendedConfs: Map[String, String] = Map(
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1000000")
+
+  private[graft] def applyRecommendedConfs(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    recommendedConfs.foreach { case (k, v) =>
+      // contains() sees only explicitly-set values, never defaults, so a
+      // user's deliberate setting survives
+      if (!spark.sessionState.conf.contains(k)) spark.conf.set(k, v)
+    }
+
   /** Runtime registration for sessions that already exist (builder
     * extensions only apply at construction time).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    applyRecommendedConfs(spark)
     import org.apache.spark.sql.graftbridge.Bridge.registerFunction
     registerFunction(spark, "float_vector_dot", args => FloatVectorDot(args(0), args(1)))
     registerFunction(spark, "minhash_signature", args => MinHashSignature(args(0),
@@ -26,8 +48,10 @@ object GraftExtensions {
     registerFunction(spark, "simhash60", args => SimHash60(args(0)))
     registerFunction(spark, "md5_bits", args => Md5Bits(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
-    registerFunction(spark, "max_by_row", args => MaxByRow(args(0), args(1))
-      .toAggregateExpression(isDistinct = false))
+    registerFunction(spark, "max_by_row", args =>
+      (if (args.length > 2) MaxByRow(args(0), args(1), args(2))
+       else MaxByRow(args(0), args(1)))
+        .toAggregateExpression(isDistinct = false))
     registerFunction(spark, "word_shingles", args => WordShingles(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
     registerFunction(spark, "hyperplane_signatures", args => HyperplaneSignatures(args(0),
@@ -54,6 +78,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // one-shot conf application for builder-installed sessions: the
+    // extension hook has no direct conf access at construction time, so
+    // a no-op optimizer rule applies recommendedConfs on its first
+    // invocation (the session is fully built by then). Explicit user
+    // settings are never overridden — see applyRecommendedConfs.
+    e.injectOptimizerRule { session =>
+      new org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        private val applied = new java.util.concurrent.atomic.AtomicBoolean(false)
+        override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+          if (applied.compareAndSet(false, true))
+            GraftExtensions.applyRecommendedConfs(session)
+          plan
+        }
+      }
+    }
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKStrategy)
     e.injectFunction((FunctionIdentifier("float_vector_dot"),
       info("float_vector_dot", "_FUNC_(a, b) - sequential double dot product of two float vectors"),
@@ -71,9 +112,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("max_by_row"),
       info("max_by_row",
-        "_FUNC_(value, ord) - hash-aggregable argmax: value of the row with the greatest ord"),
-      (args: Seq[Expression]) => MaxByRow(args(0), args(1))
-        .toAggregateExpression(isDistinct = false)))
+        "_FUNC_(value, ord[, tie]) - hash-aggregable argmax: value of the row with the greatest ord; ord-ties to the smallest tie (nulls first)"),
+      (args: Seq[Expression]) =>
+        (if (args.length > 2) MaxByRow(args(0), args(1), args(2))
+         else MaxByRow(args(0), args(1)))
+          .toAggregateExpression(isDistinct = false)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),

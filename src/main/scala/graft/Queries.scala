@@ -1207,10 +1207,15 @@ object Queries {
   // banding (k=32, bands=16, r=2), same agreement estimate. est_jaccard
   // is agreement/2^5, an exact binary fraction — identical on any IEEE
   // engine without rounding.
+  // maxBucket: the library default (1000) DROPS pairs in degenerate
+  // band buckets, but this oracle enumerates every candidate pair with
+  // no cap — so the verified query raises the guard well past the
+  // harness corpus's hottest bucket (same treatment as dedup_simhash;
+  // 50000 stays under sorted_id_pairs' 65535 fan-out bound)
   private val dedupMinhash = Q(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
-      n = 3, k = 32, bands = 16, threshold = 0.1),
+      n = 3, k = 32, bands = 16, threshold = 0.1, maxBucket = 50000),
     Some {
       import graft.functions.Expressions.MinHashFamily
       val mixRows = (0 until 32)

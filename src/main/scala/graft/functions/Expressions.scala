@@ -622,12 +622,17 @@ object Expressions {
   }
 
   /** Hash-aggregable argmax: the `value` of the row with the greatest
-    * `ord`, ties already broken by the caller's ordering. The built-in
-    * declarative max_by keeps a struct in its aggregation buffer, which
-    * HashAggregate cannot hold (structs aren't mutable buffer types), so
-    * Spark silently plans SortAggregate — a per-partition sort on both
-    * the partial and final sides. This TypedImperativeAggregate buffers
-    * the best (value, ord) pair as one UnsafeRow, so the planner picks
+    * `ord`; among ord-ties, the row with the SMALLEST `tie` (nulls
+    * first, matching an `ORDER BY ord DESC, tie ASC NULLS FIRST`
+    * window) — so a keep-best dedup gets "highest quality, ties to the
+    * smallest id" for ANY orderable id type, string ids included,
+    * without negation tricks that silently null out on non-numeric
+    * columns. The built-in declarative max_by keeps a struct in its
+    * aggregation buffer, which HashAggregate cannot hold (structs
+    * aren't mutable buffer types), so Spark silently plans
+    * SortAggregate — a per-partition sort on both the partial and final
+    * sides. This TypedImperativeAggregate buffers the best
+    * (value, ord, tie) triple as one UnsafeRow, so the planner picks
     * ObjectHashAggregate: hash-based, map-side combinable, sort-free —
     * the argmax a keep-best dedup runs over every content key of a
     * 100 TB corpus.
@@ -639,12 +644,17 @@ object Expressions {
     * buffers like collect_list's). This buffer is ONE row, so raise the
     * threshold generously when tasks carry many groups; at the default
     * the plan is hash-flavored but high-cardinality tasks quietly sort
-    * their tail.
+    * their tail. [[GraftExtensions]] sets it to 1e6 when installed
+    * (unless the user set it explicitly).
     *
-    * Null `ord` rows are ignored (max_by semantics); an all-null group
-    * yields null.
+    * Null `ord` loses to any non-null value (DESC NULLS LAST, the
+    * window semantics this replaces), so an all-null group still keeps
+    * exactly one row, chosen by the tie field. The 2-arg form
+    * (tie = constant) keeps ord-ties caller-defined, i.e. an
+    * arbitrary-but-valid survivor.
     */
   case class MaxByRow(value: Expression, ord: Expression,
+                      tie: Expression = org.apache.spark.sql.catalyst.expressions.Literal(0),
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
       extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
@@ -652,38 +662,64 @@ object Expressions {
     import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
-    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(ord.dataType))
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"max_by_row ordering type ${ord.dataType.sql} is not orderable")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.expressions.RowOrdering
+      if (!RowOrdering.isOrderable(ord.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_by_row ordering type ${ord.dataType.sql} is not orderable")
+      else if (!RowOrdering.isOrderable(tie.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_by_row tie-break type ${tie.dataType.sql} is not orderable")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
 
-    override def children: Seq[Expression] = Seq(value, ord)
+    override def children: Seq[Expression] = Seq(value, ord, tie)
     override def dataType: DataType = value.dataType
     override def nullable: Boolean = true
     override def prettyName: String = "max_by_row"
 
-    @transient private lazy val pairTypes = Array(value.dataType, ord.dataType)
-    @transient private lazy val toUnsafe = UnsafeProjection.create(pairTypes)
+    @transient private lazy val bufTypes = Array(value.dataType, ord.dataType, tie.dataType)
+    @transient private lazy val toUnsafe = UnsafeProjection.create(bufTypes)
     @transient private lazy val ordering =
       org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(ord.dataType)
+    @transient private lazy val tieOrdering =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(tie.dataType)
+
+    /** True when the (o, t) candidate should replace the buffer: greater
+      * ord wins, null ord smaller than any value (DESC NULLS LAST);
+      * equal ord falls to smaller tie, null tie smallest (ASC NULLS
+      * FIRST).
+      */
+    private def beats(o: Any, t: Any, buffer: UnsafeRow): Boolean = {
+      val bo = buffer.get(1, ord.dataType)
+      val cmp =
+        if (o == null && bo == null) 0
+        else if (o == null) -1
+        else if (bo == null) 1
+        else ordering.compare(o, bo)
+      if (cmp != 0) return cmp > 0
+      val bt = buffer.get(2, tie.dataType)
+      if (t == null) bt != null
+      else if (bt == null) false
+      else tieOrdering.compare(t, bt) < 0
+    }
 
     override def createAggregationBuffer(): UnsafeRow = null
 
     override def update(buffer: UnsafeRow, input: InternalRow): UnsafeRow = {
       val o = ord.eval(input)
-      if (o == null) return buffer
-      if (buffer == null || ordering.compare(o, buffer.get(1, ord.dataType)) > 0) {
+      val t = tie.eval(input)
+      if (buffer == null || beats(o, t, buffer)) {
         val v = value.eval(input)
         // copy(): the projection's backing buffer is reused per input row
-        toUnsafe(new GenericInternalRow(Array[Any](v, o))).copy()
+        toUnsafe(new GenericInternalRow(Array[Any](v, o, t))).copy()
       } else buffer
     }
 
     override def merge(a: UnsafeRow, b: UnsafeRow): UnsafeRow =
       if (a == null) b
       else if (b == null) a
-      else if (ordering.compare(b.get(1, ord.dataType), a.get(1, ord.dataType)) > 0) b
+      else if (beats(b.get(1, ord.dataType), b.get(2, tie.dataType), a)) b
       else a
 
     override def eval(buffer: UnsafeRow): Any =
@@ -695,7 +731,7 @@ object Expressions {
     override def deserialize(bytes: Array[Byte]): UnsafeRow =
       if (bytes.isEmpty) null
       else {
-        val row = new UnsafeRow(2)
+        val row = new UnsafeRow(3)
         row.pointTo(bytes, bytes.length)
         row
       }
@@ -705,7 +741,7 @@ object Expressions {
     override def withNewInputAggBufferOffset(newOffset: Int): MaxByRow =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-      copy(value = c(0), ord = c(1))
+      copy(value = c(0), ord = c(1), tie = c(2))
   }
 
   /** A fixed-size blocked Bloom filter over 64-bit keys — the sketch a
@@ -819,6 +855,11 @@ object Expressions {
     column(Md5Bits(expression(s), nibbles))
   def max_by_row(value: Column, ord: Column): Column =
     column(MaxByRow(expression(value), expression(ord))
+      .toAggregateExpression(isDistinct = false))
+  /** argmax of `ord`, ord-ties to the SMALLEST `tie` (nulls first) — the
+    * keep-best contract for any orderable tie type. */
+  def max_by_row(value: Column, ord: Column, tie: Column): Column =
+    column(MaxByRow(expression(value), expression(ord), expression(tie))
       .toAggregateExpression(isDistinct = false))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))

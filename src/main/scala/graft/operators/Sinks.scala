@@ -22,6 +22,54 @@ object Sinks {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Signature-family guard for persisted signature/index stores
+    * (incremental minhash / simhash / LSH): stamps a `_graft_family`
+    * marker recording the hash family + parameters the store was built
+    * with, and FAILS LOUDLY when a later writer or reader declares a
+    * different family — mixed-family signatures compare as garbage
+    * (silently missed near-dups), which is strictly worse than an
+    * error. A store with data but no marker predates the stamp (or a
+    * signature-family upgrade) and must be rebuilt; a fresh/empty
+    * store is stamped on first use.
+    */
+  def requireFamily(spark: SparkSession, dir: String, family: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(dir, "_graft_family")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (stored != family)
+        throw new IllegalStateException(
+          s"signature store $dir was built with family '$stored' but this " +
+          s"build uses '$family'; mixed families produce meaningless " +
+          "similarity scores — rebuild the store")
+    } else if (fs.exists(new Path(dir)) && fs.listStatus(new Path(dir)).nonEmpty) {
+      throw new IllegalStateException(
+        s"signature store $dir has data but no _graft_family marker (pre-" +
+        s"versioning build); its signatures may not match family '$family' " +
+        "— rebuild the store")
+    }
+    // fresh store: nothing written here — the dir must stay absent so the
+    // first append takes its no-existing-table path; call [[stampFamily]]
+    // after the append lands.
+  }
+
+  /** Write (or idempotently rewrite) the `_graft_family` marker checked
+    * by [[requireFamily]]. Underscore-prefixed, so parquet readers skip
+    * it like _SUCCESS.
+    */
+  def stampFamily(spark: SparkSession, dir: String, family: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(dir, "_graft_family")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write((family + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** K1/K2/K3: append rows whose key is not already present (duplicate-key
     * tolerant insert). Batch-internal dups collapse first; the anti-join
     * against the current table enforces cross-run idempotency.

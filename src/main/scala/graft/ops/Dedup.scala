@@ -35,21 +35,26 @@ object Dedup {
     * cleanest capture" dedup a training pipeline runs between exact and
     * near-dup passes.
     *
-    * argmax over (quality, -id) rather than a row_number window: the
-    * aggregate is map-side combinable (partial argmax before the
-    * shuffle) and needs no per-partition sort, so the only cost is one
-    * exchange of one candidate row per (partition x key) — strictly
-    * less work than window+filter at any scale. max_by_row, not the
-    * built-in max_by: the builtin's struct buffer silently demotes the
-    * plan to SortAggregate (see Expressions.MaxByRow), re-buying the
-    * sort this formulation exists to drop.
+    * argmax over quality with an id tie-break rather than a row_number
+    * window: the aggregate is map-side combinable (partial argmax
+    * before the shuffle) and needs no per-partition sort, so the only
+    * cost is one exchange of one candidate row per (partition x key) —
+    * strictly less work than window+filter at any scale. max_by_row,
+    * not the built-in max_by: the builtin's struct buffer silently
+    * demotes the plan to SortAggregate (see Expressions.MaxByRow),
+    * re-buying the sort this formulation exists to drop. The id rides
+    * the aggregate's dedicated tie slot (smallest wins, nulls first —
+    * exactly `ORDER BY quality DESC, id ASC NULLS FIRST`), which works
+    * for ANY orderable id type; the earlier struct(quality, -id)
+    * encoding silently cast string ids to null doubles and overflowed
+    * Long.MinValue.
     */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
                qualityCol: String): DataFrame = {
     val outCols = docs.columns
     docs.groupBy(normalizeText(col(textCol)).as("__text_key"))
       .agg(graft.functions.Expressions.max_by_row(struct(outCols.map(col): _*),
-        struct(col(qualityCol), -col(idCol))).as("__best"))
+        col(qualityCol), col(idCol)).as("__best"))
       .select(outCols.map(c => col(s"__best.$c")): _*)
   }
 
@@ -193,10 +198,22 @@ object Dedup {
                               maxBucket: Int = 1000): DataFrame = {
     val spark = newDocs.sparkSession
     val r = k / bands
+    // signature-family version guard: signatures from a different hash
+    // family (e.g. a pre-upgrade xxhash64 store) compare as garbage, so
+    // mixing is an ERROR, not a silent recall collapse
+    val family = s"minhash-md5-60 n=$n k=$k"
+    graft.operators.Sinks.requireFamily(spark, storePath, family)
     val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
     graft.operators.Sinks.appendDedup(newSigs, storePath, Seq(idCol))
+    graft.operators.Sinks.stampFamily(spark, storePath, family)
     val store = spark.read.parquet(storePath)
-    val newBuckets = lshBuckets(newSigs, idCol, bands, r)
+    // probe with the STORE's signatures for the batch ids, not the
+    // freshly computed ones: a replayed id with changed text keeps its
+    // persisted signature (first-write-wins), so the reported pairs are
+    // always consistent with the store and reproduce on replay
+    val probeSigs = store.join(newDocs.select(col(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val newBuckets = lshBuckets(probeSigs, idCol, bands, r)
       .withColumnRenamed(idCol, "__new_id")
     val storeBuckets = lshBuckets(store, idCol, bands, r)
     // enforce the maxBucket guard (it was accepted but silently unused
@@ -245,9 +262,16 @@ object Dedup {
     val spark = newDocs.sparkSession
     val chunks = maxHamming + 1
     val width = 60 / chunks
-    val newSims = newDocs.select(col(idCol), simhash(textCol).as("simhash"))
-    graft.operators.Sinks.appendDedup(newSims, storePath, Seq(idCol))
+    // family guard + store-consistent probing: same contract as
+    // incrementalMinhashPairs (see there)
+    val family = "simhash-md5-60 bits=60"
+    graft.operators.Sinks.requireFamily(spark, storePath, family)
+    val newSims0 = newDocs.select(col(idCol), simhash(textCol).as("simhash"))
+    graft.operators.Sinks.appendDedup(newSims0, storePath, Seq(idCol))
+    graft.operators.Sinks.stampFamily(spark, storePath, family)
     val store = spark.read.parquet(storePath)
+    val newSims = store.join(newDocs.select(col(idCol)).distinct(),
+      Seq(idCol), "left_semi")
     def chunkBuckets(sims: DataFrame): DataFrame =
       sims.select(col(idCol), col("simhash"), explode(expr(
           s"transform(sequence(0, ${chunks - 1}), c -> " +

@@ -273,6 +273,11 @@ object Similarity {
   def appendLshIndex(newVectors: DataFrame, idCol: String, vecCol: String,
                      storeDir: String, dim: Int, bits: Int = 10,
                      bands: Int = 4): Unit = {
+    val spark = newVectors.sparkSession
+    // version guard: bucket tables built with different hyperplanes
+    // (dim/bits/bands/seed) are incomparable — fail, don't mis-probe
+    val family = s"hyperplane dim=$dim bits=$bits bands=$bands seed=42"
+    graft.operators.Sinks.requireFamily(spark, storeDir, family)
     graft.operators.Sinks.appendDedup(
       newVectors.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
         norm(col(vecCol)).as("cand_norm")),
@@ -280,6 +285,7 @@ object Similarity {
     graft.operators.Sinks.appendDedup(
       bandBuckets(newVectors, idCol, vecCol, "cand_id", dim, bits, bands),
       s"$storeDir/buckets", Seq("cand_id", "band"))
+    graft.operators.Sinks.stampFamily(spark, storeDir, family)
   }
 
   /** ANN lookup against the persisted index written by [[appendLshIndex]]:
@@ -292,6 +298,10 @@ object Similarity {
                      bands: Int = 4, maxBucket: Int = 2000,
                      multiProbe: Boolean = false): DataFrame = {
     val spark = probes.sparkSession
+    // read-side family guard: probing an index built with different
+    // hyperplane parameters would silently return near-random buckets
+    graft.operators.Sinks.requireFamily(spark, storeDir,
+      s"hyperplane dim=$dim bits=$bits bands=$bands seed=42")
     lshTopKFrom(spark.read.parquet(s"$storeDir/buckets"),
       spark.read.parquet(s"$storeDir/vectors"),
       probes, idCol, vecCol, dim, k, bits, bands, maxBucket, multiProbe)

@@ -57,6 +57,49 @@ class DedupSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("keepBest: string ids tie-break deterministically (smallest id wins)") {
+    // the earlier struct(quality, -id) tie encoding silently cast string
+    // ids to null doubles — this pins the any-orderable-id contract
+    val scored = Seq(
+      ("doc-b", "same text here", 9.0),
+      ("doc-a", "Same  TEXT here", 9.0), // quality tie -> smaller string id
+      ("doc-z", "same text here", 5.0)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.keepBest(scored, "doc_id", "text", "q")
+    assert(out.select("doc_id").as[String].collect().toSet == Set("doc-a"))
+  }
+
+  test("signature store family guard: mixed-parameter reuse fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fam_").toString + "/store"
+    val b = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    Dedup.incrementalMinhashPairs(b, "doc_id", "text", dir,
+      n = 3, k = 32, bands = 16, threshold = 0.4).count()
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalMinhashPairs(b, "doc_id", "text", dir,
+        n = 3, k = 16, bands = 8, threshold = 0.4)
+    }
+    assert(e.getMessage.contains("family"), e.getMessage)
+  }
+
+  test("incremental simhash: replayed id with changed text probes with the STORE's signature") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp_").toString + "/store"
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Dedup.incrementalSimhashPairs(b1, "doc_id", "text", dir, maxHamming = 16).count()
+    // id 1 replays with UNRELATED text; id 2 is a near-dup of 1's ORIGINAL
+    // text. First-write-wins keeps 1's original signature, and the probe
+    // must use that stored signature — so (1,2) surfaces; probing with the
+    // fresh signature of the changed text would miss it.
+    val b2 = Seq(
+      (1L, "totally unrelated replacement content nothing shared anywhere"),
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val p = Dedup.incrementalSimhashPairs(b2, "doc_id", "text", dir, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p.contains((1L, 2L)),
+      s"replayed id must probe with its persisted signature: $p")
+  }
+
   test("keepBest: null quality sorts below any value; all-null group keeps min id") {
     val scored = Seq(
       (1L, "same text here", null.asInstanceOf[java.lang.Double]),
