@@ -238,11 +238,21 @@ object Similarity {
                           maxBucket: Int, multiProbe: Boolean): DataFrame = {
     // hot-bucket guard: buckets over maxBucket are degenerate regions
     // whose candidates would explode the join — exclude, don't truncate.
-    // One window count over the bucket shuffle (a single pass) instead of
-    // a groupBy + anti-join re-scan of the signature computation.
-    val bounded = corpusBuckets.withColumn("__bn",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    // Aggregate + anti-join, NOT count() OVER (PARTITION BY band,
+    // bucket): the window formulation sorted the whole corpus bucket
+    // table for a count that needs no order — at 100x corpus scale that
+    // per-partition sort is the operator's dominant avoidable cost. The
+    // hot list holds only over-cap buckets (tiny by definition), so AQE
+    // broadcasts the anti-join; persisting the narrow (id, band,
+    // bucket) table keeps the guard's second pass from re-signing the
+    // corpus (or re-reading the store).
+    val buckets = corpusBuckets.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val bounded = buckets.join(hot, Seq("band", "bucket"), "left_anti")
     val pB0 = bandBuckets(probes, idCol, vecCol, "probe_id", dim, bits, bands)
     val pB = if (!multiProbe) pB0 else
       pB0.select(col("probe_id"), col("band"), explode(array(
@@ -257,10 +267,18 @@ object Similarity {
     val scored = cand.join(corpusVecs, Seq("cand_id")).join(broadcast(pVec), Seq("probe_id"))
       .withColumn("score", round(
         dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
+      .select("probe_id", "cand_id", "score")
+    // top-k selection through the bounded-heap operator (O(n log k), no
+    // per-partition sort of the candidate table); the rank window then
+    // touches only the <= k survivors per probe, not every candidate.
+    // Same row set as row_number(score desc, cand_id asc) <= k — the
+    // heap's tie-break contract — except NULL/NaN scores (zero-norm
+    // vectors) are dropped rather than ranked first.
+    val top = org.apache.spark.sql.graftbridge.TopKPerKey(
+      scored, Seq("probe_id"), "score", k, tieBreakCol = Some("cand_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select("probe_id", "cand_id", "score", "rank")
   }
 

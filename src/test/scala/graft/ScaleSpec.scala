@@ -121,13 +121,24 @@ class ScaleSpec extends SparkTestBase {
     import spark.implicits._
     val corpus = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i + j).toFloat))).toDF("vec_id", "embedding")
-    val plan = graft.ops.Similarity.lshTopK(corpus, corpus.limit(5), "vec_id",
-        "embedding", dim = 8, k = 3, bits = 6, bands = 4, multiProbe = true)
-      .queryExecution.executedPlan.toString
+    val df = graft.ops.Similarity.lshTopK(corpus, corpus.limit(5), "vec_id",
+      "embedding", dim = 8, k = 3, bits = 6, bands = 4, multiProbe = true)
+    val exec = df.queryExecution.executedPlan
+    val plan = exec.toString
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(plan.contains("BroadcastExchange"), s"probe side must broadcast; plan:\n$plan")
     // the candidate join is keyed on (band, bucket) — a hash join, not NLJ
     assert(plan.contains("band"), s"bucket join key missing; plan:\n$plan")
+    // the hot-bucket guard is an aggregate + anti-join and selection is
+    // the bounded-heap operator, so the ONLY sort left is the rank
+    // window over the <= k survivors per probe — never the corpus
+    // bucket table or the candidate set
+    val sorts = exec.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.size <= 1,
+      s"only the k-row rank window may sort; found ${sorts.size}:\n$plan")
+    assert(plan.contains("TopKPerKey"),
+      s"candidate selection must use the bounded-heap operator; plan:\n$plan")
+    assert(df.count() > 0)
   }
 
   test("runtime bloom-filter pruning injects might_contain on a selective shuffle join") {
