@@ -373,14 +373,23 @@ object Dedup {
     * and token position so a downstream pass can excise them.
     *
     * Scale shape: the explode is narrow (windows stream out of the
-    * scan); the only shuffle carries (hash, doc, pos) — the hash an
+    * scan); the ONE shuffle carries (hash, doc, pos) — the hash an
     * 8-byte long (60 bits of md5), a fixed ~24 bytes/window regardless
     * of span length, when the `hashOnly` flag swaps the span text for
     * its hash. Window count is tokens-per-doc × corpus, the same order
-    * as the shingle index the Jaccard path already builds.
+    * as the shingle index the Jaccard path already builds. Occurrence
+    * lists ride the span-key aggregation (collect_list) and the
+    * duplicated ones stream back out of a narrow generate, so
+    * tokenize+explode runs ONCE — the earlier aggregate + join-back
+    * re-derived the spans from the scan, running the tokenizer twice.
+    * `maxOccurrences` bounds any one span's collected list (a span
+    * repeated millions of times is boilerplate, not dedup signal —
+    * same skew valve as the LSH paths' maxBucket): over-cap spans are
+    * dropped entirely, never truncated.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     spanLen: Int, hashOnly: Boolean = true): DataFrame = {
+                     spanLen: Int, hashOnly: Boolean = true,
+                     maxOccurrences: Int = 100000): DataFrame = {
     require(spanLen >= 1)
     // tokenize into a BOUND column first: referencing the split
     // expression directly inside the transform() lambda would re-run
@@ -399,14 +408,23 @@ object Dedup {
          else col("span")).as("span_key"))
     // aggregate + join back, NOT count() OVER (PARTITION BY span_key):
     // the window formulation sorts every span within its partition for a
-    // count that needs no order. The aggregate is map-side combinable,
-    // the >1 filter shrinks the dup-key side to the actual duplicates
-    // (AQE broadcasts it when small), and the spans side is re-derived
-    // narrowly from the scan rather than cached through a sort.
-    val dupKeys = spans.groupBy(col("span_key"))
+    // count that needs no order. The count aggregate stays a primitive
+    // HashAggregate (map-side combinable; a collect_list formulation was
+    // measured SLOWER here — object buffers for every singleton span,
+    // i.e. the overwhelming majority, cost more than the join they
+    // save), the >1 filter shrinks the dup-key side to the actual
+    // duplicates (AQE broadcasts it when small), and the narrow
+    // (key, doc, pos) span table is persisted so tokenize+posexplode
+    // runs ONCE — re-deriving it from the scan ran the tokenizer twice.
+    // maxOccurrences drops boilerplate spans (repeated past any dedup
+    // signal) the same way the LSH paths' maxBucket drops degenerate
+    // buckets — bounded fan-out on any corpus.
+    val keyed = spans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = keyed.groupBy(col("span_key"))
       .agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") > 1)
-    spans.join(dupKeys, "span_key")
+      .filter(col("n_occurrences") > 1 &&
+        col("n_occurrences") <= maxOccurrences)
+    keyed.join(dupKeys, "span_key")
       .select(col(idCol), col("pos"), col("span_key"), col("n_occurrences"))
   }
 
