@@ -1450,7 +1450,67 @@ object Queries {
         "embedding", dim = 64, k = 5, bits = 8, bands = 16,
         maxBucket = 2000, multiProbe = true)
     },
-    None)
+    // End-to-end oracle: the hyperplanes are deterministic model
+    // constants (Random(seed + band).nextGaussian, the exact draw order
+    // of Expressions.HyperplaneSignatures), so the oracle BAKES them in
+    // as double literals — Scala's shortest-round-trip Double.toString
+    // parses back to the identical IEEE double in DuckDB. Each
+    // signature bit is rebuilt with an explicitly CHAINED product sum
+    // (left-assoc, matching the JVM loop bit-for-bit — DuckDB's
+    // list_dot_product accumulates in a different order and flips
+    // near-zero signs, measured 241/500 rows differing in ULPs); the
+    // re-rank keeps the list_dot_product + round(_, 6) construction the
+    // green ann_bruteforce_topk oracle already proved engine-exact.
+    // Banding, the maxBucket corpus guard, 1-bit multi-probe XOR, and
+    // the (score DESC, cand_id) rank window mirror lshTopK exactly.
+    Some {
+      val dim = 64; val bits = 8; val bands = 16; val seed = 42
+      def bandSig(b: Int): String = {
+        val rng = new scala.util.Random(seed + b)
+        val pl = Array.fill(bits * dim)(rng.nextGaussian().toFloat)
+        (0 until bits).map { i =>
+          val dot = (0 until dim)
+            .map(j => s"v[${j + 1}]*(${pl(i * dim + j).toDouble})")
+            .mkString(" + ")
+          s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val sigSelects = (0 until bands)
+        .map(b => s"SELECT vec_id, $b AS band, ${bandSig(b)} AS bucket FROM ve")
+        .mkString(" UNION ALL ")
+      val probeBuckets = ("bucket" +: (0 until bits)
+        .map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+      s"""WITH ve AS (
+              SELECT vec_id, [CAST(e AS DOUBLE) FOR e IN embedding] AS v
+              FROM embeddings),
+            sig AS ($sigSelects),
+            bn AS (SELECT band, bucket, count(*) AS n FROM sig GROUP BY 1, 2),
+            corpus AS (
+              SELECT s.vec_id, s.band, s.bucket
+              FROM sig s JOIN bn USING (band, bucket) WHERE bn.n <= 2000),
+            probeb AS (
+              SELECT vec_id AS probe_id, band,
+                unnest([$probeBuckets]) AS bucket
+              FROM sig WHERE vec_id < 10),
+            cand AS (
+              SELECT DISTINCT p.probe_id, c.vec_id AS cand_id
+              FROM corpus c JOIN probeb p USING (band, bucket)
+              WHERE p.probe_id <> c.vec_id),
+            scored AS (
+              SELECT cand.probe_id, cand.cand_id,
+                round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                  AS score
+              FROM cand
+              JOIN embeddings p ON p.vec_id = cand.probe_id
+              JOIN embeddings c ON c.vec_id = cand.cand_id)
+            SELECT probe_id, cand_id, score, rank FROM (
+              SELECT probe_id, cand_id, score,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, cand_id) AS rank
+              FROM scored) WHERE rank <= 5"""
+    })
 
   // ---------------------------------------------------------------- text analysis
   private val langNames = TextAnalysis.stopwords.map(_._1)
