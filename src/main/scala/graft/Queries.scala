@@ -1212,11 +1212,13 @@ object Queries {
   // no cap — so the verified query raises the guard well past the
   // harness corpus's hottest bucket (same treatment as dedup_simhash;
   // 50000 stays under sorted_id_pairs' 65535 fan-out bound)
-  private val dedupMinhash = Q(
-    "dedup_minhash_lsh",
-    (s, d) => Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
-      n = 3, k = 32, bands = 16, threshold = 0.1, maxBucket = 50000),
-    Some {
+  /** The full minhash-LSH pair rebuild (md5 family, HUGEINT permutation
+    * arithmetic, band grouping, agreement estimate) with a caller-chosen
+    * extra predicate on the output pair — shared by the batch query and
+    * the incremental variant (which restricts to pairs touching the
+    * "new" batch).
+    */
+  private def duckMinhashPairsSql(pairWhere: String): String = {
       import graft.functions.Expressions.MinHashFamily
       val mixRows = (0 until 32)
         .map(j => s"(${j}, ${MinHashFamily.mixA(j)}, ${MinHashFamily.mixB(j)})")
@@ -1252,8 +1254,38 @@ object Queries {
               JOIN comp cb ON cb.doc_id = c.id_b AND cb.j = ca.j
               GROUP BY 1, 2)
             SELECT id_a, id_b, n_agree / 32.0 AS est_jaccard
-            FROM agree WHERE n_agree / 32.0 >= 0.1"""
-    })
+            FROM agree WHERE n_agree / 32.0 >= 0.1$pairWhere"""
+  }
+
+  private val dedupMinhash = Q(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.1, maxBucket = 50000),
+    Some(duckMinhashPairsSql("")))
+
+  // the weekly-incremental shape as a driver-checked query: the store is
+  // seeded in a per-call temp dir with the doc_id % 10 != 0 majority,
+  // then the % 10 == 0 batch probes it. Store signatures equal the batch
+  // ones (same md5 family) and the store IS the full corpus after the
+  // append, so the oracle is the batch rebuild restricted to pairs
+  // touching the new batch — candidate sets agree because new-bucket x
+  // store-bucket meets exactly the corpus-wide bucket collisions with a
+  // new side.
+  private val incrMinhash = Q(
+    "incr_minhash_pairs",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_incr_mh_")
+        .toString + "/store"
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      // seed append runs at call time; the old-vs-old result is discarded
+      Dedup.incrementalMinhashPairs(old, "doc_id", "text", dir,
+        n = 3, k = 32, bands = 16, threshold = 0.1, maxBucket = 50000)
+      Dedup.incrementalMinhashPairs(fresh, "doc_id", "text", dir,
+        n = 3, k = 32, bands = 16, threshold = 0.1, maxBucket = 50000)
+    },
+    Some(duckMinhashPairsSql(" AND (id_a % 10 = 0 OR id_b % 10 = 0)")))
 
   // SimHash verified end to end: the 60-bit md5-derived signature is
   // rebuilt per document with 60 per-bit SUMs (bit j set iff set-bit
@@ -1267,11 +1299,11 @@ object Queries {
   // signatures), so the verified query raises it to stay exact-complete.
   // Worst bucket cost is maxBucket^2/2 comparisons in one task — size it
   // to the corpus's hot-bucket ceiling, not to infinity.
-  private val dedupSimhash = Q(
-    "dedup_simhash",
-    (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text",
-      maxHamming = 7, maxBucket = 5000),
-    Some {
+  /** Brute-force simhash pair rebuild (md5-derived 60-bit signature via
+    * per-bit SUMs, hamming join) with a caller-chosen extra predicate —
+    * shared by the batch query and the incremental variant.
+    */
+  private def duckSimhashPairsSql(pairWhere: String): String = {
       val bitSums = (0 until 60).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
       val sigBits = (0 until 60)
         .map(j => s"(CASE WHEN 2 * s$j > n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
@@ -1289,8 +1321,34 @@ object Queries {
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sig, b.sig)) <= 7"""
-    })
+            WHERE bit_count(xor(a.sig, b.sig)) <= 7$pairWhere"""
+  }
+
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+      maxHamming = 7, maxBucket = 5000),
+    Some(duckSimhashPairsSql("")))
+
+  // simhash twin of incr_minhash_pairs: store seeded with the % 10 != 0
+  // majority in a per-call temp dir, % 10 == 0 batch probes it; the
+  // oracle is the batch hamming join restricted to pairs touching the
+  // new batch (chunking is exact-complete on both paths, and the store
+  // equals the full corpus after the append)
+  private val incrSimhash = Q(
+    "incr_simhash_pairs",
+    (s, d) => {
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_incr_sh_")
+        .toString + "/store"
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.incrementalSimhashPairs(old, "doc_id", "text", dir,
+        maxHamming = 7, maxBucket = 5000)
+      Dedup.incrementalSimhashPairs(fresh, "doc_id", "text", dir,
+        maxHamming = 7, maxBucket = 5000)
+    },
+    Some(duckSimhashPairsSql(" AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)")))
 
   // the clustering half is verified over the DETERMINISTIC exact-Jaccard
   // pair set (the minhash edge set is xxhash64-seeded, so no SQL engine
@@ -2093,7 +2151,7 @@ object Queries {
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
-    dedupSimhash, dedupClusters,
+    dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
     dedupEmbedding,
     annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
