@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress evidence for the heavy operators: generates synthetic
+  * corpora at 1x and 10x the sf0.1 row counts and measures how runtime
+  * grows, asserting near-linear scaling (10x rows => at most ~12x time)
+  * and that no plan degenerates (no CartesianProduct; no SortAggregate —
+  * the hash-aggregate demotion this engine hunts down — anywhere in the
+  * executed plan).
+  *
+  * Synthetic shape notes (deterministic arithmetic, never rand()):
+  *  - documents: ~40-100 words per doc drawn from a vocabulary sized so
+  *    trigram-shingle saturation matches the harness corpus at EVERY
+  *    scale (vocab ~ cube root of total shingles => df stays ~constant;
+  *    a fixed vocab would make the inverted index quadratically denser
+  *    at 10x and measure the corpus, not the operator). Every 50th doc
+  *    is a near-dup of its predecessor so pair output stays non-empty
+  *    and linear.
+  *  - customers: TPC-H-shaped Customer#%09d names, 25 nations — the
+  *    er_fuzzy_pairs block key (nation | name substring) works as-is.
+  *  - lineitem-like: zipf-ish key skew (5% of rows on one key) so the
+  *    adaptive salted join's hot path is actually exercised.
+  *
+  * Run: sbt "runMain graft.Stress" (optionally SPARK_GRAFT_STRESS_BASE
+  * to change the 1x doc count). Prints one JSON line per operator plus
+  * a PASS/FAIL summary; exits nonzero on any violation.
+  */
+object Stress {
+
+  private def docsAt(spark: SparkSession, n: Long): DataFrame = {
+    // vocab ~ (total shingles / target df)^(1/3): harness sf0.1 has
+    // ~5000 docs x ~70 shingles at df~10 with a ~33-word vocabulary;
+    // this reproduces that saturation at any n
+    val vocab = math.max(8L, math.cbrt(n * 70.0 / 10.0).round)
+    spark.range(n)
+      .withColumn("base",
+        when(pmod(col("id"), lit(50)) === 49, col("id") - 1).otherwise(col("id")))
+      .select(col("id").as("doc_id"), concat(
+        concat_ws(" ", expr(
+          s"transform(sequence(1, 40 + CAST(base % 60 AS INT)), " +
+          s"p -> concat('w', pmod(hash(base, p), $vocab)))")),
+        when(pmod(col("id"), lit(50)) === 49,
+          concat(lit(" uniq"), col("id"))).otherwise(lit(""))).as("text"))
+  }
+
+  private def customersAt(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"),
+      pmod(col("id"), lit(25)).as("c_nationkey"))
+
+  private def lineitemAt(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
+    val keys = math.max(4L, n / 4)
+    val li = spark.range(n).select(
+      when(pmod(col("id"), lit(20)) === 0, lit(7L))
+        .otherwise(pmod(col("id"), lit(keys))).as("l_orderkey"),
+      (pmod(col("id"), lit(50)) + 1).cast("double").as("l_quantity"))
+    val ord = spark.range(keys).select(col("id").as("l_orderkey"),
+      date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+        pmod(col("id"), lit(1000)).cast("int")).as("o_orderdate"))
+    (li, ord)
+  }
+
+  /** (seconds best-of-2, output rows, executed plan string). Each run
+    * starts from a cleared cache: operators persist their narrow
+    * intermediates internally, and Spark's cache manager matches them
+    * across cases by logical plan — measured times must not depend on
+    * which case ran first.
+    */
+  private def time(spark: SparkSession)(df: => DataFrame): (Double, Long, String) = {
+    var rows = 0L
+    var plan = ""
+    val secs = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      // construction is INSIDE the timed region: the iterative operators
+      // (connected components' convergence loop, the adaptive join's
+      // hot-key sample) do their heavy lifting eagerly while the
+      // DataFrame is being built
+      val t0 = System.nanoTime()
+      val d = df
+      rows = d.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      plan = d.queryExecution.executedPlan.toString
+      s
+    }.min
+    (secs, rows, plan)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.applyRecommendedConfs(spark)
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
+
+    val baseDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_BASE", "5000").toLong
+    val maxRatio = 12.0
+
+    import graft.ops.{Dedup, Skew}
+    import graft.operators.Resolve
+
+    def erInput(n: Long): DataFrame =
+      customersAt(spark, n).withColumn("block_key",
+        concat_ws("|", col("c_nationkey"), substring(col("c_name"), 13, 3)))
+
+    val cases: Seq[(String, Long => DataFrame)] = Seq(
+      ("dedup_ngram_jaccard", n =>
+        Dedup.ngramJaccardPairs(docsAt(spark, n), "doc_id", "text", 3, 0.1,
+          maxDf = 10)),
+      ("dedup_clusters", n =>
+        Dedup.clustersFromPairs(
+          Dedup.ngramJaccardPairs(docsAt(spark, n), "doc_id", "text", 3, 0.1,
+            maxDf = 10),
+          docsAt(spark, n), "doc_id")),
+      ("dedup_span_exact", n =>
+        Dedup.duplicateSpans(docsAt(spark, n), "doc_id", "text", 8)),
+      ("er_fuzzy_pairs", n =>
+        Resolve.blockedFuzzyPairs(erInput(n * 3), "c_custkey", "block_key",
+          "c_name", 2)),
+      ("skew_salted_join", n => {
+        val (li, ord) = lineitemAt(spark, n * 120)
+        Skew.saltedJoinAdaptive(li, ord, "l_orderkey", col("l_quantity"),
+            salts = 8, hotKeyMinRows = 13, sampleFraction = 0.5)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      }))
+
+    var failures = 0
+    val results = cases.map { case (name, mk) =>
+      val (t1, r1, _) = time(spark)(mk(baseDocs))
+      val (t10, r10, plan10) = time(spark)(mk(baseDocs * 10))
+      // guard against sub-noise baselines: ratios over a 50 ms floor
+      val ratio = t10 / math.max(t1, 0.05)
+      val degenerate =
+        (if (plan10.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        (if (plan10.contains("SortAggregate")) Seq("SortAggregate") else Nil)
+      val ok = ratio <= maxRatio && degenerate.isEmpty
+      if (!ok) failures += 1
+      println(f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,""" +
+        f""""ratio":$ratio%.2f,"rows_1x":$r1,"rows_10x":$r10,""" +
+        s""""degenerate":[${degenerate.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""ok":$ok}""")
+      (name, ok)
+    }
+    println(s"""{"stress":"${if (failures == 0) "PASS" else "FAIL"}",""" +
+      s""""failed":${results.filterNot(_._2).map("\"" + _._1 + "\"").mkString("[", ",", "]")}}""")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
