@@ -46,6 +46,17 @@ object Bench {
     // whole-stage-codegen compile (a per-plan constant, amortized over
     // every production re-execution) to each tiny sf0.1 query
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // Each run RECONSTRUCTS the query (fn call inside the timer).
+    // Caching the built DataFrame across runs was tried and REJECTED:
+    // it cuts ~25-40 ms/query of re-analysis (honest hoisting), but for
+    // the iterative operators it also skips work the DuckDB baseline
+    // re-executes every run — connected components' convergence loop,
+    // IVF codebook training, the incremental stores' appends all run
+    // eagerly at construction (dedup_clusters measured 2.6 s -> 0.24 s,
+    // i.e. the loop, not the plan, was being skipped). Best-of-N over
+    // full reconstructions keeps the two engines' numbers comparable;
+    // operator-internal persists that Spark's cache manager re-matches
+    // by plan are engine behavior and stay.
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
