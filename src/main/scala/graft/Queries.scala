@@ -1521,7 +1521,14 @@ object Queries {
     // green ann_bruteforce_topk oracle already proved engine-exact.
     // Banding, the maxBucket corpus guard, 1-bit multi-probe XOR, and
     // the (score DESC, cand_id) rank window mirror lshTopK exactly.
-    Some {
+    Some(annLshOracleSql))
+
+  /** Shared by ann_lsh_topk and ann_lsh_indexed: the indexed path signs
+    * the same corpus with the same hyperplanes and probes through the
+    * same core, so the result set is identical by construction — and
+    * the driver verifies that claim end-to-end via the shared oracle.
+    */
+  private lazy val annLshOracleSql: String = {
       val dim = 64; val bits = 8; val bands = 16; val seed = 42
       def bandSig(b: Int): String = {
         val rng = new scala.util.Random(seed + b)
@@ -1568,7 +1575,26 @@ object Queries {
                 row_number() OVER (PARTITION BY probe_id
                   ORDER BY score DESC, cand_id) AS rank
               FROM scored) WHERE rank <= 5"""
-    })
+  }
+
+  // the persisted-index ANN path as a driver query: build the LSH index
+  // in a per-call temp dir (appendLshIndex: family-stamped, idempotent
+  // first-write-wins), then probe it through lshTopKIndexed at the SAME
+  // (bits, bands) as ann_lsh_topk — same hyperplanes, same core, so the
+  // shared oracle hash-checks that the store round-trip loses nothing
+  private val annLshIndexed = Q(
+    "ann_lsh_indexed",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_lshidx_")
+        .toString + "/index"
+      Similarity.appendLshIndex(emb, "vec_id", "embedding", dir,
+        dim = 64, bits = 8, bands = 16)
+      Similarity.lshTopKIndexed(emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dir, dim = 64, k = 5, bits = 8, bands = 16,
+        maxBucket = 2000, multiProbe = true)
+    },
+    Some(annLshOracleSql))
 
   // ---------------------------------------------------------------- text analysis
   private val langNames = TextAnalysis.stopwords.map(_._1)
@@ -2153,7 +2179,7 @@ object Queries {
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
     dedupEmbedding,
-    annBrute, annTopkOperator, annIvf, annLsh, embQuantize,
+    annBrute, annTopkOperator, annIvf, annLsh, annLshIndexed, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
     textTfidf, textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,

@@ -100,6 +100,19 @@ class SimilaritySpec extends SparkTestBase {
       .select("probe_id", "cand_id", "score").as[(Long, Long, Double)].collect().toSet
     assert(indexed == fresh, "persisted index must answer like a fresh full signing")
     assert(indexed.nonEmpty)
+    // family guard: appending or probing with different hyperplane
+    // parameters must fail loudly — mixed-geometry buckets would return
+    // near-random neighbors silently
+    val e1 = intercept[IllegalStateException] {
+      Similarity.appendLshIndex(batch2, "vec_id", "embedding", store,
+        dim = 8, bits = 10)
+    }
+    assert(e1.getMessage.contains("family"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Similarity.lshTopKIndexed(probes, "vec_id", "embedding", store,
+        dim = 8, k = 3, bits = 6, bands = 8)
+    }
+    assert(e2.getMessage.contains("family"), e2.getMessage)
   }
 
   test("IVF: clustered corpus, high recall vs brute force at nProbe=2") {
