@@ -69,6 +69,13 @@ object GraftExtensions {
     registerFunction(spark, "z_value", args => ZValue(args(0),
       args(1).eval().asInstanceOf[Number].intValue(),
       args(2).eval().asInstanceOf[Number].intValue()))
+    registerFunction(spark, "html_text", args =>
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        HtmlExtract(args(0), Seq(("v", args(1).eval().toString, None))), 0, Some("v")))
+    registerFunction(spark, "html_attr", args =>
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        HtmlExtract(args(0),
+          Seq(("v", args(1).eval().toString, Some(args(2).eval().toString)))), 0, Some("v")))
   }
 }
 
@@ -151,5 +158,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ZValue(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("html_text"),
+      info("html_text", "_FUNC_(html, selector) - trimmed text of the first CSS-selector match, null when absent"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.GetStructField(
+          HtmlExtract(args(0), Seq(("v", args(1).eval().toString, None))), 0, Some("v"))))
+    e.injectFunction((FunctionIdentifier("html_attr"),
+      info("html_attr", "_FUNC_(html, selector, attr) - attribute of the first CSS-selector match, null when absent"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.GetStructField(
+          HtmlExtract(args(0),
+            Seq(("v", args(1).eval().toString, Some(args(2).eval().toString)))), 0, Some("v"))))
   }
 }

@@ -1060,6 +1060,54 @@ object Queries {
               (event_id % 9 + 1) * 1000 + event_id % 1000 AS grouped_count
             FROM events"""))
 
+  // the DOM extraction path (graft.functions.Html + html_extract),
+  // driven end-to-end: pages are synthesized with three markup variants
+  // — double-quoted, single-quoted + nested inline tags, reordered
+  // attributes + comments splitting tag from text — that all carry the
+  // same id-derived values; the DOM extractors must read through every
+  // variant, so the oracle is pure arithmetic on event_id. (The regex
+  // battery CANNOT pass this query: variants 1 and 2 break it by
+  // construction — HtmlSpec pins that asymmetry.)
+  private val parseRatingsDom = Q(
+    "parse_ratings_dom",
+    (s, d) => {
+      val e = events(s, d)
+      val pct = (col("event_id") % 100).cast("string")
+      val aPct = ((col("event_id") * 3) % 100).cast("string")
+      val cnt = concat((col("event_id") % 9 + 1).cast("string"), lit(","),
+        lpad((col("event_id") % 1000).cast("string"), 3, "0"))
+      val aCnt = concat((col("event_id") % 7 + 1).cast("string"), lit(","),
+        lpad(((col("event_id") * 11) % 1000).cast("string"), 3, "0"))
+      val v = col("event_id") % 3
+      val html =
+        when(v === 0, concat(
+          lit("<div><span slot=\"criticsScore\">"), pct,
+          lit("%</span><a slot=\"criticsReviews\">"), cnt,
+          lit(" Reviews</a><span slot=\"audienceScore\">"), aPct,
+          lit("%</span><a slot=\"audienceReviews\">"), aCnt,
+          lit(" Ratings</a></div>")))
+        .when(v === 1, concat(
+          lit("<div><span slot='criticsScore'><b>"), pct,
+          lit("%</b></span><a slot='criticsReviews'>"), cnt,
+          lit(" <i>Reviews</i></a><span slot='audienceScore'><b>"), aPct,
+          lit("%</b></span><a slot='audienceReviews'>"), aCnt,
+          lit(" <i>Ratings</i></a></div>")))
+        .otherwise(concat(
+          lit("<div><span class=\"v\" slot=\"criticsScore\"><!-- x -->"), pct,
+          lit("%</span><a data-x=\"1\" slot=\"criticsReviews\">"), cnt,
+          lit(" Reviews</a><span class=\"v\" slot=\"audienceScore\"><!-- x -->"), aPct,
+          lit("%</span><a data-x=\"1\" slot=\"audienceReviews\">"), aCnt,
+          lit(" Ratings</a></div>")))
+      operators.Ratings.rottenTomatoesRatingsDom(
+        e.select(col("event_id"), html.as("html")), "event_id")
+    },
+    Some("""SELECT event_id,
+              CAST(event_id % 100 AS INTEGER) AS critic_score,
+              (event_id % 9 + 1) * 1000 + event_id % 1000 AS num_critic,
+              CAST((event_id * 3) % 100 AS INTEGER) AS user_score,
+              (event_id % 7 + 1) * 1000 + (event_id * 11) % 1000 AS num_user
+            FROM events"""))
+
   // JSON document access: typed extraction from the semi-structured props
   // column (from_json with a pinned schema — the engine's explicit-schema
   // stance from SURVEY.md §1.4 applied to JSON scalars)
@@ -2175,7 +2223,8 @@ object Queries {
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
-    incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings, jsonExtract,
+    incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings,
+    parseRatingsDom, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
     dedupEmbedding,

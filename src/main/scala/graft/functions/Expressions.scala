@@ -744,6 +744,68 @@ object Expressions {
       copy(value = c(0), ord = c(1), tie = c(2))
   }
 
+  /** Schema-pinned DOM extraction: parse the HTML ONCE per row (the
+    * lenient [[Html]] parser), then evaluate every (selector, attr?)
+    * spec against the tree — first match in document order, attribute
+    * value or trimmed descendant text, null when nothing matches (the
+    * reference's per-field try/except). One expression per page keeps
+    * the parse cost amortized across all extracted fields, unlike a
+    * per-field regexp battery which rescans the string per field.
+    * Selectors are parsed at plan construction (analysis-time failure
+    * on bad syntax, zero per-row parsing).
+    */
+  case class HtmlExtract(child: Expression,
+                         specs: Seq[(String, String, Option[String])])
+      extends UnaryExpression {
+    require(specs.nonEmpty, "html_extract needs at least one field spec")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"html_extract requires a string input, got ${other.sql}")
+      }
+    override def dataType: DataType = StructType(
+      specs.map { case (name, _, _) => StructField(name, StringType, nullable = true) })
+    override def prettyName: String = "html_extract"
+
+    // selector parse errors surface at construction, not per row
+    @transient private lazy val parsed: Seq[(List[(Html.Simple, Boolean)], Option[String])] =
+      specs.map { case (_, sel, attr) => (Html.parseSelector(sel), attr) }
+    parsed.length // force at construction
+
+    def compute(s: UTF8String): InternalRow = {
+      val root = Html.parse(s.toString)
+      val out = new Array[Any](specs.length)
+      var i = 0
+      while (i < specs.length) {
+        val (chain, attr) = parsed(i)
+        val hits = Html.selectParsed(root, chain)
+        out(i) =
+          if (hits.isEmpty) null
+          else attr match {
+            case Some(a) => hits.head.attr(a).map(UTF8String.fromString).orNull
+            case None    =>
+              val t = hits.head.text.trim
+              UTF8String.fromString(t)
+          }
+        i += 1
+      }
+      InternalRow(out: _*)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("htmlex", this, classOf[HtmlExtract].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** A fixed-size blocked Bloom filter over 64-bit keys — the sketch a
     * bloom-pruned semi-join broadcasts in place of the exact key set.
     * Double hashing (Kirsch–Mitzenmacher): the i-th probe bit is
@@ -879,4 +941,14 @@ object Expressions {
     column(BloomMightContain(expression(key), bc))
   def z_value(coords: Column, nCols: Int, bits: Int): Column =
     column(ZValue(expression(coords), nCols, bits))
+  /** Multi-field DOM extraction — one parse per page. Spec: (field,
+    * selector, attr?) where attr None extracts trimmed text. */
+  def html_extract(html: Column, specs: Seq[(String, String, Option[String])]): Column =
+    column(HtmlExtract(expression(html), specs))
+  /** Trimmed text of the first selector match, null when absent. */
+  def html_text(html: Column, selector: String): Column =
+    html_extract(html, Seq(("v", selector, None))).getField("v")
+  /** Attribute of the first selector match, null when absent. */
+  def html_attr(html: Column, selector: String, attr: String): Column =
+    html_extract(html, Seq(("v", selector, Some(attr)))).getField("v")
 }

@@ -84,4 +84,89 @@ object Ratings {
       parsePercent(slot("audienceScore")).as("user_score"),
       parseGroupedCount(slot("audienceReviews")).as("num_user"))
   }
+
+  // ---- DOM-fidelity twins (graft.functions.Html via html_extract) ----
+  //
+  // Same output contracts as the regex batteries above, but extraction
+  // goes through a real parse tree — attribute order, quote style,
+  // comments, interleaved markup, and whitespace inside tags cannot
+  // break them (HtmlSpec pins cases where the regexes DO break). The
+  // page is parsed ONCE per row regardless of the number of fields.
+  import graft.functions.Expressions.html_extract
+
+  /** DOM twin of [[wikidataIds]]. */
+  def wikidataIdsDom(df: DataFrame, idCol: String): DataFrame = {
+    val ex = html_extract(col("html"), Seq(
+      ("imdb", "[data-prop=P345]", None),
+      ("mc",   "[data-prop=P1712]", None),
+      ("rt",   "[data-prop=P1258]", None)))
+    df.withColumn("__ex", ex).select(
+      col(idCol),
+      nullIfEmpty(col("__ex.imdb")).as("imdb_id"),
+      nullIfEmpty(col("__ex.mc")).as("metacritic_id"),
+      nullIfEmpty(col("__ex.rt")).as("rotten_tomatoes_id"))
+  }
+
+  /** DOM twin of [[imdbRatings]]. */
+  def imdbRatingsDom(df: DataFrame, idCol: String): DataFrame = {
+    val ex = html_extract(col("html"), Seq(
+      ("rating", "[data-rating]", Some("data-rating")),
+      ("count",  "[data-rating-count]", Some("data-rating-count"))))
+    df.withColumn("__ex", ex).select(
+      col(idCol),
+      scaleScore(col("__ex.rating")).as("user_score"),
+      parseMagnitude(col("__ex.count")).cast("long").as("num_user"))
+  }
+
+  /** DOM twin of [[metacriticRatings]]: the section subtree is located
+    * structurally; the free-text sentiment phrases inside it keep the
+    * same numeric patterns (that text IS the data, not markup).
+    */
+  def metacriticRatingsDom(df: DataFrame, idCol: String): DataFrame = {
+    val ex = html_extract(col("html"), Seq(
+      ("critic_text",  "section#critic-reviews", None),
+      ("critic_score", "section#critic-reviews [score]", Some("score")),
+      ("user_text",    "section#user-reviews", None),
+      ("user_score",   "section#user-reviews [score]", Some("score"))))
+    def sentiments(sec: Column) = {
+      val pos = regexp_extract(sec, "([0-9]+) (?:Reviews|Ratings|Review|Rating)[^|]*positive", 1).cast("int")
+      val neu = regexp_extract(sec, "([0-9]+) (?:Reviews|Ratings|Review|Rating)[^|]*neutral", 1).cast("int")
+      val neg = regexp_extract(sec, "([0-9]+) (?:Reviews|Ratings|Review|Rating)[^|]*negative", 1).cast("int")
+      (pos, neu, neg)
+    }
+    def pct(sec: Column, label: String) =
+      regexp_extract(sec, "([0-9]+)%[^|]*" + label, 1).cast("int")
+    val withEx = df.withColumn("__ex", ex)
+    val critic = col("__ex.critic_text")
+    val user = col("__ex.user_text")
+    val (cp, cn, cg) = sentiments(critic)
+    val (up, un, ug) = sentiments(user)
+    withEx.select(
+      col(idCol),
+      scaleScore(col("__ex.critic_score")).as("critic_score"),
+      (cp + cn + cg).as("num_critic"),
+      pct(critic, "positive").as("critic_positive"),
+      pct(critic, "neutral").as("critic_neutral"),
+      pct(critic, "negative").as("critic_negative"),
+      scaleScore(col("__ex.user_score")).as("user_score"),
+      (up + un + ug).as("num_user"),
+      pct(user, "positive").as("user_positive"),
+      pct(user, "neutral").as("user_neutral"),
+      pct(user, "negative").as("user_negative"))
+  }
+
+  /** DOM twin of [[rottenTomatoesRatings]]. */
+  def rottenTomatoesRatingsDom(df: DataFrame, idCol: String): DataFrame = {
+    val ex = html_extract(col("html"), Seq(
+      ("cs", "[slot=criticsScore]", None),
+      ("cr", "[slot=criticsReviews]", None),
+      ("as", "[slot=audienceScore]", None),
+      ("ar", "[slot=audienceReviews]", None)))
+    df.withColumn("__ex", ex).select(
+      col(idCol),
+      parsePercent(col("__ex.cs")).as("critic_score"),
+      parseGroupedCount(col("__ex.cr")).as("num_critic"),
+      parsePercent(col("__ex.as")).as("user_score"),
+      parseGroupedCount(col("__ex.ar")).as("num_user"))
+  }
 }
