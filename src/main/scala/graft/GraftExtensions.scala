@@ -76,6 +76,8 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.GetStructField(
         HtmlExtract(args(0),
           Seq(("v", args(1).eval().toString, Some(args(2).eval().toString)))), 0, Some("v")))
+    registerFunction(spark, "html_to_text", args => HtmlToText(args(0)))
+    registerFunction(spark, "html_links", args => HtmlLinks(args(0)))
   }
 }
 
@@ -169,5 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.GetStructField(
           HtmlExtract(args(0),
             Seq(("v", args(1).eval().toString, Some(args(2).eval().toString)))), 0, Some("v"))))
+    e.injectFunction((FunctionIdentifier("html_to_text"),
+      info("html_to_text", "_FUNC_(html) - whole-page visible text, script/style excluded, whitespace-collapsed"),
+      (args: Seq[Expression]) => HtmlToText(args(0))))
+    e.injectFunction((FunctionIdentifier("html_links"),
+      info("html_links", "_FUNC_(html) - non-empty anchor hrefs in document order"),
+      (args: Seq[Expression]) => HtmlLinks(args(0))))
   }
 }

@@ -1108,6 +1108,56 @@ object Queries {
               (event_id % 7 + 1) * 1000 + (event_id * 11) % 1000 AS num_user
             FROM events"""))
 
+  // HTML→text corpus extraction, end to end: each document's text is
+  // entity-escaped and embedded in a full synthetic page (title, nav
+  // links, a script whose body contains markup-ish characters, main
+  // block, footer); html_to_text must decode entities, skip the script
+  // subtree, keep boilerplate text in document order, and collapse
+  // whitespace. The expected output is pure string arithmetic on the
+  // ORIGINAL text — the escape/decode round-trip is part of what's
+  // verified.
+  private val htmlCorpusText = Q(
+    "html_corpus_text",
+    (s, d) => {
+      val docs = documents(s, d)
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val page = concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("</title><script>if(a<b){nav()}</script></head><body>" +
+          "<div class=\"nav\"><a href=\"/home\">Home</a> <a href=\"/about\">About</a></div>" +
+          "<div id=\"main\"><p>"), esc,
+        lit("</p></div><footer>(c) site "), (col("doc_id") % 7).cast("string"),
+        lit("</footer></body></html>"))
+      docs.select(col("doc_id"),
+        graft.functions.Expressions.html_to_text(page).as("text_visible"))
+    },
+    Some("""SELECT doc_id,
+              trim(regexp_replace(
+                'D' || doc_id || ' Home About ' || trim(text) ||
+                ' (c) site ' || (doc_id % 7), '\s+', ' ', 'g')) AS text_visible
+            FROM documents"""))
+
+  // Outlink extraction (crawl-graph / link-frontier shape): hrefs are
+  // id-derived so the exploded edge list is oracle-expressible as two
+  // UNION ALL arms. The page varies quoting and attribute order, and
+  // plants href-less and empty-href anchors that must NOT emit rows.
+  private val htmlOutlinks = Q(
+    "html_outlinks",
+    (s, d) => {
+      val docs = documents(s, d)
+      val page = concat(
+        lit("<html><body><p>See <a href=\"/p/"), (col("doc_id") % 5).cast("string"),
+        lit("\">p1</a> and <a data-x='1' href='/q/"), ((col("doc_id") * 3) % 11).cast("string"),
+        lit("'>p2</a> <a name=anchor>no href</a> <a href=\"\">empty</a></p></body></html>"))
+      docs.select(col("doc_id"),
+        explode(graft.functions.Expressions.html_links(page)).as("href"))
+    },
+    Some("""SELECT doc_id, '/p/' || (doc_id % 5) AS href FROM documents
+            UNION ALL
+            SELECT doc_id, '/q/' || ((doc_id * 3) % 11) AS href FROM documents"""))
+
   // JSON document access: typed extraction from the semi-structured props
   // column (from_json with a pinned schema — the engine's explicit-schema
   // stance from SURVEY.md §1.4 applied to JSON scalars)
@@ -2224,7 +2274,7 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings,
-    parseRatingsDom, jsonExtract,
+    parseRatingsDom, htmlCorpusText, htmlOutlinks, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
     dedupEmbedding,

@@ -806,6 +806,71 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Whole-page visible-text extraction — the HTML→text step at the
+    * head of a web training-data pipeline. One parse per page, then
+    * [[Html.visibleText]]: text nodes outside script/style in document
+    * order, whitespace-collapsed. Scoped extraction (main-content
+    * selectors) is [[HtmlExtract]]'s job; this is the page-level
+    * default when no template knowledge exists.
+    */
+  case class HtmlToText(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"html_to_text requires a string input, got ${other.sql}")
+      }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "html_to_text"
+
+    def compute(s: UTF8String): UTF8String =
+      UTF8String.fromString(Html.visibleText(Html.parse(s.toString)))
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("htmltext", this, classOf[HtmlToText].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Outlink extraction: every non-empty `<a href>` value in document
+    * order — the per-page edge list a crawl-frontier or link-graph
+    * (domain-quality, PageRank-ish) step consumes after an `explode`.
+    */
+  case class HtmlLinks(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"html_links requires a string input, got ${other.sql}")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "html_links"
+
+    def compute(s: UTF8String): ArrayData = {
+      val hrefs = Html.links(Html.parse(s.toString))
+      new GenericArrayData(hrefs.map(UTF8String.fromString).toArray[Any])
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("htmllinks", this, classOf[HtmlLinks].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** A fixed-size blocked Bloom filter over 64-bit keys — the sketch a
     * bloom-pruned semi-join broadcasts in place of the exact key set.
     * Double hashing (Kirsch–Mitzenmacher): the i-th probe bit is
@@ -951,4 +1016,8 @@ object Expressions {
   /** Attribute of the first selector match, null when absent. */
   def html_attr(html: Column, selector: String, attr: String): Column =
     html_extract(html, Seq(("v", selector, Some(attr)))).getField("v")
+  /** Whole-page visible text (script/style excluded), whitespace-collapsed. */
+  def html_to_text(html: Column): Column = column(HtmlToText(expression(html)))
+  /** Non-empty anchor hrefs in document order. */
+  def html_links(html: Column): Column = column(HtmlLinks(expression(html)))
 }

@@ -201,6 +201,43 @@ object Html {
     Elem("#root", Map.empty, kids.head.toVector)
   }
 
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** The page's human-visible text: every text node outside
+    * script/style subtrees, in document order, joined by single spaces
+    * with whitespace runs collapsed — the contract of an HTML→text
+    * corpus extraction step (boilerplate stays; scoped extraction via
+    * selector is [[select]]'s job). Deterministic and engine-neutral:
+    * the output for a page built by escaping a source string
+    * round-trips to that string whitespace-collapsed.
+    */
+  def visibleText(root: Elem): String = {
+    val sb = new StringBuilder
+    def walk(n: Node): Unit = n match {
+      case Text(v) =>
+        if (v.nonEmpty) { if (sb.nonEmpty) sb.append(' '); sb.append(v) }
+      case e: Elem =>
+        if (!rawTextTags(e.tag)) e.children.foreach(walk)
+    }
+    root.children.foreach(walk)
+    wsRun.matcher(sb.toString).replaceAll(" ").trim
+  }
+
+  /** All anchor href values, document order, empty hrefs dropped — the
+    * outlink set a crawl-frontier / link-graph step extracts per page.
+    */
+  def links(root: Elem): Vector[String] = {
+    val out = ArrayBuffer.empty[String]
+    def walk(n: Node): Unit = n match {
+      case e: Elem =>
+        if (e.tag == "a") e.attrs.get("href").filter(_.nonEmpty).foreach(out += _)
+        e.children.foreach(walk)
+      case _ =>
+    }
+    root.children.foreach(walk)
+    out.toVector
+  }
+
   // ---- selectors ----
 
   private[functions] final case class Simple(tag: Option[String], id: Option[String],

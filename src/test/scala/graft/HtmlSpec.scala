@@ -109,6 +109,38 @@ class HtmlSpec extends SparkTestBase {
     assert(r.getString(0) == "x" && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("visibleText: skips script/style, document order, collapses whitespace") {
+    val root = Html.parse(
+      """<html><head><title>T</title><style>p{color:red}</style>
+        |<script>var x = "<p>hidden</p>";</script></head>
+        |<body><p>one
+        |   two</p><div>three <b>four</b></div></body></html>""".stripMargin)
+    assert(Html.visibleText(root) == "T one two three four")
+    // entity round-trip: escaped source text comes back verbatim
+    val r2 = Html.parse("<p>a &amp;&lt;tag&gt; b</p>")
+    assert(Html.visibleText(r2) == "a &<tag> b")
+  }
+
+  test("links: hrefs in document order; empty and missing hrefs dropped") {
+    val root = Html.parse(
+      """<p><a href="/x">x</a><a name=n>no</a><a href=''>e</a>
+        |<div><a data-k='1' href='/y'>y</a></div></p>""".stripMargin)
+    assert(Html.links(root) == Vector("/x", "/y"))
+  }
+
+  test("html_to_text and html_links as columns") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      """<html><script>junk()</script><body><p>Hello <b>world</b></p>
+        |<a href="/a">a</a> <a href="/b">b</a></body></html>""".stripMargin)
+      .toDF("html")
+    val r = df.select(
+      graft.functions.Expressions.html_to_text(col("html")).as("t"),
+      graft.functions.Expressions.html_links(col("html")).as("l")).collect().head
+    assert(r.getString(0) == "Hello world a b")
+    assert(r.getSeq[String](1) == Seq("/a", "/b"))
+  }
+
   test("html expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = spark.range(50).select(
