@@ -167,10 +167,34 @@ object Graph {
     * At scale: each iteration is one self-join on the frontier only (not
     * the whole closure), so work is proportional to path count; maxDepth
     * bounds the number of shuffles.
+    *
+    * Adaptive small-hierarchy path (the [[graft.ops.Skew]] philosophy
+    * applied to iteration): parent hierarchies are usually DIMENSION
+    * data — thousands of companies, not billions — and for those the
+    * per-round job launches dominate. A capped `limit(driverRows+1)`
+    * probe (the `maxHotKeys+1` collect idiom from adaptive salting)
+    * decides in ONE early-terminating job: when the edge list fits, the
+    * closure is a driver BFS over the collected edges (bounded model
+    * state, the IVF codebook precedent) with IDENTICAL semantics —
+    * per-path multiplicity, pair-level cycle guard against earlier
+    * depths. The driver result is capped at 10×`driverRows` rows (a
+    * dense DAG's path count can explode combinatorially); on breach the
+    * operator falls back to the distributed loop, which shares the
+    * blowup across executors. Big graphs pay one capped partial scan
+    * and never collect the full edge set.
     */
   def ancestorClosure(edges: DataFrame, maxDepth: Int = 20,
-                      workDir: Option[String] = None): DataFrame = {
+                      workDir: Option[String] = None,
+                      driverRows: Int = 100000): DataFrame = {
     val spark = edges.sparkSession
+    val probe = edges.select(col("child"), col("parent"))
+      .limit(driverRows + 1).collect()
+    if (probe.length <= driverRows) {
+      driverClosure(spark, edges.schema, probe, maxDepth, driverRows) match {
+        case Some(out) => return out
+        case None      => () // path-count blowup: distributed loop below
+      }
+    }
     // write-then-read: one computation per frontier, lineage truncated via
     // reliable files (an executor loss replays from the last frontier,
     // where localCheckpoint would fail the job)
@@ -202,6 +226,61 @@ object Graph {
     val out = store.save(closure, "closure")
     store.cleanupExcept("closure")
     out
+  }
+
+  /** The driver-side BFS twin of [[ancestorClosure]]'s loop, run only
+    * under the `driverRows` bound. Semantics mirror the distributed
+    * rounds row for row: depth-d+1 candidates are one row per
+    * (frontier row × matching parent edge) — per-PATH multiplicity,
+    * like the self-join — filtered against the pair set of all EARLIER
+    * depths (the left_anti guard); duplicates within one depth survive.
+    * Returns None when the accumulated row count would exceed
+    * 10×`driverRows` (combinatorial path blowup in a dense DAG) — the
+    * caller then runs the distributed loop instead.
+    */
+  private def driverClosure(spark: SparkSession,
+                            edgeSchema: org.apache.spark.sql.types.StructType,
+                            base: Array[org.apache.spark.sql.Row],
+                            maxDepth: Int, driverRows: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val parents = new java.util.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    base.foreach { r =>
+      parents.computeIfAbsent(r.get(0), _ => mutable.ArrayBuffer.empty[Any]) += r.get(1)
+    }
+    val rowCap = 10L * driverRows
+    val out = mutable.ArrayBuffer.empty[Row]
+    val seen = mutable.HashSet.empty[(Any, Any)]
+    var frontier = mutable.ArrayBuffer.empty[(Any, Any)]
+    base.foreach { r =>
+      out += Row(r.get(0), r.get(1), 1)
+      frontier += ((r.get(0), r.get(1)))
+      seen += ((r.get(0), r.get(1)))
+    }
+    var depth = 1
+    while (depth < maxDepth && frontier.nonEmpty) {
+      val next = mutable.ArrayBuffer.empty[(Any, Any)]
+      frontier.foreach { case (c, a) =>
+        val ps = parents.get(a)
+        if (ps != null) ps.foreach { p =>
+          if (!seen.contains((c, p))) next += ((c, p))
+        }
+      }
+      if (out.size + next.size > rowCap) return None
+      next.foreach { case (c, p) => out += Row(c, p, depth + 1) }
+      next.foreach(seen += _) // guard applies from the NEXT depth on
+      frontier = next
+      depth += 1
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val childF = edgeSchema("child")
+    val parentF = edgeSchema("parent")
+    val schema = StructType(Seq(
+      StructField("child", childF.dataType, childF.nullable),
+      StructField("ancestor", parentF.dataType, parentF.nullable),
+      StructField("depth", IntegerType, nullable = false)))
+    Some(spark.createDataFrame(out.asJava, schema))
   }
 
   /** Connected components by iterative min-label propagation: every node

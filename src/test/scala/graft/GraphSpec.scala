@@ -43,6 +43,22 @@ class GraphSpec extends SparkTestBase {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("J4: driver fast path and distributed loop agree row for row") {
+    // diamond (per-path multiplicity at depth 2) + a cycle + a dup edge
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), // diamond: 1 reaches 4 twice
+      (5L, 6L), (6L, 5L),                     // 2-cycle
+      (7L, 8L), (7L, 8L)                      // duplicate edge
+    ).toDF("child", "parent")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val driver = Graph.ancestorClosure(edges) // under threshold
+    val dist = Graph.ancestorClosure(edges, driverRows = 0) // force loop
+    assert(sorted(driver) == sorted(dist))
+    // per-path multiplicity preserved: (1, 4, 2) appears twice
+    assert(sorted(driver).count(_ == (1L, 4L, 2)) == 2)
+  }
+
   test("K3: upsert converges on re-run (idempotent dup-tolerant sink)") {
     val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
     val once = Graph.upsertNodes(batch, None, "id")
