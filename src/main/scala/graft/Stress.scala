@@ -130,6 +130,31 @@ object Stress {
             salts = 8, hotKeyMinRows = 13, sampleFraction = 0.5)
           .groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      }),
+      // per-row DOM parse must scale with corpus bytes, nothing else
+      // (×40: at the base doc count the parse finishes inside the
+      // fixed job-launch floor and the ratio measures nothing)
+      ("html_to_text", n =>
+        docsAt(spark, n * 40).select(
+          graft.functions.Expressions.html_to_text(concat(
+            lit("<html><head><script>x()</script></head><body><div id=m><p>"),
+            col("text"), lit("</p></div></body></html>"))).as("t"))
+          // the count must DEPEND on the parse result: a bare count over
+          // an aggregate lets the optimizer prune the projection and
+          // measure nothing
+          .filter(length(col("t")) > 0)),
+      // the DISTRIBUTED closure loop (driverRows=0 disables the
+      // small-hierarchy driver path): linear in path count at a fixed
+      // 2-level depth
+      ("ancestor_closure", n => {
+        val sup = spark.range(n * 4).select(
+          concat(lit("S"), col("id")).as("child"),
+          concat(lit("N"), pmod(col("id"), lit(25))).as("parent"))
+        val nat = spark.range(25L).select(
+          concat(lit("N"), col("id")).as("child"),
+          concat(lit("R"), pmod(col("id"), lit(5))).as("parent"))
+        graft.operators.Graph.ancestorClosure(sup.unionByName(nat),
+          driverRows = 0)
       }))
 
     var failures = 0

@@ -150,20 +150,22 @@ object Html {
               if (j < n && html.charAt(j) == '=') {
                 j += 1
                 while (j < n && html.charAt(j).isWhitespace) j += 1
+                // HTML5: the FIRST occurrence of a duplicated attribute
+                // wins; later ones are parse errors to be ignored
                 if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
                   val q = html.charAt(j)
                   val close = html.indexOf(q, j + 1)
                   val v = if (close < 0) html.substring(j + 1) else html.substring(j + 1, close)
-                  attrs += aname -> decodeEntities(v)
+                  if (!attrs.contains(aname)) attrs += aname -> decodeEntities(v)
                   j = if (close < 0) n else close + 1
                 } else {
                   var k2 = j
                   while (k2 < n && !html.charAt(k2).isWhitespace &&
                     html.charAt(k2) != '>' && html.charAt(k2) != '/') k2 += 1
-                  attrs += aname -> decodeEntities(html.substring(j, k2))
+                  if (!attrs.contains(aname)) attrs += aname -> decodeEntities(html.substring(j, k2))
                   j = k2
                 }
-              } else attrs += aname -> ""
+              } else if (!attrs.contains(aname)) attrs += aname -> ""
             } else j += 1 // stray char inside tag — skip
           }
           i = j

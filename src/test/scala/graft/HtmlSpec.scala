@@ -32,6 +32,11 @@ class HtmlSpec extends SparkTestBase {
     assert(Html.select(root, "script").head.text.contains("a < b"))
   }
 
+  test("parser: first duplicate attribute wins (HTML5)") {
+    val root = Html.parse("""<a href="/first" href="/second" href>x</a>""")
+    assert(Html.select(root, "a").head.attrs("href") == "/first")
+  }
+
   test("parser: unclosed and mis-nested tags recover") {
     val root = Html.parse("<ul><li>one<li>two</ul><p>tail")
     // li elements auto-close when the ul pops; both are in the tree
