@@ -1158,6 +1158,56 @@ object Queries {
             UNION ALL
             SELECT doc_id, '/q/' || ((doc_id * 3) % 11) AS href FROM documents"""))
 
+  // Link authority over a crawl graph (what html_outlinks feeds at
+  // scale): scaled-integer PageRank, oracle-EXACT because every step is
+  // order-independent 64-bit arithmetic — contribution = rank div
+  // outdeg, damping = (85*sum) div 100 — so DuckDB rebuilding the same
+  // five iterations as chained CTEs lands on identical integers (the
+  // HLL/CMS integer-scaling treatment applied to an iterative
+  // algorithm; float PageRank would diverge in sum order alone). The
+  // synthetic graph gives every doc two id-derived outlinks.
+  private def duckPageRankSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+             CAST(150000000 AS BIGINT) +
+             CAST((85 * COALESCE(SUM(r.rank_scaled // ej.outdeg), 0)) // 100
+               AS BIGINT) AS rank_scaled
+           FROM nodes n
+           LEFT JOIN ej ON ej.dst = n.node
+           LEFT JOIN r${i - 1} r ON r.node = ej.src
+           GROUP BY n.node)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+          nn AS (SELECT count(*) AS n FROM documents),
+          e AS (
+            SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          ej AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+          r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_scaled FROM nodes),
+          $rounds
+        SELECT node AS doc_id, rank_scaled FROM r$iterations"""
+  }
+
+  private val pagerankScaled = Q(
+    "pagerank_scaled",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      // graph size pins the modulus; a bounded metadata count, not data
+      val nDocs = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % nDocs).as("dst"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % nDocs).as("dst")))
+      Graph.pageRankScaled(edges, docs.select(col("doc_id").as("node")),
+          iterations = 5)
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+    },
+    Some(duckPageRankSql(5)))
+
   // JSON document access: typed extraction from the semi-structured props
   // column (from_json with a pinned schema — the engine's explicit-schema
   // stance from SURVEY.md §1.4 applied to JSON scalars)
@@ -2274,7 +2324,7 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings,
-    parseRatingsDom, htmlCorpusText, htmlOutlinks, jsonExtract,
+    parseRatingsDom, htmlCorpusText, htmlOutlinks, pagerankScaled, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
     dedupEmbedding,

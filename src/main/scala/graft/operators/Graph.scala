@@ -283,6 +283,133 @@ object Graph {
     Some(spark.createDataFrame(out.asJava, schema))
   }
 
+  /** Scaled-integer PageRank — link authority for corpus weighting (the
+    * consumer of a crawl graph like `html_links`' outlink edges: weight
+    * domains/pages by incoming-link mass before sampling). All
+    * arithmetic is 64-bit integer on a scaled rank (`baseScaled` =
+    * rank 1.0): per-edge contribution is `rank div outdeg`, damping is
+    * `(85 * sum) div 100` — exact and ORDER-INDEPENDENT, so the result
+    * hash-matches any engine that runs the same statements (the
+    * integer-scaling treatment that made HLL/CMS cross-engine-exact,
+    * applied to an iterative algorithm). Float PageRank would diverge
+    * across engines in the sum order alone.
+    *
+    * Semantics: simplified PageRank without dangling-mass
+    * redistribution — rank flowing into a node with no out-edges leaves
+    * the system (documented; redistribution would need a global sum per
+    * round). Destinations not present in `nodes` are dropped; every
+    * node keeps at least the base share. Rounds are checkpointed via
+    * [[RoundStore]] every `checkpointInterval` iterations (reliable
+    * files at scale, in-memory for small graphs) so failure replay
+    * stays bounded at any iteration count. Unlike the components loop
+    * (whose rounds reference their predecessor TWICE, growing plans
+    * exponentially without truncation), PageRank lineage is linear —
+    * one reference per round — so the default interval is generous and
+    * a typical 5-10 iteration run executes as one job over the
+    * materialized edge table, with exchange reuse across rounds.
+    *
+    * Adaptive small-graph path (the [[ancestorClosure]] treatment):
+    * capped `limit(driverRows+1)` probes on edges and nodes decide in
+    * two early-terminating jobs; under the bound the loop runs as a
+    * driver tight loop over the collected graph — and because every
+    * step is order-independent integer arithmetic, the driver result
+    * is bit-identical to the distributed rounds (equality pinned in
+    * `GraphSpec`), with no blowup risk: rank state is exactly one long
+    * per node per round.
+    *
+    * `edges`: (src, dst); `nodes`: (node) — node values must be UNIQUE
+    * (it is a node set; duplicated node rows would double contribution
+    * mass in the distributed join). Returns (node, rank_scaled).
+    */
+  def pageRankScaled(edges: DataFrame, nodes: DataFrame,
+                     iterations: Int = 5,
+                     baseScaled: Long = 1000000000L,
+                     workDir: Option[String] = None,
+                     checkpointInterval: Int = 10,
+                     driverRows: Int = 100000): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    val spark = edges.sparkSession
+    val eProbe = edges.select(col("src"), col("dst")).limit(driverRows + 1).collect()
+    if (eProbe.length <= driverRows) {
+      val nProbe = nodes.select(col("node")).limit(driverRows + 1).collect()
+      if (nProbe.length <= driverRows)
+        return driverPageRank(spark, nodes.schema("node"), eProbe, nProbe,
+          iterations, baseScaled)
+    }
+    val store = new RoundStore(spark, workDir)
+    // materialize (src, dst, outdeg) once: every round joins against it
+    val e = store.save(
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg")),
+      "edges")
+    val n = nodes.select(col("node"))
+    val baseShare = baseScaled * 15L / 100L
+    var ranks = n.withColumn("rank_scaled", lit(baseScaled))
+    for (i <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_scaled div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val next = n.alias("n")
+        .join(contrib.alias("c"), col("n.node") === col("c.dst"), "left")
+        .select(col("n.node").as("node"),
+          (lit(baseShare) +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("rank_scaled"))
+      ranks =
+        if (i % checkpointInterval == 0 && i < iterations)
+          store.save(next, s"ranks-$i")
+        else next
+    }
+    val out = store.save(ranks, "ranks")
+    store.cleanupExcept("ranks")
+    out
+  }
+
+  /** Driver twin of [[pageRankScaled]]'s rounds: same integer steps in
+    * the same structure (contribution only for srcs that ARE nodes,
+    * destinations outside `nodes` dropped, base share for everyone) —
+    * exact equality with the distributed loop is an arithmetic fact,
+    * not an approximation, because no step depends on order.
+    */
+  private def driverPageRank(spark: SparkSession,
+                             nodeField: org.apache.spark.sql.types.StructField,
+                             eRows: Array[org.apache.spark.sql.Row],
+                             nRows: Array[org.apache.spark.sql.Row],
+                             iterations: Int, baseScaled: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val outdeg = new java.util.HashMap[Any, Long]()
+    eRows.foreach(r => outdeg.merge(r.get(0), 1L, (a, b) => a + b))
+    val baseShare = baseScaled * 15L / 100L
+    var rank = new java.util.HashMap[Any, Long]()
+    nRows.foreach(r => rank.put(r.get(0), baseScaled))
+    for (_ <- 1 to iterations) {
+      val contrib = new java.util.HashMap[Any, Long]()
+      eRows.foreach { r =>
+        val src = r.get(0)
+        // srcs that are not nodes carry no rank (inner join semantics)
+        if (rank.containsKey(src))
+          contrib.merge(r.get(1), rank.get(src) / outdeg.get(src), (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Any, Long]()
+      nRows.foreach { r =>
+        val n = r.get(0)
+        val sc = contrib.getOrDefault(n, 0L)
+        next.put(n, baseShare + (85L * sc) / 100L)
+      }
+      rank = next
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    nRows.foreach(r => out += Row(r.get(0), rank.get(r.get(0))))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", nodeField.dataType, nodeField.nullable),
+      StructField("rank_scaled", LongType, nullable = false)))
+    spark.createDataFrame(out.asJava, schema)
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * adopts the smallest id reachable so far; converges in O(diameter)
     * rounds (near-dup clusters are shallow, so typically 2-4). Each round

@@ -59,6 +59,42 @@ class GraphSpec extends SparkTestBase {
     assert(sorted(driver).count(_ == (1L, 4L, 2)) == 2)
   }
 
+  test("pageRankScaled: cycle fixed point, dangling mass, exact integers") {
+    // 3-cycle, outdeg 1 everywhere: base is the exact fixed point
+    // (150000000 + (85 * 1e9) div 100 = 1e9)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cn = Seq(1L, 2L, 3L).toDF("node")
+    val r = Graph.pageRankScaled(cyc, cn, iterations = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
+
+    // A -> B, C isolated, 2 iterations by hand:
+    // iter1: A=C=150000000 (base share), B=150000000+850000000=1000000000
+    // iter2: B receives 85% of A's iter-1 rank: 150000000 +
+    //        (85 * 150000000) div 100 = 277500000; A=C=150000000
+    // (B's own mass leaves the system - dangling, documented)
+    val ab = Seq((10L, 20L)).toDF("src", "dst")
+    val abn = Seq(10L, 20L, 30L).toDF("node")
+    val r2 = Graph.pageRankScaled(ab, abn, iterations = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2 == Map(10L -> 150000000L, 20L -> 277500000L, 30L -> 150000000L))
+
+    // checkpointing mid-run changes nothing
+    val r3 = Graph.pageRankScaled(cyc, cn, iterations = 5, checkpointInterval = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r3 == r)
+
+    // driver fast path == distributed rounds, bit for bit (integer
+    // arithmetic is order-independent), incl. a non-node destination
+    // and a non-node source that must carry no rank
+    val messy = Seq((1L, 2L), (1L, 99L), (98L, 1L), (2L, 1L)).toDF("src", "dst")
+    val mn = Seq(1L, 2L, 3L).toDF("node")
+    def ranksOf(driverRows: Int) =
+      Graph.pageRankScaled(messy, mn, iterations = 3, driverRows = driverRows)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(ranksOf(100000) == ranksOf(0))
+  }
+
   test("K3: upsert converges on re-run (idempotent dup-tolerant sink)") {
     val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
     val once = Graph.upsertNodes(batch, None, "id")
