@@ -143,6 +143,16 @@ object Stress {
           // an aggregate lets the optimizer prune the projection and
           // measure nothing
           .filter(length(col("t")) > 0)),
+      // the DISTRIBUTED min-label loop (driverRows=0 disables the
+      // union-find driver path): fixed diameter-10 components, so round
+      // count is constant and runtime must track edge volume
+      ("components_distributed", n => {
+        val e = spark.range(n * 4).select(
+          col("id").as("src"),
+          when(pmod(col("id"), lit(10)) === 9, col("id") - 9)
+            .otherwise(col("id") + 1).as("dst"))
+        graft.operators.Graph.connectedComponents(e, driverRows = 0)
+      }),
       // the DISTRIBUTED closure loop (driverRows=0 disables the
       // small-hierarchy driver path): linear in path count at a fixed
       // 2-level depth

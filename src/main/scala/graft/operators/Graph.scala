@@ -439,7 +439,8 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           extraNodes: Option[DataFrame] = None,
                           workDir: Option[String] = None,
-                          checkpointInterval: Int = 2): DataFrame = {
+                          checkpointInterval: Int = 2,
+                          driverRows: Int = 100000): DataFrame = {
     val spark = edges.sparkSession
     // write-then-read materialization: one job computes and lands the
     // round on reliable storage; downstream rounds read the files
@@ -452,6 +453,33 @@ object Graph {
     // symmetric orientation itself is a narrow re-read of the files, not
     // worth a second table.
     val e0 = save(edges.select(col("src"), col("dst")), "edges")
+    // Adaptive small-graph path (the ancestorClosure treatment): the
+    // probe reads the MATERIALIZED edge table — a capped file read, so
+    // the upstream pair pipeline is never recomputed on either path.
+    // Near-dup edge sets are usually tiny relative to the corpus (most
+    // docs are singletons, handled by the scale-safe anti-join below
+    // regardless of path), and for those the per-round job launches
+    // dominate. Components are a SET property — driver union-find gives
+    // exactly the (node, min-id) labels the rounds converge to. Long
+    // ids only: the loop itself is long-typed (the prev column).
+    val driverOut: Option[DataFrame] =
+      if (driverRows > 0 &&
+          e0.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+          e0.schema("dst").dataType == org.apache.spark.sql.types.LongType) {
+        val probe = e0.limit(driverRows + 1).collect()
+        // null endpoints are outside the pair contract: keep the loop's
+        // behavior for them instead of silently diverging
+        if (probe.length <= driverRows &&
+            !probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+          val out = driverComponents(spark, probe, e0.schema("src").nullable)
+          store.cleanupExcept()
+          Some(out)
+        } else None
+      } else None
+    driverOut match {
+      case Some(out) => return appendSingletons(out, extraNodes)
+      case None      => ()
+    }
     val sym = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     // propagation runs over edge-participating nodes ONLY: isolated nodes
@@ -495,7 +523,16 @@ object Graph {
     // the returned frame reads only the final round — drop the edge table
     // and earlier rounds so repeated calls don't accumulate on disk
     store.cleanupExcept(finalName)
-    val out = labels.select(col("node"), col("component"))
+    appendSingletons(labels.select(col("node"), col("component")), extraNodes)
+  }
+
+  /** Isolated nodes join as singletons at the end on BOTH component
+    * paths: an anti-join against the (small) labeled set, so the corpus
+    * never rides the propagation rounds and a driver-solved label table
+    * broadcasts.
+    */
+  private def appendSingletons(out: DataFrame,
+                               extraNodes: Option[DataFrame]): DataFrame =
     extraNodes match {
       case Some(extra) =>
         val singletons = extra.select(col("node")).distinct()
@@ -504,6 +541,48 @@ object Graph {
         out.unionByName(singletons)
       case None => out
     }
+
+  /** Driver union-find twin of the propagation rounds (long ids): find
+    * with path halving, union by attachment, then component = min id
+    * per root — the exact fixpoint min-label converges to, computed as
+    * a set property rather than iterated.
+    */
+  private def driverComponents(spark: SparkSession,
+                               edgeRows: Array[org.apache.spark.sql.Row],
+                               nullableIds: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val g = parent.get(parent.get(x))
+        parent.put(x, g) // path halving
+        x = g
+      }
+      x
+    }
+    edgeRows.foreach { r =>
+      val s = r.getLong(0); val d = r.getLong(1)
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) parent.put(rs, rd)
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { n =>
+      minOf.merge(find(n), n, (a, b) => math.min(a, b))
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    parent.keySet().forEach { n =>
+      out += Row(n, minOf.get(find(n)))
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullableIds),
+      StructField("component", LongType, nullableIds)))
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Incremental connected components: fold a previous run's

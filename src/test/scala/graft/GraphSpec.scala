@@ -130,13 +130,20 @@ class GraphSpec extends SparkTestBase {
         (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
       }.toDF("src", "dst")
       val nodes = (0L until n.toLong).toDF("node")
-      val byLabel = Graph.connectedComponents(edges, maxIter = 50,
+      // three independent solvers must agree: driver union-find (the
+      // small-graph fast path), the distributed min-label loop
+      // (driverRows=0 forces it), and large-star/small-star
+      val byUnionFind = Graph.connectedComponents(edges, maxIter = 50,
           extraNodes = Some(nodes))
+        .as[(Long, Long)].collect().toMap
+      val byLabel = Graph.connectedComponents(edges, maxIter = 50,
+          extraNodes = Some(nodes), driverRows = 0)
         .as[(Long, Long)].collect().toMap
       val byStar = Graph.connectedComponentsStar(edges,
           extraNodes = Some(nodes))
         .as[(Long, Long)].collect().toMap
       assert(byStar == byLabel, s"trial $trial: algorithms disagree")
+      assert(byUnionFind == byLabel, s"trial $trial: driver path disagrees")
     }
   }
 
