@@ -1192,6 +1192,39 @@ object Queries {
         SELECT node AS doc_id, rank_scaled FROM r$iterations"""
   }
 
+  // Score-weighted deterministic sampling (what a pipeline runs AFTER
+  // pagerank/quality scoring): keep test is 64-bit integer arithmetic
+  // on a 20-bit md5 content bucket — order-independent and exact on
+  // both engines (same treatment as the split/mixture family, plus the
+  // div-arithmetic trick from pagerank). Score is id-derived so the
+  // oracle rebuilds it; the text bucket is the 5-nibble md5 prefix.
+  private val scoreWeightedSample = Q(
+    "score_weighted_sample",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        (lit(500000000L) + (col("doc_id") % 1000) * 1000000L).as("score_scaled"))
+      ops.Splits.scoreWeightedSample(docs, "doc_id", "text",
+          "score_scaled", targetPermille = 400)
+        .select(col("doc_id"), col("score_scaled"))
+    },
+    Some {
+      val bucket20 = (1 to 5).map(i =>
+        s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * ${BigInt(16).pow(5 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH st AS (
+            SELECT SUM(500000000 + (doc_id % 1000) * 1000000) AS s,
+                   COUNT(*) AS n
+            FROM documents),
+          b AS (
+            SELECT doc_id,
+              500000000 + (doc_id % 1000) * 1000000 AS score_scaled,
+              $bucket20 AS bucket
+            FROM documents)
+          SELECT doc_id, score_scaled
+          FROM b, st
+          WHERE bucket * (s // n) < ((score_scaled * 400) // 1000) * 1048576"""
+    })
+
   private val pagerankScaled = Q(
     "pagerank_scaled",
     (s, d) => {
@@ -2324,7 +2357,8 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings,
-    parseRatingsDom, htmlCorpusText, htmlOutlinks, pagerankScaled, jsonExtract,
+    parseRatingsDom, htmlCorpusText, htmlOutlinks, pagerankScaled,
+    scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
     dedupEmbedding,

@@ -56,6 +56,36 @@ object Splits {
       .filter(col("bucket") < rate)
   }
 
+  /** Score-proportional deterministic sampling — the consumer of a
+    * quality or link-authority score ([[graft.operators.Graph.pageRankScaled]],
+    * `TextAnalysis.qualityStats`): keep probability ≈
+    * `min(1, score * targetPermille / (1000 * mean(score)))`, so a
+    * mean-scored document survives at `targetPermille`/1000 and rank
+    * mass shifts the corpus toward high-authority pages WITHOUT an
+    * order-by (no global sort, no rand()). The keep test is pure
+    * integer arithmetic on a 20-bit content-hash bucket —
+    * `bucket * (sum div n) < ((score * targetPermille) div 1000) * 2^20`
+    * — deterministic, reproducible on any engine, content-keyed like
+    * every sampler here. One tiny broadcast row carries (sum, n); the
+    * filter itself is a narrow scan.
+    *
+    * `scoreCol` must be integral (a scaled long, e.g. rank_scaled at
+    * 1e9 = rank 1.0) and non-negative; keep the scale under ~1e12 so
+    * the 20-bit product stays inside 64 bits. Null scores drop.
+    */
+  def scoreWeightedSample(docs: DataFrame, idCol: String, contentCol: String,
+                          scoreCol: String,
+                          targetPermille: Int = 500): DataFrame = {
+    require(targetPermille >= 0 && targetPermille <= 1000,
+      s"targetPermille must be in [0, 1000], got $targetPermille")
+    val stats = docs.agg(sum(col(scoreCol)).as("__sum"), count(lit(1)).as("__n"))
+    val bucket = graft.functions.Expressions.md5_bits(col(contentCol), 5)
+    docs.crossJoin(broadcast(stats))
+      .filter(bucket * expr("__sum div __n") <
+        expr(s"(`$scoreCol` * $targetPermille) div 1000") * lit(1048576L))
+      .drop("__sum", "__n")
+  }
+
   /** Balanced per-stratum draw: the `nPerGroup` rows of each stratum with
     * the smallest content hash — equal-count stratified sampling with a
     * deterministic, content-keyed order (ties broken by id). One window

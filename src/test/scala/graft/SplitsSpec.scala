@@ -36,6 +36,31 @@ class SplitsSpec extends SparkTestBase {
     assert(out.filter(col("source") === "src1" && col("bucket") >= 64).count() == 0)
   }
 
+  test("scoreWeightedSample: deterministic, zero drops, rate tracks score mass") {
+    val scored = docs.withColumn("score_scaled",
+      lit(500000000L) + (col("doc_id") % 1000) * 1000000L)
+    val once = Splits.scoreWeightedSample(scored, "doc_id", "text",
+      "score_scaled", targetPermille = 400)
+    val kept = once.select("doc_id").as[Long].collect().toSet
+    // reproducible: same corpus, same keep set
+    val again = Splits.scoreWeightedSample(scored, "doc_id", "text",
+        "score_scaled", targetPermille = 400)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    // overall rate ~ targetPermille (scores straddle the mean
+    // symmetrically here); wide tolerance, this is a hash draw
+    val n = scored.count().toDouble
+    assert(kept.size > n * 0.25 && kept.size < n * 0.55,
+      s"kept ${kept.size} of $n at target 0.4")
+    // zero scores never survive, full-rate saturation keeps high scorers
+    val zeroed = scored.withColumn("score_scaled",
+      when(col("doc_id") % 2 === 0, lit(0L)).otherwise(col("score_scaled")))
+    val keptZ = Splits.scoreWeightedSample(zeroed, "doc_id", "text",
+      "score_scaled", targetPermille = 1000)
+    assert(keptZ.filter(col("doc_id") % 2 === 0).isEmpty,
+      "zero-score rows must never be sampled")
+  }
+
   test("stratifiedTopN draws exactly min(n, |stratum|) per stratum, deterministically") {
     val out = Splits.stratifiedTopN(docs, "doc_id", "text", "source", 5)
     val perGroup = out.groupBy("source").count().collect()
