@@ -1537,13 +1537,10 @@ object Queries {
   // end to end against a WITH RECURSIVE min-label closure. The
   // minhash-edged composition stays covered by nearDupClusters's
   // ScalaTest + the weekly-incremental integration test.
-  private val dedupClusters = Q(
-    "dedup_clusters",
-    (s, d) => Dedup.clustersFromPairs(
-      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.1,
-        maxDf = 10),
-      documents(s, d), "doc_id"),
-    Some("""WITH RECURSIVE
+  // Shared oracle prefix for the component-based dedup queries: exact
+  // 3-gram Jaccard pairs (maxDf=10) -> WITH RECURSIVE min-label closure
+  // -> comp(node, component) + csize(component, cluster_size).
+  private val jaccardComponentsCte = """WITH RECURSIVE
             tok AS (
               SELECT doc_id,
                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
@@ -1578,10 +1575,40 @@ object Queries {
               UNION
               SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
             comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
-            csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+            csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)"""
+
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    (s, d) => Dedup.clustersFromPairs(
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.1,
+        maxDf = 10),
+      documents(s, d), "doc_id"),
+    Some(s"""$jaccardComponentsCte
             SELECT node AS doc_id, component, node = component AS is_canonical,
               cluster_size
             FROM comp JOIN csize USING (component)"""))
+
+  // the collapse step a pipeline runs AFTER clustering: one survivor
+  // per component, best quality wins (here n_chars — the "longest
+  // capture" policy), ties to the smallest doc_id. Same MaxByRow
+  // argmax as dedup_keep_best, applied per component.
+  private val dedupClusterReps = Q(
+    "dedup_cluster_reps",
+    (s, d) => Dedup.clusterRepresentatives(
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.1,
+        maxDf = 10),
+      documents(s, d), "doc_id", "n_chars"),
+    Some(s"""$jaccardComponentsCte,
+            joined AS (
+              SELECT c.component, s.cluster_size, d.doc_id, d.n_chars
+              FROM comp c
+              JOIN documents d ON d.doc_id = c.node
+              JOIN csize s USING (component))
+            SELECT component, doc_id AS rep_id, n_chars AS rep_quality,
+              cluster_size
+            FROM (SELECT *, row_number() OVER (PARTITION BY component
+                ORDER BY n_chars DESC, doc_id) AS rn FROM joined)
+            WHERE rn = 1"""))
 
   private val dedupEmbedding = Q(
     "dedup_embedding_cosine",
@@ -1643,6 +1670,29 @@ object Queries {
                 row_number() OVER (PARTITION BY probe_id
                   ORDER BY score DESC, cand_id) AS rank
               FROM scored) WHERE rank <= 5"""))
+
+  // exact kNN graph, block-confined (label = the quantizer cell a
+  // pipeline computes upstream): co-partitioned equi-join on the block
+  // key, per-source selection through the bounded-heap operator. The
+  // rounded-score + dst_id tie-break makes the row set engine-exact,
+  // same as the bruteforce pair above.
+  private val knnGraph = Q(
+    "knn_graph_blocked",
+    (s, d) => Similarity.knnGraphBlocked(embeddings(s, d), "vec_id",
+      "embedding", "label", 5),
+    Some("""WITH scored AS (
+              SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                  AS score
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id <> b.vec_id)
+            SELECT src_id, dst_id, score FROM (
+              SELECT src_id, dst_id, score,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY score DESC, dst_id) AS rn
+              FROM scored) WHERE rn <= 5"""))
 
   // int8 quantization profile: floor(x/scale + 0.5) half-up on explicit
   // doubles (both engines' round() builtins disagree on halves), scale
@@ -2360,9 +2410,9 @@ object Queries {
     parseRatingsDom, htmlCorpusText, htmlOutlinks, pagerankScaled,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
-    dedupSimhash, incrMinhash, incrSimhash, dedupClusters,
+    dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding,
-    annBrute, annTopkOperator, annIvf, annLsh, annLshIndexed, embQuantize,
+    annBrute, annTopkOperator, knnGraph, annIvf, annLsh, annLshIndexed, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
     textTfidf, textRedact, corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,

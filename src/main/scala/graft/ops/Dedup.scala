@@ -364,6 +364,40 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** The final collapse of the dedup pipeline: one representative row
+    * per near-dup cluster, chosen by QUALITY rather than id — the
+    * "keep the cleanest capture of each page" policy
+    * ([[keepBest]]'s argmax) applied across a whole near-dup
+    * component instead of an exact text key. Composition of
+    * [[clustersFromPairs]] (any pair generator) + the map-side
+    * combinable [[graft.functions.Expressions.MaxByRow]] argmax:
+    * highest `qualityCol` wins, ties to the smallest id, so the
+    * survivor set is deterministic on any engine and partitioning.
+    * Returns one row per component: (component, rep_id, rep_quality,
+    * cluster_size).
+    *
+    * Scale shape: components via label propagation (shuffles bounded by
+    * the edge set), one narrow join of (id -> component, size) back to
+    * (id, quality), one argmax shuffle carrying a candidate row per
+    * (partition x component). Nothing quadratic, nothing sorted.
+    */
+  def clusterRepresentatives(pairs: DataFrame, docs: DataFrame, idCol: String,
+                             qualityCol: String,
+                             deepComponents: Boolean = false): DataFrame = {
+    val comps = clustersFromPairs(pairs, docs, idCol, deepComponents)
+      .select(col(idCol), col("component"), col("cluster_size"))
+    docs.select(col(idCol), col(qualityCol))
+      .join(comps, idCol)
+      .groupBy(col("component"))
+      .agg(graft.functions.Expressions.max_by_row(
+        struct(col(idCol).as("rep_id"), col(qualityCol).as("rep_quality"),
+          col("cluster_size")),
+        col(qualityCol), col(idCol)).as("__best"))
+      .select(col("component"), col("__best.rep_id").as("rep_id"),
+        col("__best.rep_quality").as("rep_quality"),
+        col("__best.cluster_size").as("cluster_size"))
+  }
+
   /** Exact duplicate-span detection (the substring-dedup shape of
     * "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, simplified from suffix arrays to fixed-length

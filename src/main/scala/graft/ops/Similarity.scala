@@ -197,6 +197,37 @@ object Similarity {
       tieBreakCol = Some("cand_id"))
   }
 
+  /** Exact kNN graph within blocks: every vector's top-k cosine
+    * neighbors among the vectors sharing its `blockCol` value (a
+    * quantizer cell, cluster id, language, shard — any blocking key a
+    * pipeline computes upstream). The graph a near-dup/diversity stage
+    * consumes, built the scalable way: the equi-join on the block key
+    * co-partitions both sides (one shuffle, no broadcast of the corpus,
+    * no all-pairs), the quadratic is confined to a block — the same
+    * bound [[graft.ops.Dedup.embeddingCosinePairs]] relies on — and
+    * per-source selection runs through the bounded-heap
+    * [[org.apache.spark.sql.graftbridge.TopKPerKey]] operator, never a
+    * window sort. Scores are rounded with ties to the smallest
+    * neighbor id, so the row set is engine-exact (the
+    * `ann_bruteforce_topk` treatment). At 100 TB block sizes are the
+    * knob: cap them upstream (split oversized cells) and the join cost
+    * is sum over blocks of |block|^2, embarrassingly parallel.
+    */
+  def knnGraphBlocked(embs: DataFrame, idCol: String, vecCol: String,
+                      blockCol: String, k: Int): DataFrame = {
+    val src = embs.select(col(blockCol).as("__blk"), col(idCol).as("src_id"),
+      col(vecCol).as("src_vec"), norm(col(vecCol)).as("src_norm"))
+    val dst = embs.select(col(blockCol).as("__blk_d"), col(idCol).as("dst_id"),
+      col(vecCol).as("dst_vec"), norm(col(vecCol)).as("dst_norm"))
+    val scored = src.join(dst, col("__blk") === col("__blk_d") &&
+        col("src_id") =!= col("dst_id"))
+      .withColumn("score", round(
+        dot(col("src_vec"), col("dst_vec")) / (col("src_norm") * col("dst_norm")), 6))
+      .select("src_id", "dst_id", "score")
+    org.apache.spark.sql.graftbridge.TopKPerKey(scored, Seq("src_id"), "score", k,
+      tieBreakCol = Some("dst_id"))
+  }
+
   /** Per-band (band, bucket) rows for every input row: `bands`
     * independent `bits`-bit hyperplane signatures, seeds offset per band,
     * all computed in one expression pass then position-exploded.

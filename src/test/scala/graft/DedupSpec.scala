@@ -199,6 +199,23 @@ class DedupSpec extends SparkTestBase {
       (4L, 1L, false, 3L), (5L, 5L, true, 1L)))
   }
 
+  test("clusterRepresentatives: best quality wins per component, ties to smallest id") {
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    // quality: doc 2 highest in the {1,2,4} cluster; 3 and 5 tie nothing
+    val scored = docs.withColumn("quality",
+      when(col("doc_id") === 2, 10L).otherwise(lit(1L)))
+    val reps = Dedup.clusterRepresentatives(pairs, scored, "doc_id", "quality")
+      .orderBy("component")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // component 1 = {1,2,4} -> rep 2 (quality 10); singletons rep themselves
+    assert(reps == Seq((1L, 2L, 10L, 3L), (3L, 3L, 1L, 1L), (5L, 5L, 1L, 1L)))
+    // all-equal quality: ties fall to the smallest id (the component label)
+    val flat = Dedup.clusterRepresentatives(pairs,
+        docs.withColumn("quality", lit(7L)), "doc_id", "quality")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(flat.map(r => (r._1, r._2)) == Seq((1L, 1L), (3L, 3L), (5L, 5L)))
+  }
+
   test("minhash LSH recovers the high-jaccard pairs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, k = 32, bands = 16, threshold = 0.4)

@@ -30,6 +30,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head._3 > 0.999)
   }
 
+  test("knnGraphBlocked: exact within-block neighbors, never cross-block") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0.001f, 0f, 0f), 0), // ~dup of 1, same block
+      (3L, Array(0f, 1f, 0f, 0f), 0),
+      (4L, Array(1f, 0f, 0f, 0f), 1),     // identical to 1 but other block
+      (5L, Array(0f, 0.9f, 0.1f, 0f), 1),
+      (6L, Array(0f, 1f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraphBlocked(emb, "vec_id", "embedding", "label", 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every source appears; no edge crosses a block boundary
+    assert(g.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val block = Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1)
+    assert(g.forall(e => block(e._1) == block(e._2)), "cross-block edge")
+    // nearest neighbor of 1 is its near-dup 2, not the identical 4 (blocked)
+    assert(g.filter(_._1 == 1L).maxBy(_._3)._2 == 2L)
+    // block sizes of 3 with k=2 -> every source emits exactly 2 edges
+    assert(g.groupBy(_._1).forall(_._2.size == 2))
+  }
+
   test("LSH top-k: same-bucket duplicate is found; recall <= brute force") {
     val corpus = (0 until 100).map { i =>
       val v = Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)
