@@ -1978,6 +1978,52 @@ object Queries {
               tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
             FROM tf JOIN df USING (term) CROSS JOIN n"""))
 
+  // vocabulary induction (top-20 by freq, ties to the smaller token) +
+  // per-doc OOV coverage — integer permille so the rate is engine-exact
+  private val vocabCoverage = Q(
+    "vocab_coverage",
+    (s, d) => TextAnalysis.vocabCoverage(documents(s, d), "doc_id", "text",
+      vocabSize = 20),
+    Some("""WITH terms AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents),
+            vocab AS (
+              SELECT w FROM (SELECT w, count(*) AS freq FROM terms GROUP BY 1)
+              ORDER BY freq DESC, w LIMIT 20),
+            j AS (
+              SELECT t.doc_id, t.w, v.w IS NOT NULL AS iv
+              FROM terms t LEFT JOIN vocab v ON t.w = v.w)
+            SELECT doc_id, count(*) AS n_tokens,
+              count(*) FILTER (WHERE iv) AS n_in_vocab,
+              count(DISTINCT CASE WHEN NOT iv THEN w END) AS n_oov_types,
+              ((count(*) - count(*) FILTER (WHERE iv)) * 1000) // count(*)
+                AS oov_permille
+            FROM j GROUP BY 1"""))
+
+  // RAG-style overlapping token chunking: 64-token windows, 16-token
+  // overlap (stride 48); pure per-row compute, zero shuffles
+  private val chunkTokens = Q(
+    "chunk_tokens",
+    (s, d) => TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
+      chunkSize = 64, overlap = 16),
+    Some("""WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+            st AS (
+              SELECT doc_id, toks,
+                unnest(generate_series(1, greatest(len(toks) - 16, 1), 48))
+                  AS start_token
+              FROM tok)
+            SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_token)
+                AS BIGINT) AS chunk_idx,
+              CAST(start_token AS BIGINT) AS start_token,
+              CAST(len(toks[start_token:start_token + 63]) AS BIGINT)
+                AS n_chunk_tokens,
+              array_to_string(toks[start_token:start_token + 63], ' ')
+                AS chunk_text
+            FROM st"""))
+
   private val textFingerprint = Q(
     "text_fingerprint",
     (s, d) => documents(s, d).select(
@@ -2414,7 +2460,8 @@ object Queries {
     dedupEmbedding,
     annBrute, annTopkOperator, knnGraph, annIvf, annLsh, annLshIndexed, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
-    textTfidf, textRedact, corpusSample, corpusQualityFilter,
+    textTfidf, textRedact, vocabCoverage, chunkTokens,
+    corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,

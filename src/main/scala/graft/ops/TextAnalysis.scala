@@ -157,6 +157,74 @@ object TextAnalysis {
       .filter(col("quality_score") >= minScore && col("n_tokens") >= minTokens)
       .select(col(idCol), col("n_tokens"), col("quality_score"))
 
+  /** Vocabulary induction + coverage: build the top-`vocabSize` token
+    * vocabulary by corpus frequency (ties to the lexicographically
+    * smallest token — deterministic on any engine), then score every
+    * document's coverage against it: token count, in-vocabulary count,
+    * distinct out-of-vocabulary types, and an integer OOV rate in
+    * permille. The tokenizer-budget analysis a pipeline runs before
+    * committing to a vocab size, and the OOV-rate filter feeding a
+    * "drop documents the tokenizer can't represent" gate.
+    *
+    * Scale shape: token frequency is one map-side-combinable shuffle;
+    * the vocabulary is top-N of it — bounded at `vocabSize` rows via
+    * per-partition heap + single merge (TakeOrdered), never a global
+    * sort of the term dictionary — and broadcasts; the coverage probe
+    * is then a narrow pass over the exploded tokens with one final
+    * per-doc aggregation. Nothing in the plan grows faster than the
+    * token stream itself.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val vocab = terms.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("__in_vocab"))
+    terms.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("__in_vocab")).as("n_in_vocab"),
+        countDistinct(when(col("__in_vocab").isNull, col("w"))).as("n_oov_types"))
+      .withColumn("oov_permille",
+        expr("((n_tokens - n_in_vocab) * 1000) div n_tokens"))
+  }
+
+  /** Overlapping fixed-size token chunks (the RAG / long-document
+    * splitting shape): window `chunkSize` tokens, stride
+    * `chunkSize - overlap`, so consecutive chunks share `overlap`
+    * tokens and no token is dropped. Chunk starts are
+    * `1, 1+stride, ...` up to `max(n_tokens - overlap, 1)` — a
+    * document shorter than one chunk yields exactly one (short) chunk,
+    * and a final partial chunk keeps the tail. Emits (id, chunk_idx,
+    * start_token, n_chunk_tokens, chunk_text) with 1-based indexes.
+    *
+    * Pure per-row compute: tokenize once into a bound column, one
+    * `sequence` of starts, one posexplode — zero shuffles, stays in
+    * the scan stage at any corpus size. Chunk count per doc is
+    * ceil((n - overlap) / stride), linear in document length.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(expr(
+          s"sequence(1, greatest(size(__toks) - $overlap, 1), $stride)"))
+          .as(Seq("__i", "__start")))
+      .select(col(idCol),
+        (col("__i") + 1).cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("start_token"),
+        expr(s"size(slice(__toks, __start, $chunkSize))").cast("long")
+          .as("n_chunk_tokens"),
+        expr(s"concat_ws(' ', slice(__toks, __start, $chunkSize))")
+          .as("chunk_text"))
+  }
+
   /** PII scrub for training corpora: emails, URLs, and long digit runs
     * (phone/account numbers) replaced by typed placeholder tokens. Pure
     * per-row regex chain — narrow, codegen'd, no shuffle. Patterns are
