@@ -143,6 +143,20 @@ object Stress {
           // an aggregate lets the optimizer prune the projection and
           // measure nothing
           .filter(length(col("t")) > 0)),
+      // blocked kNN graph: block SIZE is held at ~200 while block COUNT
+      // scales with n, so the per-block quadratic is a constant factor
+      // and total runtime must track n — the exact contract the
+      // operator's 100 TB story makes ("cap block sizes upstream")
+      ("knn_graph_blocked", n => {
+        val nBlocks = math.max(n / 200, 1L)
+        val emb = spark.range(n).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(1, 16), " +
+            "p -> CAST(pmod(hash(id, p), 97) AS FLOAT))").as("embedding"),
+          pmod(col("id"), lit(nBlocks)).as("label"))
+        graft.ops.Similarity.knnGraphBlocked(emb, "vec_id", "embedding",
+          "label", 5)
+      }),
       // the DISTRIBUTED min-label loop (driverRows=0 disables the
       // union-find driver path): fixed diameter-10 components, so round
       // count is constant and runtime must track edge volume
