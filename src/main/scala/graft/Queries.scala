@@ -1192,6 +1192,13 @@ object Queries {
         SELECT node AS doc_id, rank_scaled FROM r$iterations"""
   }
 
+  // 20-bit md5 content bucket in DuckDB SQL: the 5-nibble prefix as an
+  // integer, matching Expressions.md5_bits(text, 5) — shared by the
+  // weighted-sampling oracles.
+  private val duckBucket20 = (1 to 5).map(i =>
+    s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * ${BigInt(16).pow(5 - i)}")
+    .mkString("(", " + ", ")")
+
   // Score-weighted deterministic sampling (what a pipeline runs AFTER
   // pagerank/quality scoring): keep test is 64-bit integer arithmetic
   // on a 20-bit md5 content bucket — order-independent and exact on
@@ -1208,9 +1215,7 @@ object Queries {
         .select(col("doc_id"), col("score_scaled"))
     },
     Some {
-      val bucket20 = (1 to 5).map(i =>
-        s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * ${BigInt(16).pow(5 - i)}")
-        .mkString("(", " + ", ")")
+      val bucket20 = duckBucket20
       s"""WITH st AS (
             SELECT SUM(500000000 + (doc_id % 1000) * 1000000) AS s,
                    COUNT(*) AS n
@@ -1224,6 +1229,30 @@ object Queries {
           FROM b, st
           WHERE bucket * (s // n) < ((score_scaled * 400) // 1000) * 1048576"""
     })
+
+  // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
+  // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // keep test on the 20-bit content bucket. Uniform harness sources
+  // make the rates equal here (the flattening semantics are pinned by
+  // SplitsSpec's skewed fixture); the oracle still rebuilds every rate.
+  private val mixtureSqrt = Q(
+    "mixture_sqrt_temp",
+    (s, d) => ops.Splits.mixtureSqrtSample(documents(s, d), "doc_id", "text",
+        "source", targetPermille = 400)
+      .select(col("doc_id"), col("source"), col("keep_permille")),
+    Some(s"""WITH c AS (
+              SELECT source, count(*) AS n,
+                CAST(floor(sqrt(count(*)) * 100) AS BIGINT) AS ss
+              FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS nn, SUM(ss) AS sss FROM c),
+            r AS (
+              SELECT source,
+                CAST(least(1000, (400 * nn * ss) // (sss * n)) AS BIGINT)
+                  AS keep_permille
+              FROM c, t)
+            SELECT d.doc_id, d.source, r.keep_permille
+            FROM documents d JOIN r USING (source)
+            WHERE $duckBucket20 * 1000 < keep_permille * 1048576"""))
 
   private val pagerankScaled = Q(
     "pagerank_scaled",
@@ -2462,7 +2491,7 @@ object Queries {
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     corpusSample, corpusQualityFilter,
-    splitHash, mixtureWeighted, stratifiedSample, packSequences,
+    splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,

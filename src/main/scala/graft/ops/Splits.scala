@@ -56,6 +56,52 @@ object Splits {
       .filter(col("bucket") < rate)
   }
 
+  /** Square-root temperature mixture (alpha = 0.5 source rebalancing —
+    * the multilingual/source-flattening resample of mBERT/XLM-style
+    * pipelines): source `s` with `n_s` documents is kept at a rate
+    * proportional to `sqrt(n_s) / n_s`, so the KEPT corpus's source
+    * shares follow `sqrt(n_s) / sum(sqrt)` — rare sources are
+    * up-weighted relative to their raw share, dominant sources
+    * down-weighted — with the overall kept fraction steered by
+    * `targetPermille`. Alpha is fixed at 0.5 on purpose: `sqrt` is
+    * IEEE-correctly-rounded on every engine while `pow(n, alpha)` goes
+    * through exp/ln and diverges across libm builds — the oracle
+    * reproduces this operator exactly.
+    *
+    * All rate math is integer once past the one exact `sqrt`:
+    * `sqrt_scaled = floor(sqrt(n) * 100)` per source (integer-summed, so
+    * the total is order-independent — a float sum over sources would
+    * differ in ULPs by visit order), then
+    * `keep_permille = min(1000, (targetPermille * N * sqrt_scaled) div
+    * (S * n_s))`, and the per-row keep test is the usual 20-bit md5
+    * content bucket: `bucket * 1000 < keep_permille * 2^20`.
+    * Deterministic, content-keyed, reproducible anywhere. Products stay
+    * inside 64 bits up to ~1e9 documents per run; shard the call above
+    * that (or swap the rate arithmetic to decimals).
+    *
+    * Plan shape: one map-side-combinable count per source, a broadcast
+    * of the tiny per-source rate table, and a narrow filter — the
+    * corpus itself never shuffles.
+    */
+  def mixtureSqrtSample(docs: DataFrame, idCol: String, contentCol: String,
+                        sourceCol: String,
+                        targetPermille: Int = 500): DataFrame = {
+    require(targetPermille >= 0 && targetPermille <= 1000,
+      s"targetPermille must be in [0, 1000], got $targetPermille")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__ss", floor(sqrt(col("__n")) * 100).cast("long"))
+    val totals = counts.agg(sum(col("__n")).as("__tot_n"),
+      sum(col("__ss")).as("__tot_ss"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        least(lit(1000L),
+          expr(s"($targetPermille * __tot_n * __ss) div (__tot_ss * __n)"))
+          .as("keep_permille"))
+    docs.join(broadcast(rates), sourceCol)
+      .filter(graft.functions.Expressions.md5_bits(col(contentCol), 5) * lit(1000L) <
+        col("keep_permille") * lit(1048576L))
+  }
+
   /** Score-proportional deterministic sampling — the consumer of a
     * quality or link-authority score ([[graft.operators.Graph.pageRankScaled]],
     * `TextAnalysis.qualityStats`): keep probability ≈

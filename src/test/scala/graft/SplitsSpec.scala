@@ -36,6 +36,34 @@ class SplitsSpec extends SparkTestBase {
     assert(out.filter(col("source") === "src1" && col("bucket") >= 64).count() == 0)
   }
 
+  test("mixtureSqrtSample flattens a skewed mixture toward sqrt shares") {
+    // 1000 'big' docs vs 10 'rare' docs: raw shares 99%/1%; sqrt shares
+    // ~91%/9% — the kept corpus must shift toward the rare source
+    val skewed = (0 until 1000).map(i => (i.toLong, s"unique text $i", "big")) ++
+      (1000 until 1010).map(i => (i.toLong, s"unique text $i", "rare"))
+    val df = skewed.toDF("doc_id", "text", "source")
+    val out = Splits.mixtureSqrtSample(df, "doc_id", "text", "source",
+      targetPermille = 500)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rare source's keep RATE must exceed big's (up-weighting)
+    val rateBig = kept.getOrElse("big", 0L).toDouble / 1000
+    val rateRare = kept.getOrElse("rare", 0L).toDouble / 10
+    assert(rateRare > rateBig,
+      s"rare rate $rateRare must exceed big rate $rateBig")
+    // the advertised permille is what the filter actually applied:
+    // recompute from first principles for 'big'
+    // ss_big=floor(sqrt(1000)*100)=3162, ss_rare=floor(sqrt(10)*100)=316
+    // keep_big = (500*1010*3162) div (3478*1000) = 459
+    val permille = out.filter(col("source") === "big")
+      .select("keep_permille").distinct().as[Long].collect()
+    assert(permille.toSeq == Seq((500L * 1010 * 3162) / (3478L * 1000)))
+    // deterministic replay
+    val again = Splits.mixtureSqrtSample(df, "doc_id", "text", "source",
+      targetPermille = 500)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("scoreWeightedSample: deterministic, zero drops, rate tracks score mass") {
     val scored = docs.withColumn("score_scaled",
       lit(500000000L) + (col("doc_id") % 1000) * 1000000L)
