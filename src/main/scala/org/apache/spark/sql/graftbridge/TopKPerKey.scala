@@ -33,11 +33,15 @@ import org.apache.spark.util.collection.ExternalSorter
   *    heap path is normally cheaper than.
   *
   * Planner integration (the (c) path of the build brief): a logical node,
-  * a strategy that plans it with a ClusteredDistribution requirement (so
-  * Spark inserts the hash exchange only when the child isn't already
-  * partitioned on the keys), and a physical node that streams each
-  * partition once. Registered via `TopKPerKey.install(spark)`
-  * (experimental extraStrategies) or GraftExtensions.
+  * a strategy that plans it as a two-level PARTIAL + FINAL pair (the
+  * TakeOrdered treatment per key: the partial pass shrinks every input
+  * partition to <= k rows per key BEFORE the exchange, so the shuffle
+  * carries k-bounded survivors, not the full candidate set), and a
+  * physical node that streams each partition once. The final pass
+  * requires ClusteredDistribution, so Spark inserts the hash exchange
+  * only when the partial output isn't already partitioned on the keys.
+  * Registered via `TopKPerKey.install(spark)` (experimental
+  * extraStrategies) or GraftExtensions.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], score: Expression, k: Int,
                           smallest: Boolean, tieBreak: Option[Expression],
@@ -50,19 +54,41 @@ case class TopKPerKeyPlan(keys: Seq[Expression], score: Expression, k: Int,
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, score, k, smallest, tieBreak, maxKeys, child) =>
-      TopKPerKeyExec(keys, score, k, smallest, tieBreak, maxKeys, planLater(child)) :: Nil
+      // two-level selection, the TakeOrdered treatment applied per key:
+      // a PARTIAL pass runs on whatever partitioning the child already
+      // has (no distribution requirement, so no exchange below it) and
+      // shrinks each partition to <= k rows per key it holds; the FINAL
+      // pass then requires clustering on the keys, so the exchange
+      // EnsureRequirements inserts between the two carries at most
+      // k * (keys present in the partition) rows instead of every
+      // candidate row. Local-then-global top-k is exact: a row in the
+      // global top-k is necessarily in its own partition's top-k.
+      val base = planLater(child)
+      val pre =
+        if (keys.nonEmpty)
+          TopKPerKeyExec(keys, score, k, smallest, tieBreak, maxKeys, base,
+            partial = true)
+        else base
+      TopKPerKeyExec(keys, score, k, smallest, tieBreak, maxKeys, pre) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], score: Expression, k: Int,
                           smallest: Boolean, tieBreak: Option[Expression],
-                          maxKeys: Int, child: SparkPlan) extends UnaryExecNode {
+                          maxKeys: Int, child: SparkPlan,
+                          partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (keys.isEmpty || partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
+
+  // row-set shrink, no row movement: the child's partitioning survives,
+  // so a FINAL pass directly over an already-clustered child (or over a
+  // PARTIAL pass whose input was clustered) plans without an exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   /** Entry = (score, tieBreak, row). */
   private type Entry = (Double, Long, UnsafeRow)
