@@ -41,6 +41,26 @@ class TopKPerKeySpec extends SparkTestBase {
       s"exactly one exchange to cluster by key; plan:\n$plan")
   }
 
+  test("partial pass bounds the exchange input to k rows per key per partition") {
+    // 8 input partitions, 20 keys, k=5: the partial TopK under the
+    // exchange must cut the shuffled row count from 5000 to at most
+    // 8 * 20 * 5 = 800
+    val spread = data.repartition(8)
+    val df = TopKPerKey(spread, Seq("k"), "score", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).size == 2,
+      s"partial + final pair expected; plan:\n$plan")
+    // partial (flag true) sits BELOW the exchange, final above it
+    val lines = plan.linesIterator.toSeq
+    val finalIdx = lines.indexWhere(l => l.contains("TopKPerKey") && l.contains("false"))
+    val exchIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialIdx = lines.indexWhere(l => l.contains("TopKPerKey") && l.contains("true"))
+    assert(finalIdx < exchIdx && exchIdx < partialIdx,
+      s"final/exchange/partial order; plan:\n$plan")
+    // row set unchanged by the two-level plan
+    assert(df.select("k", "id").as[(Long, Long)].collect().toSet.size == 100)
+  }
+
   test("pre-partitioned input needs no extra exchange") {
     val pre = data.repartition($"k")
     val plan = TopKPerKey(pre, Seq("k"), "score", 5)
