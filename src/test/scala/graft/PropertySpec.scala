@@ -186,6 +186,60 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chunkTokens invariants: contiguous indexes, full coverage, exact stride") {
+    val caseGen = for {
+      chunkSize <- Gen.chooseNum(2, 12)
+      overlap <- Gen.chooseNum(0, chunkSize - 1)
+      texts <- Gen.listOfN(6, textGen)
+    } yield (chunkSize, overlap, texts)
+    samples(caseGen, 8).foreach { case (chunkSize, overlap, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+      val stride = chunkSize - overlap
+      out.groupBy(_._1).foreach { case (docId, chunks) =>
+        val nToks = texts(docId.toInt).trim.toLowerCase.split("\\s+").length
+        val sorted = chunks.sortBy(_._2)
+        // 1-based contiguous chunk indexes; starts advance by exactly stride
+        assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+        assert(sorted.map(_._3).toSeq == sorted.indices.map(i => 1L + i * stride))
+        // every token position covered; no chunk overruns the doc
+        val covered = sorted.flatMap(c => c._3 until (c._3 + c._4)).toSet
+        assert(covered == (1L to nToks).toSet,
+          s"doc $docId: covered $covered of 1..$nToks")
+        // chunk text lengths agree with the reported token count
+        sorted.foreach(c => assert(c._5.split(" ").length == c._4))
+        // zero overlap => chunks partition the token sequence exactly
+        if (overlap == 0)
+          assert(sorted.map(_._4).sum == nToks)
+      }
+    }
+  }
+
+  test("vocabCoverage invariants: counts partition, permille arithmetic, full vocab") {
+    samples(Gen.listOfN(8, textGen), 8).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.map(_._1).toSet == texts.indices.map(_.toLong).toSet)
+      out.foreach { case (docId, nTok, inVocab, oovTypes, permille) =>
+        val toks = texts(docId.toInt).trim.toLowerCase.split("\\s+")
+        assert(nTok == toks.length)
+        assert(inVocab >= 0 && inVocab <= nTok)
+        assert(oovTypes <= nTok - inVocab, "each OOV type occurs at least once")
+        assert(permille == (nTok - inVocab) * 1000 / nTok)
+      }
+      // a vocab at least as large as the type inventory covers everything
+      val full = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 64)
+        .collect()
+      assert(full.forall(r => r.getLong(4) == 0L), "full vocab => zero OOV")
+    }
+  }
+
   test("sequence packing invariants hold for arbitrary corpora and budgets") {
     import graft.ops.Splits
     val corpusGen = for {
