@@ -384,18 +384,26 @@ object Dedup {
   def clusterRepresentatives(pairs: DataFrame, docs: DataFrame, idCol: String,
                              qualityCol: String,
                              deepComponents: Boolean = false): DataFrame = {
-    val comps = clustersFromPairs(pairs, docs, idCol, deepComponents)
-      .select(col(idCol), col("component"), col("cluster_size"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val allDocs = docs.select(col(idCol).as("node"))
+    // raw component labels, NOT clustersFromPairs: the cluster size
+    // rides the representative aggregation itself (count per component),
+    // where the labelled form would pay a separate sizes aggregation
+    // plus a join back — one shuffle and one join fewer for the same rows
+    val comps =
+      if (deepComponents)
+        graft.operators.Graph.connectedComponentsStar(edges, extraNodes = Some(allDocs))
+      else
+        graft.operators.Graph.connectedComponents(edges, extraNodes = Some(allDocs))
     docs.select(col(idCol), col(qualityCol))
-      .join(comps, idCol)
+      .join(comps.withColumnRenamed("node", idCol), idCol)
       .groupBy(col("component"))
       .agg(graft.functions.Expressions.max_by_row(
-        struct(col(idCol).as("rep_id"), col(qualityCol).as("rep_quality"),
-          col("cluster_size")),
-        col(qualityCol), col(idCol)).as("__best"))
+        struct(col(idCol).as("rep_id"), col(qualityCol).as("rep_quality")),
+        col(qualityCol), col(idCol)).as("__best"),
+        count(lit(1)).as("cluster_size"))
       .select(col("component"), col("__best.rep_id").as("rep_id"),
-        col("__best.rep_quality").as("rep_quality"),
-        col("__best.cluster_size").as("cluster_size"))
+        col("__best.rep_quality").as("rep_quality"), col("cluster_size"))
   }
 
   /** Exact duplicate-span detection (the substring-dedup shape of
