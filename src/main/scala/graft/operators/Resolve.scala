@@ -15,8 +15,13 @@ object Resolve {
 
   /** All within-block pairs (id_a < id_b) whose `nameCol` edit distance
     * is at most `maxEdit`, with the distance attached for downstream
-    * scoring. The levenshtein runs post-join inside whole-stage codegen;
-    * the join itself shuffles only (block, id, name).
+    * scoring. The levenshtein runs post-join inside whole-stage codegen
+    * in its THRESHOLD form — the banded DP visits O(len * maxEdit)
+    * cells and abandons early instead of filling the O(len^2) matrix,
+    * returning -1 past the threshold (then filtered); pairs inside the
+    * threshold get the exact distance, so the result set is identical
+    * to the unbounded form. The join itself shuffles only
+    * (block, id, name).
     */
   def blockedFuzzyPairs(df: DataFrame, idCol: String, blockCol: String,
                         nameCol: String, maxEdit: Int): DataFrame = {
@@ -27,8 +32,8 @@ object Resolve {
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("edit_dist",
-        levenshtein(col("__name_a"), col("__name_b")).cast("long"))
-      .filter(col("edit_dist") <= maxEdit)
+        levenshtein(col("__name_a"), col("__name_b"), maxEdit).cast("long"))
+      .filter(col("edit_dist").between(0, maxEdit))
       .select("id_a", "id_b", "block", "edit_dist")
   }
 }
