@@ -75,9 +75,10 @@ object Splits {
     * `keep_permille = min(1000, (targetPermille * N * sqrt_scaled) div
     * (S * n_s))`, and the per-row keep test is the usual 20-bit md5
     * content bucket: `bucket * 1000 < keep_permille * 2^20`.
-    * Deterministic, content-keyed, reproducible anywhere. Products stay
-    * inside 64 bits up to ~1e9 documents per run; shard the call above
-    * that (or swap the rate arithmetic to decimals).
+    * Deterministic, content-keyed, reproducible anywhere. The rate
+    * products run in decimal(38,0) (the engine twin of the oracle's
+    * HUGEINT promotion), so corpus size never silently wraps them; the
+    * resulting permille is back in long range by definition.
     *
     * Plan shape: one map-side-combinable count per source, a broadcast
     * of the tiny per-source rate table, and a narrow filter — the
@@ -95,7 +96,8 @@ object Splits {
     val rates = counts.crossJoin(broadcast(totals))
       .select(col(sourceCol),
         least(lit(1000L),
-          expr(s"($targetPermille * __tot_n * __ss) div (__tot_ss * __n)"))
+          expr(s"CAST(($targetPermille * CAST(__tot_n AS DECIMAL(38,0)) * __ss)" +
+            s" div (CAST(__tot_ss AS DECIMAL(38,0)) * __n) AS BIGINT)"))
           .as("keep_permille"))
     docs.join(broadcast(rates), sourceCol)
       .filter(graft.functions.Expressions.md5_bits(col(contentCol), 5) * lit(1000L) <
@@ -117,17 +119,22 @@ object Splits {
     *
     * `scoreCol` must be integral (a scaled long, e.g. rank_scaled at
     * 1e9 = rank 1.0) and non-negative; keep the scale under ~1e12 so
-    * the 20-bit product stays inside 64 bits. Null scores drop.
+    * the 20-bit product stays inside 64 bits. Null scores drop. The
+    * corpus-wide score sum accumulates in decimal(38,0) — a long sum
+    * would silently wrap past ~9e18 total score mass (the DuckDB
+    * oracle's SUM(BIGINT) promotes to HUGEINT; this is the engine
+    * twin); the mean itself is back in long range by construction.
     */
   def scoreWeightedSample(docs: DataFrame, idCol: String, contentCol: String,
                           scoreCol: String,
                           targetPermille: Int = 500): DataFrame = {
     require(targetPermille >= 0 && targetPermille <= 1000,
       s"targetPermille must be in [0, 1000], got $targetPermille")
-    val stats = docs.agg(sum(col(scoreCol)).as("__sum"), count(lit(1)).as("__n"))
+    val stats = docs.agg(sum(col(scoreCol).cast("decimal(38,0)")).as("__sum"),
+      count(lit(1)).as("__n"))
     val bucket = graft.functions.Expressions.md5_bits(col(contentCol), 5)
     docs.crossJoin(broadcast(stats))
-      .filter(bucket * expr("__sum div __n") <
+      .filter(bucket * expr("CAST(__sum div __n AS BIGINT)") <
         expr(s"(`$scoreCol` * $targetPermille) div 1000") * lit(1048576L))
       .drop("__sum", "__n")
   }
