@@ -101,6 +101,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression, k: Int,
     val takeSmallest = smallest
     val keyCap = maxKeys
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitionsInternal { rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val boundScore = BindReferences.bindReference(scoreExpr, childOutput)
@@ -139,10 +140,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression, k: Int,
           var heap = heaps.get(key)
           if (heap == null) {
             if (heaps.size() >= keyCap) {
-              // key-cardinality guard tripped: hand everything seen so
-              // far plus the rest of the input to a disk-backed sort
-              spilled = spillPath(heaps, rows, row, keyProj, evalEntry,
-                takeSmallest, limit)
+              if (isPartial) {
+                // the partial pass is an optimization, not a
+                // correctness gate: past the key cap, stop filtering
+                // and stream the remainder through unchanged — the
+                // FINAL pass enforces top-k after the exchange, and a
+                // spill sort here would be redone there anyway. Rows
+                // already dominated inside their key's heap stay
+                // dropped (they are not in the global top-k either);
+                // memory stays bounded by the cap.
+                import scala.jdk.CollectionConverters._
+                spilled = heaps.values().iterator().asScala
+                  .flatMap(_.iterator().asScala.map(_._3: InternalRow)) ++
+                  Iterator.single(row.copy()) ++ rows
+              } else {
+                // key-cardinality guard tripped: hand everything seen so
+                // far plus the rest of the input to a disk-backed sort
+                spilled = spillPath(heaps, rows, row, keyProj, evalEntry,
+                  takeSmallest, limit)
+              }
             } else {
               heap = new java.util.PriorityQueue[Entry](limit + 1, keepOrd)
               heaps.put(key.copy(), heap)

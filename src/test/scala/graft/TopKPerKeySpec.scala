@@ -78,6 +78,13 @@ class TopKPerKeySpec extends SparkTestBase {
       .select("k", "id").as[(Long, Long)].collect().toSet
     assert(viaSpill == viaHeap)
     assert(viaSpill.size == 100)
+    // cap below even the post-exchange key count (20 keys over 4
+    // shuffle partitions > 2/partition): the PARTIAL pass streams
+    // through past its cap and the FINAL pass takes its own spill path
+    // — rows still identical
+    val viaTinyCap = TopKPerKey(data, Seq("k"), "score", 5, maxKeys = 2)
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    assert(viaTinyCap == viaHeap)
   }
 
   test("tie-break keeps the smallest id on equal scores (deterministic set)") {
