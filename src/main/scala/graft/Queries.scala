@@ -1723,6 +1723,30 @@ object Queries {
                   ORDER BY score DESC, dst_id) AS rn
               FROM scored) WHERE rn <= 5"""))
 
+  // hard-negative mining: nearest neighbors with a DIFFERENT label —
+  // contrastive-training negatives near the decision boundary
+  private val hardNegatives = Q(
+    "hard_negatives_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5)
+    },
+    Some("""WITH scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                  AS score
+              FROM embeddings p JOIN embeddings c
+                ON p.vec_id <> c.vec_id AND p.label <> c.label
+              WHERE p.vec_id < 10)
+            SELECT probe_id, cand_id, score FROM (
+              SELECT probe_id, cand_id, score,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, cand_id) AS rn
+              FROM scored) WHERE rn <= 5"""))
+
   // int8 quantization profile: floor(x/scale + 0.5) half-up on explicit
   // doubles (both engines' round() builtins disagree on halves), scale
   // emitted raw (single division — bit-identical), stats as BIGINTs
@@ -2487,7 +2511,7 @@ object Queries {
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding,
-    annBrute, annTopkOperator, knnGraph, annIvf, annLsh, annLshIndexed, embQuantize,
+    annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
     textLangid, textQuality, textRepetition, textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     corpusSample, corpusQualityFilter,

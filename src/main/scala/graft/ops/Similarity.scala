@@ -228,6 +228,30 @@ object Similarity {
       tieBreakCol = Some("dst_id"))
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * top-k most-similar corpus vectors whose `labelCol` DIFFERS from the
+    * probe's — the near-boundary negatives a contrastive or metric-
+    * learning objective wants, as opposed to easy random negatives.
+    * Probes broadcast (small side), the label inequality rides the join
+    * condition so same-label candidates never materialize, and per-probe
+    * selection runs through the bounded-heap operator. Rounded scores +
+    * candidate-id tie-break keep the row set engine-exact.
+    */
+  def hardNegativesTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(labelCol).as("__cl"),
+      col(vecCol).as("cand_vec"), norm(col(vecCol)).as("cand_norm"))
+    val p = probes.select(col(idCol).as("probe_id"), col(labelCol).as("__pl"),
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+    val scored = c.join(broadcast(p),
+        col("probe_id") =!= col("cand_id") && col("__pl") =!= col("__cl"))
+      .withColumn("score", round(
+        dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
+      .select("probe_id", "cand_id", "score")
+    org.apache.spark.sql.graftbridge.TopKPerKey(scored, Seq("probe_id"), "score", k,
+      tieBreakCol = Some("cand_id"))
+  }
+
   /** Per-band (band, bucket) rows for every input row: `bands`
     * independent `bits`-bit hyperplane signatures, seeds offset per band,
     * all computed in one expression pass then position-exploded.

@@ -50,6 +50,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(g.groupBy(_._1).forall(_._2.size == 2))
   }
 
+  test("hardNegativesTopK: only cross-label candidates, nearest first") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0.001f, 0f, 0f), 0),  // same label: NEVER a negative
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 1),  // the hard negative for 1
+      (4L, Array(0f, 1f, 0f, 0f), 1),
+      (5L, Array(0f, 0f, 1f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") === 1),
+        "vec_id", "embedding", "label", 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2).toSet.intersect(Set(1L, 2L)).isEmpty,
+      "same-label and self candidates excluded")
+    assert(out.maxBy(_._3)._2 == 3L, "the near-boundary negative ranks first")
+    assert(out.size == 2)
+  }
+
   test("LSH top-k: same-bucket duplicate is found; recall <= brute force") {
     val corpus = (0 until 100).map { i =>
       val v = Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)
