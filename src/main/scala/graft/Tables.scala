@@ -51,16 +51,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default; read nanos as long and downcast to microsecond
-    * timestamps (sub-microsecond remainders truncate — the generator emits
-    * whole microseconds).
+  /** events.parquet's `ts` physical type has changed across harness
+    * regenerations (TIMESTAMP(NANOS) in some drops, timestamp[us] in
+    * others), so normalize whatever the scan yields to a session-zone
+    * `TimestampType` column:
+    *   - LONG: the nanos-as-long shim kicked in — downcast nanos to
+    *     microsecond timestamps (the generator emits whole microseconds,
+    *     so the `div 1000` truncation is exact);
+    *   - TIMESTAMP / TIMESTAMP_NTZ: already microseconds — cast to the
+    *     session `TimestampType` so `unix_micros`/window semantics match
+    *     the long path (sessions run UTC, so the cast is value-preserving).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Harmless when the file is already timestamp[us]; required to even
+    // load a TIMESTAMP(NANOS) file. Must be set before the first scan.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

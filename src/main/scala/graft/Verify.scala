@@ -16,13 +16,27 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.applyRecommendedConfs(spark)
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a query that throws writes no parquet, so the
+    // driver's correctness file would silently shrink (it did in round 8,
+    // 109→89, and nearly read as green). Persist every failure as an
+    // artifact and print a summary the driver's log always captures.
+    val errDir = Paths.get(outDir, "_errors")
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.createDirectories(errDir)
+        val frame = e.getStackTrace.headOption.map(_.toString).getOrElse("")
+        Files.writeString(errDir.resolve(s"$name.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n  at $frame\n")
       }
     }
+    println(s"[verify] ${SparkEntry.queries.size - failed.size}/" +
+      s"${SparkEntry.queries.size} queries dumped" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.sorted.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
