@@ -1777,7 +1777,81 @@ object Queries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, kCells = 8, nProbe = 3)
     },
-    None)
+    // End-to-end oracle made possible by scaled-integer Lloyd
+    // (Similarity.trainIvf): the codebook is pure BIGINT arithmetic —
+    // micro-unit quantization, integer squared-L2 argmin with ties to
+    // the lowest cell, per-dim integer mean via truncating division
+    // (Scala Long `/` = SQL integer `//`) — so the oracle REPLAYS
+    // training exactly: init from the 8 lowest-id vectors, 2 unrolled
+    // assignment+mean rounds, then the final cell assignment, each
+    // probe's 3 nearest cells, and the rounded-cosine re-rank the green
+    // ann_bruteforce_topk oracle already proved engine-exact.
+    Some(annIvfOracleSql))
+
+  /** Generated Lloyd-replay SQL for ann_ivf_topk (see the Q above). */
+  private lazy val annIvfOracleSql: String = {
+    val kCells = 8; val iters = 2; val dim = 64; val nProbe = 3; val k = 5
+    val dimRange = s"range(1, ${dim + 1})"
+    def distExpr(v: String, c: String) =
+      s"list_sum(list_transform($dimRange, i -> ($v.vq[i] - $c.vq[i]) * ($v.vq[i] - $c.vq[i])))"
+    def lloydRound(prev: String, n: Int): String =
+      s"""a$n AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
+              FROM ve v CROSS JOIN $prev c) WHERE rn = 1),
+          u$n AS (
+            SELECT a.cell, i.i AS dim, CAST(SUM(v.vq[i.i]) // COUNT(*) AS BIGINT) AS cv
+            FROM a$n a JOIN ve v USING (vec_id), $dimRange AS i(i)
+            GROUP BY a.cell, i.i),
+          c$n AS (
+            SELECT p.cell, coalesce(m.vq, p.vq) AS vq
+            FROM $prev p LEFT JOIN
+              (SELECT cell, list(cv ORDER BY dim) AS vq FROM u$n GROUP BY cell) m
+              USING (cell))"""
+    val rounds = (1 to iters)
+      .map(n => lloydRound(if (n == 1) "c0" else s"c${n - 1}", n))
+      .mkString(",\n")
+    s"""WITH ve AS (
+          SELECT vec_id, embedding,
+            [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             FOR e IN embedding] AS vq
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vq
+          FROM (SELECT vec_id, vq FROM ve ORDER BY vec_id LIMIT $kCells)),
+        $rounds,
+        af AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
+            FROM ve v CROSS JOIN c$iters c) WHERE rn = 1),
+        pc AS (
+          SELECT vec_id AS probe_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
+            FROM ve v CROSS JOIN c$iters c WHERE v.vec_id < 10)
+          WHERE rn <= $nProbe),
+        scored AS (
+          SELECT p.probe_id, cv.vec_id AS cand_id,
+            round(list_dot_product(pv.embedding::DOUBLE[], cv.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(pv.embedding::DOUBLE[], pv.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(cv.embedding::DOUBLE[], cv.embedding::DOUBLE[]))), 6)
+              AS score
+          FROM pc p
+          JOIN af a ON a.cell = p.cell
+          JOIN ve cv ON cv.vec_id = a.vec_id
+          JOIN ve pv ON pv.vec_id = p.probe_id
+          WHERE cv.vec_id <> p.probe_id)
+        SELECT probe_id, cand_id, score, rank FROM (
+          SELECT probe_id, cand_id, score,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= $k"""
+  }
 
   private val annLsh = Q(
     "ann_lsh_topk",

@@ -22,7 +22,13 @@ object Verify {
     // artifact and print a summary the driver's log always captures.
     val errDir = Paths.get(outDir, "_errors")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset while iterating (same contract as Bench):
+    // SPARK_GRAFT_QUERIES=name1,name2 limits the dump; unset = all.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,8 +40,8 @@ object Verify {
           s"${e.getClass.getName}: ${e.getMessage}\n  at $frame\n")
       }
     }
-    println(s"[verify] ${SparkEntry.queries.size - failed.size}/" +
-      s"${SparkEntry.queries.size} queries dumped" +
+    println(s"[verify] ${selected.size - failed.size}/" +
+      s"${selected.size} queries dumped" +
       (if (failed.isEmpty) "" else s"; FAILED: ${failed.sorted.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -101,42 +101,61 @@ object Similarity {
 
   // ---- IVF (inverted-file) index ----
 
-  /** Argmin cell id for a vector against a centroid codebook, computed as
-    * argmin over cells of (||c||^2 - 2<v,c>) — the ||v||^2 term is
-    * constant per row and drops out. First-match ties, deterministic.
+  /** Micro-unit quantization of a float vector: round half-up each
+    * coordinate to an integer count of 1e-6 units. Every op (float→double
+    * cast, one multiply, one add, floor) is a single IEEE-exact step, so
+    * any engine computes the identical integers — the foundation that
+    * makes the whole Lloyd loop below engine-reproducible.
     */
-  private def nearestCellExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scores = centroids.map { c =>
-      val cCol = array(c.map(lit).toIndexedSeq: _*).cast("array<float>")
-      val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      lit(c2) - lit(2.0) * dot(vec, cCol)
+  private def quantized(vec: Column): Column =
+    transform(vec, x =>
+      floor(x.cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+
+  /** Argmin cell id for a micro-unit vector against an integer codebook:
+    * squared L2 distance in pure BIGINT arithmetic (order-independent,
+    * overflow-safe: |coord| ≤ ~1e7 ⇒ per-dim square ≤ 1e14, ×64 dims
+    * ≪ 2^63). First-match ties via array_position = lowest cell wins.
+    */
+  private def nearestCellQ(vq: Column, centroids: Array[Array[Long]]): Column = {
+    val dists = centroids.map { c =>
+      val cCol = array(c.map(lit).toIndexedSeq: _*)
+      aggregate(zip_with(vq, cCol, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
     }
-    val arr = array(scores.toIndexedSeq: _*)
+    val arr = array(dists.toIndexedSeq: _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
-  /** Train a tiny IVF codebook: deterministic init (lowest-id vectors),
-    * `iters` Lloyd rounds with element-wise mean updates. The codebook is
-    * driver-held model state (kCells x dim floats — bytes, not data), the
-    * standard IVF shape: training touches the corpus `iters` times, each
-    * round one narrow assignment pass + one (cell, dim)-keyed mean.
+  /** Train a tiny IVF codebook in scaled-integer space: deterministic
+    * init (lowest-id vectors, micro-unit quantized), `iters` Lloyd
+    * rounds where assignment is integer squared-L2 argmin and the update
+    * is per-dimension integer mean (BIGINT sum, truncating division —
+    * both order-independent), so the resulting codebook is bit-identical
+    * on any engine and partitioning — the `pagerank_scaled` treatment
+    * applied to k-means. Empty cells keep their previous centroid. The
+    * codebook is driver-held model state (kCells x dim longs — bytes,
+    * not data), the standard IVF shape: training touches the corpus
+    * `iters` times, each round one narrow assignment pass + one
+    * (cell, dim)-keyed integer mean.
     */
   def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
-               kCells: Int, iters: Int = 2): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = corpus
+               kCells: Int, iters: Int = 2): Array[Array[Long]] = {
+    var centroids: Array[Array[Long]] = corpus
       .orderBy(col(idCol)).limit(kCells)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
+      .select(quantized(col(vecCol))).collect()
+      .map(_.getSeq[Long](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(col(vecCol).as("v"),
-        nearestCellExpr(col(vecCol), centroids).as("cell"))
+      val assigned = corpus.select(quantized(col(vecCol)).as("vq"))
+        .withColumn("cell", nearestCellQ(col("vq"), centroids))
       val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
       val updated = centroids.map(_.clone())
-      means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      // truncating Long division — matches SQL integer `//`/`div` exactly
+      means.foreach(r =>
+        updated(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3))
       centroids = updated
     }
     centroids
@@ -145,24 +164,29 @@ object Similarity {
   /** ANN via IVF: corpus assigned to its nearest cell once; each probe
     * visits only its `nProbe` closest cells and re-ranks exactly inside
     * them. Recall grows with nProbe; brute force is the recall oracle.
+    * Cell geometry runs entirely in the quantized-integer space of
+    * [[trainIvf]] (ties on distance break to the lowest cell), so the
+    * candidate sets — and with the rounded-score re-rank, the full
+    * result — are engine-exact and DuckDB-oracle-checkable.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int, kCells: Int = 16, nProbe: Int = 3,
-              codebook: Option[Array[Array[Float]]] = None): DataFrame = {
+              codebook: Option[Array[Array[Long]]] = None): DataFrame = {
     val centroids = codebook.getOrElse(trainIvf(corpus, idCol, vecCol, kCells))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
       norm(col(vecCol)).as("cand_norm"),
-      nearestCellExpr(col(vecCol), centroids).as("cell"))
-    // probe side: nProbe nearest cells via the same score array, ranked
-    val probeScores = centroids.zipWithIndex.map { case (cent, i) =>
-      val cCol = array(cent.map(lit).toIndexedSeq: _*).cast("array<float>")
-      val c2 = cent.map(x => x.toDouble * x.toDouble).sum
-      struct((lit(c2) - lit(2.0) * dot(col("probe_vec"), cCol)).as("score"),
-        lit(i).as("cell"))
+      nearestCellQ(quantized(col(vecCol)), centroids).as("cell"))
+    // probe side: nProbe nearest cells by (integer dist, cell) — the
+    // struct sort is lexicographic, so equidistant cells tie to lowest id
+    val probeDists = centroids.zipWithIndex.map { case (cent, i) =>
+      val cCol = array(cent.map(lit).toIndexedSeq: _*)
+      struct(aggregate(zip_with(col("__pq"), cCol, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("dist"), lit(i).as("cell"))
     }
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        norm(col(vecCol)).as("probe_norm"),
-        slice(array_sort(array(probeScores.toIndexedSeq: _*)), 1, nProbe).as("cells"))
+        norm(col(vecCol)).as("probe_norm"), quantized(col(vecCol)).as("__pq"))
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
+        slice(array_sort(array(probeDists.toIndexedSeq: _*)), 1, nProbe).as("cells"))
       .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
         explode(col("cells.cell")).as("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
