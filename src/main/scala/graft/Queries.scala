@@ -2561,6 +2561,76 @@ object Queries {
     },
     None)
 
+  // Decode correctness, oracled: every emitted value is read out of the
+  // DECODED payload by the real codecs (PPM header+pixels, WAV fmt/data
+  // walk, GVID frames), while the oracle rebuilds the same integers from
+  // the generator's closed-form math — gradient channels are integer
+  // expressions (x*255//w etc., byte-wrapped f*40 for video B), header
+  // lengths are arithmetic, WAV sample counts are 256+id%128. Random
+  // bytes (image B channel, audio samples) never reach these columns, so
+  // the comparison is exact; a codec mis-parse (wrong header skip, wrong
+  // chunk walk, frame offset drift) breaks the hash. The float feature
+  // path stays rows-only above — the codec-only residue.
+  private val multimodalDecodeStats = Q(
+    "multimodal_decode_stats",
+    (s, d) => Multimodal.decodeStats(Multimodal.syntheticMedia(s, 200)).toDF(),
+    Some("""WITH ids AS (
+              SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 200) t(i)),
+            img0 AS (
+              SELECT media_id, 16 + media_id % 32 AS w, 16 + media_id % 24 AS h
+              FROM ids WHERE media_id % 3 = 0),
+            imgx AS (
+              SELECT media_id, SUM((x * 255) // w) AS sx
+              FROM img0, unnest(range(0, w)) AS tx(x) GROUP BY media_id),
+            imgy AS (
+              SELECT media_id, SUM((y * 255) // h) AS sy
+              FROM img0, unnest(range(0, h)) AS ty(y) GROUP BY media_id),
+            img AS (
+              SELECT i.media_id, 'image' AS kind,
+                CAST(3 + length(CAST(w AS VARCHAR)) + 1
+                   + length(CAST(h AS VARCHAR)) + 1 + 4 + w * h * 3 AS BIGINT)
+                  AS n_bytes,
+                CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+                CAST(h * x.sx AS BIGINT) AS px_r_sum,
+                CAST(w * y.sy AS BIGINT) AS px_g_sum
+              FROM img0 i JOIN imgx x USING (media_id) JOIN imgy y USING (media_id)),
+            aud AS (
+              SELECT media_id, 'audio' AS kind,
+                CAST(44 + 2 * (256 + media_id % 128) AS BIGINT) AS n_bytes,
+                CAST(256 + media_id % 128 AS BIGINT) AS n_samples,
+                CAST(16000 AS BIGINT) AS sample_rate
+              FROM ids WHERE media_id % 3 = 1),
+            vid0 AS (
+              SELECT media_id, 4 + media_id % 6 AS nf
+              FROM ids WHERE media_id % 3 = 2),
+            vidsum AS (
+              SELECT media_id,
+                SUM(((x + f) % 8) * 255 // 8 + (y * 255) // 6 + (f * 40) % 256)
+                  AS s
+              FROM vid0, unnest(range(0, nf)) AS tf(f),
+                unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+              GROUP BY media_id),
+            vid AS (
+              SELECT v.media_id, 'video' AS kind,
+                CAST(8 + nf * 159 AS BIGINT) AS n_bytes,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(8 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
+                CAST(s.s AS BIGINT) AS vid_rgb_sum
+              FROM vid0 v JOIN vidsum s USING (media_id))
+            SELECT media_id, kind, n_bytes, img_w, img_h, px_r_sum, px_g_sum,
+              CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS sample_rate,
+              CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS BIGINT) AS frame_w,
+              CAST(NULL AS BIGINT) AS frame_h, CAST(NULL AS BIGINT) AS vid_rgb_sum
+            FROM img
+            UNION ALL
+            SELECT media_id, kind, n_bytes, NULL, NULL, NULL, NULL,
+              n_samples, sample_rate, NULL, NULL, NULL, NULL
+            FROM aud
+            UNION ALL
+            SELECT media_id, kind, n_bytes, NULL, NULL, NULL, NULL, NULL, NULL,
+              n_frames, frame_w, frame_h, vid_rgb_sum
+            FROM vid"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -2594,5 +2664,5 @@ object Queries {
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
-    multimodalFeatures)
+    multimodalFeatures, multimodalDecodeStats)
 }

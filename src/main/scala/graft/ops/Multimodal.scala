@@ -301,6 +301,64 @@ object Multimodal {
     extractFeatures(media).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"), col("feature"))
 
+  /** Integer decode profile per media row — every value read out of the
+    * DECODED payload (PPM header + pixels, WAV fmt/data chunks, GVID
+    * frames), never from row metadata. All-integer so the numbers are
+    * engine-exact: an oracle that knows the generator's closed-form
+    * integer math (gradient channel values, header lengths, sample
+    * counts) can rebuild each one independently, which makes this the
+    * end-to-end encode→decode correctness gate; the float feature path
+    * ([[extractFeatures]]) remains the codec-only rows-only residue.
+    * Kind-inapplicable columns are NULL.
+    */
+  case class MediaDecodeStats(media_id: Long, kind: String, n_bytes: Long,
+                              img_w: Option[Long], img_h: Option[Long],
+                              px_r_sum: Option[Long], px_g_sum: Option[Long],
+                              n_samples: Option[Long], sample_rate: Option[Long],
+                              n_frames: Option[Long], frame_w: Option[Long],
+                              frame_h: Option[Long], vid_rgb_sum: Option[Long])
+
+  def decodeStats(media: Dataset[MediaRow]): Dataset[MediaDecodeStats] = {
+    import media.sparkSession.implicits._
+    val none = Option.empty[Long]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val base = MediaDecodeStats(r.media_id, r.kind, r.payload.length.toLong,
+          none, none, none, none, none, none, none, none, none, none)
+        r.kind match {
+          case "image" =>
+            val (w, h, rgb) = PpmCodec.decode(r.payload)
+            var rSum = 0L; var gSum = 0L
+            var p = 0
+            while (p < rgb.length) {
+              rSum += rgb(p) & 0xff; gSum += rgb(p + 1) & 0xff; p += 3
+            }
+            base.copy(img_w = Some(w.toLong), img_h = Some(h.toLong),
+              px_r_sum = Some(rSum), px_g_sum = Some(gSum))
+          case "audio" =>
+            val (sr, s) = WavCodec.decodePcm16(r.payload)
+            base.copy(n_samples = Some(s.length.toLong),
+              sample_rate = Some(sr.toLong))
+          case "video" =>
+            val frames = VideoContainer.decode(r.payload).map(PpmCodec.decode)
+            if (frames.isEmpty) base
+            else {
+              var sum = 0L
+              frames.foreach { case (_, _, rgb) =>
+                var p = 0
+                while (p < rgb.length) { sum += rgb(p) & 0xff; p += 1 }
+              }
+              val (w0, h0, _) = frames.head
+              base.copy(n_frames = Some(frames.length.toLong),
+                frame_w = Some(w0.toLong), frame_h = Some(h0.toLong),
+                vid_rgb_sum = Some(sum))
+            }
+          case _ => base
+        }
+      }
+    }
+  }
+
   /** Image resize (nearest-neighbor) over the REAL PPM payloads: decode,
     * sample, re-encode — a genuine 1:1 media transform with the batch
     * shape of a production resize stage (narrow mapPartitions, payloads

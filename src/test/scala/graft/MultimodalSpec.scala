@@ -160,4 +160,31 @@ class MultimodalSpec extends SparkTestBase {
       Array("media_id", "kind", "n_bytes", "checksum", "feature")))
     assert(feats.count() == 30)
   }
+
+  test("decodeStats matches the generator's closed-form integer math") {
+    val stats = Multimodal.decodeStats(Multimodal.syntheticMedia(spark, 9))
+      .collect().map(s => s.media_id -> s).toMap
+    // image id=0: w=16, h=16; R channel = x*255/16 repeated per row,
+    // G = y*255/16 per column; header "P6\n16 16\n255\n" = 13 bytes
+    val img = stats(0L)
+    assert(img.img_w.contains(16L) && img.img_h.contains(16L))
+    val gradSum16 = (0 until 16).map(x => x * 255 / 16).sum.toLong
+    assert(img.px_r_sum.contains(16L * gradSum16), img.px_r_sum)
+    assert(img.px_g_sum.contains(16L * gradSum16), img.px_g_sum)
+    assert(img.n_bytes == 13L + 16 * 16 * 3)
+    // audio id=1: 256 + 1%128 = 257 samples at 16 kHz, 44-byte header
+    val aud = stats(1L)
+    assert(aud.n_samples.contains(257L) && aud.sample_rate.contains(16000L))
+    assert(aud.n_bytes == 44L + 2 * 257)
+    // video id=2: nf=6 frames of 8x6; every channel closed-form:
+    // R=((x+f)%8)*255/8, G=y*255/6, B=(f*40) byte-wrapped
+    val vid = stats(2L)
+    assert(vid.n_frames.contains(6L))
+    assert(vid.frame_w.contains(8L) && vid.frame_h.contains(6L))
+    val expected = (for {
+      f <- 0 until 6; x <- 0 until 8; y <- 0 until 6
+    } yield (((x + f) % 8) * 255 / 8 + y * 255 / 6 + (f * 40) % 256).toLong).sum
+    assert(vid.vid_rgb_sum.contains(expected), vid.vid_rgb_sum)
+    assert(vid.n_bytes == 8L + 6 * 159)
+  }
 }
