@@ -1033,6 +1033,41 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2"""))
 
+  // The weekly incremental load as a REAL Structured Streaming query:
+  // events land as two OVERLAPPING parquet drops in a file-source
+  // directory (%3 != 0 and %3 != 1 — union covers everything, overlap
+  // replays %3 == 2 twice), the stream runs under Trigger.AvailableNow
+  // with maxFilesPerTrigger=1 (two micro-batches), and every batch
+  // upserts through the partition-scoped dup-tolerant merge
+  // (foreachBatchMergePartitioned, keys=event_id, partitions=event_type).
+  // Because the merge is idempotent on event_id, the merged table
+  // converges to exactly the events table regardless of batch order, so
+  // the oracle is the plain batch weekly aggregate — the at-least-once
+  // replay -> exactly-once table contract, driver-hash-checked.
+  private val incrWeeklyMerge = Q(
+    "incr_weekly_merge",
+    (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_incr_wm_").toString
+      val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+      val ev = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      Incremental.foreachBatchMergePartitioned(stream, table,
+          keys = Seq("event_id"), partCol = "event_type")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start().awaitTermination()
+      Incremental.weeklyCounts(s.read.parquet(table), "ts", "event_type")
+    },
+    Some("""SELECT date_trunc('week', ts) AS week_start, event_type,
+              count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- C9-C12 parse battery
   private val parseRatings = Q(
     "parse_ratings",
@@ -2649,7 +2684,8 @@ object Queries {
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
-    incrWindow, sessionize, sessionStats, weeklyAgg, parseRatings,
+    incrWindow, sessionize, sessionStats, weeklyAgg, incrWeeklyMerge,
+    parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, pagerankScaled,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,

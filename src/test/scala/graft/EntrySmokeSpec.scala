@@ -23,13 +23,13 @@ class EntrySmokeSpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs))
     assert((qs -- os) ==
-      Set("ann_ivf_topk",
-        "multimodal_features", "sketch_agg"),
-      "rows-only set is exactly IVF (iterative float k-means no SQL " +
-        "oracle can replay) + multimodal (features come from decoded " +
-        "media, not SQL) + the approx-sketch query whose error bound " +
-        "is the contract; ann_lsh_topk moved to a full hash-match in " +
-        "round 7 (hyperplane literals + chained-sum signature rebuild)")
+      Set("multimodal_features", "sketch_agg"),
+      "rows-only set is exactly the multimodal FLOAT feature path " +
+        "(decoded-media floats no SQL oracle can rebuild; the integer " +
+        "decode profile is hash-matched via multimodal_decode_stats) + " +
+        "the approx-sketch query whose error bound is the contract; " +
+        "ann_lsh_topk moved to a full hash-match in round 7 and " +
+        "ann_ivf_topk in round 9 (scaled-integer Lloyd replay)")
   }
 
   test("frame sampling decodes real frames and keeps every stride-th one") {
