@@ -177,7 +177,14 @@ object Html {
             while (found < 0 && e < n) {
               val cand = lower.indexOf("</", e)
               if (cand < 0) { found = n; e = n }
-              else if (lower.regionMatches(true, cand + 2, name, 0, name.length)) found = cand
+              // HTML5 "appropriate end tag": "</" + name must be followed
+              // by whitespace, '/', '>' or EOF — a bare prefix match
+              // would let </scripty> terminate a <script> block
+              else if (lower.regionMatches(true, cand + 2, name, 0, name.length) && {
+                val after = cand + 2 + name.length
+                after >= n || html.charAt(after) == '>' ||
+                  html.charAt(after) == '/' || html.charAt(after).isWhitespace
+              }) found = cand
               else e = cand + 2
             }
             val end = if (found < 0) n else found

@@ -187,19 +187,28 @@ object Graph {
                       workDir: Option[String] = None,
                       driverRows: Int = 100000): DataFrame = {
     val spark = edges.sparkSession
-    val probe = edges.select(col("child"), col("parent"))
-      .limit(driverRows + 1).collect()
+    val cp = edges.select(col("child"), col("parent"))
+    val probe = cp.limit(driverRows + 1).collect()
     if (probe.length <= driverRows) {
       driverClosure(spark, edges.schema, probe, maxDepth, driverRows) match {
         case Some(out) => return out
         case None      => () // path-count blowup: distributed loop below
       }
     }
+    // Small-edge-list fallback (driver BFS refused on path-count blowup):
+    // the full edge set is ALREADY on the driver — seed the loop from the
+    // collected rows instead of re-running the edges lineage, which may
+    // be an arbitrary upstream pipeline that the probe just paid for.
+    val src =
+      if (probe.length <= driverRows)
+        spark.createDataFrame(spark.sparkContext.parallelize(
+          probe.toIndexedSeq), cp.schema)
+      else cp
     // write-then-read: one computation per frontier, lineage truncated via
     // reliable files (an executor loss replays from the last frontier,
     // where localCheckpoint would fail the job)
     val store = new RoundStore(spark, workDir)
-    val first = store.save(edges.select(col("child"), col("parent").as("ancestor"),
+    val first = store.save(src.select(col("child"), col("parent").as("ancestor"),
       lit(1).as("depth")), "frontier-1")
     // later rounds join against the SAVED depth-1 table, not the input
     // lineage — when `edges` is itself a pipeline, each round would

@@ -59,15 +59,25 @@ object Sinks {
 
   /** Write (or idempotently rewrite) the `_graft_family` marker checked
     * by [[requireFamily]]. Underscore-prefixed, so parquet readers skip
-    * it like _SUCCESS.
+    * it like _SUCCESS. Published via write-temp-then-rename so a crash
+    * mid-write can never leave a TRUNCATED marker that reads as a
+    * different family: the visible file always has complete content (a
+    * crash between delete and rename leaves no marker, which
+    * [[requireFamily]] already fails loudly on — strictly better than
+    * a wrong one).
     */
   def stampFamily(spark: SparkSession, dir: String, family: String): Unit = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(dir, "_graft_family")
+    val tmp = new Path(dir, "._graft_family.tmp")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(marker, true)
+    val out = fs.create(tmp, true)
     try out.write((family + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"stampFamily: could not publish $tmp -> $marker")
   }
 
   /** K1/K2/K3: append rows whose key is not already present (duplicate-key

@@ -461,7 +461,15 @@ object Dedup {
     // maxOccurrences drops boilerplate spans (repeated past any dedup
     // signal) the same way the LSH paths' maxBucket drops degenerate
     // buckets — bounded fan-out on any corpus.
-    val keyed = spans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager localCheckpoint, NOT persist: Dataset.persist parks the plan
+    // in the session CacheManager with a strong reference that nothing
+    // here could ever release (the operator returns a lazy frame, so
+    // there is no safe unpersist point) — a per-call cache leak. A
+    // localCheckpoint's blocks belong to the RDD and are dropped by the
+    // ContextCleaner once the caller lets go of the result, at the
+    // documented cost that executor loss replays the stage (Curation
+    // takes the same trade).
+    val keyed = spans.localCheckpoint(true)
     val dupKeys = keyed.groupBy(col("span_key"))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > 1 &&

@@ -322,11 +322,14 @@ object Similarity {
     // table for a count that needs no order — at 100x corpus scale that
     // per-partition sort is the operator's dominant avoidable cost. The
     // hot list holds only over-cap buckets (tiny by definition), so AQE
-    // broadcasts the anti-join; persisting the narrow (id, band,
+    // broadcasts the anti-join; materializing the narrow (id, band,
     // bucket) table keeps the guard's second pass from re-signing the
-    // corpus (or re-reading the store).
-    val buckets = corpusBuckets.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus (or re-reading the store). Eager localCheckpoint, NOT
+    // persist: there is no safe unpersist point in a lazily-returned
+    // plan, and a CacheManager entry would leak per call — checkpoint
+    // blocks are ContextCleaner-reclaimed once the caller drops the
+    // result (same trade as Dedup.duplicateSpans / Curation).
+    val buckets = corpusBuckets.localCheckpoint(true)
     val hot = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket)

@@ -32,6 +32,19 @@ class HtmlSpec extends SparkTestBase {
     assert(Html.select(root, "script").head.text.contains("a < b"))
   }
 
+  test("parser: raw text ends only at an APPROPRIATE end tag (HTML5)") {
+    // </scripty> is NOT a close tag for <script> — the name must be
+    // followed by whitespace, '/', '>' or EOF; a prefix match would cut
+    // the raw text short and leak the remainder as markup
+    val root = Html.parse(
+      "<script>a = '</scripty>'; b = 1</script ><p>after</p>")
+    assert(Html.select(root, "script").head.text.contains("</scripty>"),
+      "raw text must run past a longer-named close-tag lookalike")
+    assert(Html.select(root, "script").head.text.contains("b = 1"))
+    assert(Html.select(root, "p").map(_.text) == Vector("after"),
+      "whitespace before '>' still closes the raw block")
+  }
+
   test("parser: first duplicate attribute wins (HTML5)") {
     val root = Html.parse("""<a href="/first" href="/second" href>x</a>""")
     assert(Html.select(root, "a").head.attrs("href") == "/first")
