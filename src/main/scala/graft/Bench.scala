@@ -57,10 +57,16 @@ object Bench {
     // full reconstructions keeps the two engines' numbers comparable;
     // operator-internal persists that Spark's cache manager re-matches
     // by plan are engine behavior and stay.
+    // A throwing query must be LOUD: round 8's broken readers "ran" in
+    // ~0.02 s each (time-to-exception) and the artifact read as a perf
+    // cliff instead of a breakage. Failures keep their elapsed time but
+    // are also named in an "errors" key on the output line.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name; -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -80,8 +86,13 @@ object Bench {
     // "sf" carries just the directory basename: the full path spent ~20
     // chars of the bounded log-tail budget saying nothing new
     val sfName = new java.io.File(sfDir).getName
+    // "errors" appears ONLY when something threw, so the healthy line's
+    // log-tail budget is untouched and any consumer diffing rounds sees
+    // breakage as a key, not as suspiciously fast queries
+    val errs = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(",\"errors\":[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${js(total)},"unit":"sec","queries":$qs,"sf":"$sfName"$errs}"""
     println(line)
     // durable twin of the stdout line: tail captures are bounded (2000
     // chars), and the line crosses that around ~88 queries — the file
