@@ -2055,6 +2055,51 @@ object Queries {
           FROM documents"""
     })
 
+  // Gopher rule battery (Rae et al. 2021): raw integer measurements +
+  // one boolean per rule, thresholds compared in cross-multiplied
+  // integer form on BOTH engines so no float ratio exists to disagree
+  // about at a boundary. Symbol counts use leftmost-non-overlapping
+  // replacement on both sides (Java regexp_replace == DuckDB replace).
+  private val gopherQuality = Q(
+    "gopher_quality_rules",
+    (s, d) => TextAnalysis.gopherRules(documents(s, d), "doc_id", "text"),
+    Some {
+      val stopPresence = TextAnalysis.gopherStopwords
+        .map(w => s"(CASE WHEN ${duckWordHits(w)} > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (
+            SELECT doc_id, lower(trim(text)) AS t,
+              string_split_regex(lower(trim(text)), '\\s+') AS ws,
+              CAST($stopPresence AS BIGINT) AS n_stopwords_present
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT)
+                AS sum_word_len,
+              CAST((length(t) - length(replace(t, '#', '')))
+                + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+                AS n_symbols,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                AS BIGINT) AS n_alpha_words,
+              n_stopwords_present
+            FROM base)
+          SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha_words,
+            n_stopwords_present,
+            n_words >= 5 AND n_words <= 100000 AS word_count_ok,
+            3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+              AS mean_word_len_ok,
+            10 * n_symbols <= n_words AS symbol_ratio_ok,
+            5 * n_alpha_words >= 4 * n_words AS alpha_word_ratio_ok,
+            n_stopwords_present >= 2 AS stopword_ok,
+            (n_words >= 5 AND n_words <= 100000)
+              AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+              AND (10 * n_symbols <= n_words)
+              AND (5 * n_alpha_words >= 4 * n_words)
+              AND (n_stopwords_present >= 2) AS gopher_pass
+          FROM m"""
+    })
+
   // Gopher-style repetition filters: duplicate-bigram fraction and
   // top-bigram fraction, from one tight-loop expression per row; the
   // ratios are single divisions of identical integers (engine-exact, no
@@ -2704,7 +2749,8 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
-    textLangid, textQuality, textRepetition, textTokens, textFingerprint,
+    textLangid, textQuality, gopherQuality, textRepetition, textTokens,
+    textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,

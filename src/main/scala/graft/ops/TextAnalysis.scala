@@ -107,6 +107,66 @@ object TextAnalysis {
     lit(100.0) * (lit(0.3) * lenSat + lit(0.4) * alphaR + lit(0.3) * punctPen)
   }
 
+  /** The Gopher rule battery's required-stopword list (Rae et al. 2021
+    * §A1.1: a document must contain at least two of these to pass).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1): per
+    * document the raw integer measurements and one boolean per rule.
+    * EVERY threshold comparison is done in cross-multiplied integer
+    * arithmetic (`10 * n_symbols <= n_words` instead of a 0.1 ratio),
+    * so the flags are engine-exact at the boundaries — no float ratio
+    * ever exists to disagree about. The rules:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] chars (`3n <= sumLen <= 10n`,
+    *    where sumLen is the text's non-whitespace char count — exactly
+    *    the sum of token lengths, but codegen'd instead of a lambda);
+    *  - symbol-to-word ratio (hash marks + non-overlapping ellipses)
+    *    at most 1/10;
+    *  - at least 4/5 of words contain an alphabetic character;
+    *  - at least `minStops` distinct required stopwords present.
+    * Narrow row-level expressions only — streams at scan speed.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 5, maxWords: Int = 100000,
+                  minStops: Int = 2): DataFrame = {
+    val t = lower(trim(col(textCol)))
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val sumLen = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEllipsis = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val nStops = gopherStopwords
+      .map(w => when(wordHits(textCol, w) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      sumLen.as("sum_word_len"),
+      (nHash + nEllipsis).as("n_symbols"),
+      nAlphaWords.as("n_alpha_words"),
+      nStops.as("n_stopwords_present"))
+    .select(
+      col(idCol), col("n_words"), col("sum_word_len"), col("n_symbols"),
+      col("n_alpha_words"), col("n_stopwords_present"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .as("word_count_ok"),
+      (lit(3) * col("n_words") <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10) * col("n_words")).as("mean_word_len_ok"),
+      (lit(10) * col("n_symbols") <= col("n_words")).as("symbol_ratio_ok"),
+      (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+        .as("alpha_word_ratio_ok"),
+      (col("n_stopwords_present") >= minStops).as("stopword_ok"))
+    .withColumn("gopher_pass",
+      col("word_count_ok") && col("mean_word_len_ok") &&
+        col("symbol_ratio_ok") && col("alpha_word_ratio_ok") &&
+        col("stopword_ok"))
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish sub-token estimate
     * (word pieces of <=4 chars, the standard chars/4 heuristic refined by
     * actual word lengths: ceil(len(word)/4) summed). Explode + hash-agg

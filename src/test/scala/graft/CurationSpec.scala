@@ -102,4 +102,32 @@ class CurationSpec extends SparkTestBase {
     val kept = out.select(substring(md5(col("text")), 1, 1)).as[String].collect()
     assert(kept.forall("01234567".contains(_)))
   }
+
+  test("gopher rules: each rule fails exactly its target fixture") {
+    val fixture = Seq(
+      // passes everything: enough normal words with required stopwords
+      1L -> "the cat and the dog have fun with all of that space",
+      // word-count fail: under 5 words (other rules pass or not — the
+      // per-rule flag is what's asserted)
+      2L -> "the of and",
+      // symbol fail: 2 hashes + an ellipsis in 10 words (3*10 > 10)
+      3L -> "the # cat # and ... dog have of that",
+      // mean-word-length fail: single giant token pushes sum > 10n
+      4L -> ("the of and that " + "x" * 200 + " cat dog run far now"),
+      // alpha fail: 5 of 10 words are pure digits (5*5 < 4*10)
+      5L -> "the of and that have 111 222 333 444 555",
+      // stopword fail: no required stopwords at all
+      6L -> "cats dogs run far away very fast every single day")
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.gopherRules(fixture, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(11), "doc 1 must pass the full battery")
+    assert(!r(2L).getBoolean(6), "doc 2 must fail word_count_ok")
+    assert(!r(3L).getBoolean(8), "doc 3 must fail symbol_ratio_ok")
+    assert(!r(4L).getBoolean(7), "doc 4 must fail mean_word_len_ok")
+    assert(!r(5L).getBoolean(9), "doc 5 must fail alpha_word_ratio_ok")
+    assert(!r(6L).getBoolean(10), "doc 6 must fail stopword_ok")
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(id => !r(id).getBoolean(11)),
+      "every failing rule must fail the composite")
+  }
 }
