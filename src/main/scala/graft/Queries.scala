@@ -1208,6 +1208,38 @@ object Queries {
             UNION ALL
             SELECT doc_id, '/q/' || ((doc_id * 3) % 11) AS href FROM documents"""))
 
+  // URL canonicalization (the pass between outlink extraction and
+  // URL-keyed dedup / per-host scheduling): messy id-derived absolute
+  // URLs — mixed-case scheme+host, default AND real ports, utm_*
+  // tracking params in first and later positions, fragments — are
+  // normalized by graft.ops.Urls; the oracle INDEPENDENTLY states the
+  // expected canonical parts in closed form (never re-running the
+  // regexes), so a parsing bug on the Spark side cannot cancel out.
+  private val urlNormalize = Q(
+    "url_normalize",
+    (s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTPS://WWW.Site"), (id % 7).cast("string"), lit(".Example.COM"),
+        when(id % 3 === 0, ":443").when(id % 3 === 1, ":8443").otherwise(""),
+        lit("/Path/"), id.cast("string"),
+        lit("?utm_source=feed&id="), id.cast("string"),
+        when(id % 2 === 0, "&utm_campaign=x").otherwise(""),
+        lit("#sec"))
+      ops.Urls.normalized(
+        documents(s, d).select(id, url.as("url")), "doc_id", "url")
+    },
+    Some("""SELECT doc_id,
+              'https' AS scheme,
+              'www.site' || (doc_id % 7) || '.example.com' AS host,
+              CASE WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END AS port_kept,
+              '/Path/' || doc_id AS path,
+              'id=' || doc_id AS query_clean,
+              'https://www.site' || (doc_id % 7) || '.example.com'
+                || CASE WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END
+                || '/Path/' || doc_id || '?id=' || doc_id AS url_norm
+            FROM documents"""))
+
   // Link authority over a crawl graph (what html_outlinks feeds at
   // scale): scaled-integer PageRank, oracle-EXACT because every step is
   // order-independent 64-bit arithmetic — contribution = rank div
@@ -2743,7 +2775,8 @@ object Queries {
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, incrWeeklyMerge,
     parseRatings,
-    parseRatingsDom, htmlCorpusText, htmlOutlinks, pagerankScaled,
+    parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
+    pagerankScaled,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,

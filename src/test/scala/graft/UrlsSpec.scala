@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Urls
+
+class UrlsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Seq(url).toDF("u").select(Urls.normalize(col("u"))).as[String].head()
+
+  test("default ports drop, real ports survive") {
+    assert(norm("HTTP://Host.Example:80/a") == "http://host.example/a")
+    assert(norm("https://host.example:443/a") == "https://host.example/a")
+    assert(norm("https://host.example:8443/a") == "https://host.example:8443/a")
+    assert(norm("http://host.example:443/a") == "http://host.example:443/a",
+      "443 is only default for https")
+  }
+
+  test("path case preserved; host and scheme lowered") {
+    assert(norm("HTTPS://WWW.EX.COM/CaseSensitive/Path") ==
+      "https://www.ex.com/CaseSensitive/Path")
+  }
+
+  test("utm params stripped in any position; fragment dropped") {
+    assert(norm("https://h.x/p?utm_source=a&id=1&utm_c=b#frag") ==
+      "https://h.x/p?id=1")
+    assert(norm("https://h.x/p?id=1&utm_source=a") == "https://h.x/p?id=1")
+    assert(norm("https://h.x/p?utm_a=1&utm_b=2") == "https://h.x/p",
+      "all-tracking query drops the '?' entirely")
+    assert(norm("https://h.x/p#only-frag") == "https://h.x/p")
+  }
+
+  test("pathless and queryless URLs normalize clean") {
+    assert(norm("https://Host.X") == "https://host.x")
+    assert(norm("https://Host.X:9000") == "https://host.x:9000")
+    assert(norm("https://host.x/deep/path") == "https://host.x/deep/path")
+  }
+}
