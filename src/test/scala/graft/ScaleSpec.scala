@@ -199,6 +199,19 @@ class ScaleSpec extends SparkTestBase {
     assert(df.filter(col("in_bloom")).count() >= 50, "no false negatives")
   }
 
+  test("gopher rules and URL normalization plan shuffle-free") {
+    // both are row-level batteries — any Exchange in the plan means a
+    // scan-speed operator silently grew a shuffle
+    for (name <- Seq("gopher_quality_rules", "url_normalize")) {
+      val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must stream at scan speed; plan:\n$plan")
+      assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+        s"$name expected a codegen span; plan:\n$plan")
+    }
+  }
+
   test("custom dot product participates in whole-stage codegen") {
     // non-literal input so the projection cannot constant-fold away
     val df = spark.range(3).select(
