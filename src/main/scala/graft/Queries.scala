@@ -2132,6 +2132,35 @@ object Queries {
           FROM m"""
     })
 
+  // Feature hashing (the hashing trick): vocabulary folded into 64
+  // fixed buckets by the 20-bit md5 token prefix, signed by 6th-nibble
+  // parity so collisions cancel in expectation. The md5-nibble bucket
+  // and sign are integer-exact in both engines (split_hash treatment);
+  // one explode + one map-side-combinable aggregation.
+  private val featureHashBow = Q(
+    "feature_hash_bow",
+    (s, d) => TextAnalysis.hashedBowFeatures(documents(s, d), "doc_id", "text",
+      buckets = 64),
+    Some {
+      val bucket20 = (1 to 5).map(i =>
+        s"(instr('0123456789abcdef', substr(mh, $i, 1)) - 1) * ${BigInt(16).pow(5 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+          md AS (SELECT doc_id, md5(w) AS mh FROM tok),
+          h AS (
+            SELECT doc_id,
+              CAST($bucket20 % 64 AS BIGINT) AS bucket,
+              CASE WHEN (instr('0123456789abcdef', substr(mh, 6, 1)) - 1) % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+            FROM md)
+          SELECT doc_id, bucket, count(*) AS n,
+            CAST(sum(sgn) AS BIGINT) AS signed_sum
+          FROM h GROUP BY 1, 2"""
+    })
+
   // Gopher-style repetition filters: duplicate-bigram fraction and
   // top-bigram fraction, from one tight-loop expression per row; the
   // ratios are single divisions of identical integers (engine-exact, no
@@ -2782,8 +2811,8 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
-    textLangid, textQuality, gopherQuality, textRepetition, textTokens,
-    textFingerprint,
+    textLangid, textQuality, gopherQuality, featureHashBow, textRepetition,
+    textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,

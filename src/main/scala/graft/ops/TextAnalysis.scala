@@ -182,6 +182,30 @@ object TextAnalysis {
         countDistinct(col("w")).as("n_distinct_words"),
         sum(ceil(length(col("w")) / 4.0)).as("n_subtokens"))
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009): fold
+    * the unbounded vocabulary into `buckets` fixed features per
+    * document — bucket = 20-bit md5 prefix of the token mod `buckets`,
+    * sign = parity of the md5's 6th nibble (the standard signed variant
+    * that makes collisions cancel in expectation). Emitted sparse as
+    * (doc, bucket) → raw count + signed sum; one explode + one
+    * map-side-combinable aggregation, and the md5-derived bucket/sign
+    * are exact in any engine (the split_hash/HLL treatment applied to
+    * featurization). At 100 TB this is the fixed-width featurizer that
+    * needs NO vocabulary broadcast and no second pass.
+    */
+  def hashedBowFeatures(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 64): DataFrame = {
+    val w = col("__w")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        pmod(graft.functions.Expressions.md5_bits(w, 5), lit(buckets))
+          .as("bucket"),
+        (graft.functions.Expressions.md5_bits(w, 6) % 2 === 0).as("__pos"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(-1L)).as("signed_sum"))
+  }
+
   /** Term relevance (TF-IDF family) over the corpus: per (doc, term)
     * frequency, document frequency, and a log-free inverse-document-
     * frequency weight `tf * (N / df)`. Log-free on purpose: `ln` differs

@@ -103,6 +103,30 @@ class CurationSpec extends SparkTestBase {
     assert(kept.forall("01234567".contains(_)))
   }
 
+  test("feature hashing: stable buckets, signed counts, sparse shape") {
+    val fx = Seq(1L -> "alpha alpha alpha", 2L -> "alpha beta",
+      3L -> "beta").toDF("doc_id", "text")
+    val f = graft.ops.TextAnalysis.hashedBowFeatures(fx, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // one repeated token -> one sparse row, |signed_sum| == n (same
+    // bucket, same sign every occurrence)
+    val doc1 = f.keys.filter(_._1 == 1L)
+    assert(doc1.size == 1)
+    val (n1, s1) = f(doc1.head)
+    assert(n1 == 3 && math.abs(s1) == 3)
+    // the same token lands in the same bucket from any document
+    val alphaBucket = doc1.head._2
+    assert(f.contains((2L, alphaBucket)), "doc 2 shares alpha's bucket")
+    // distinct tokens: doc 2 holds two buckets unless md5 collides at 64
+    assert(f.keys.count(_._1 == 2L) == 2)
+    // deterministic across evaluations
+    val again = graft.ops.TextAnalysis.hashedBowFeatures(fx, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again == f)
+  }
+
   test("gopher rules: each rule fails exactly its target fixture") {
     val fixture = Seq(
       // passes everything: enough normal words with required stopwords
