@@ -487,17 +487,38 @@ object Queries {
               count(*) AS n
             FROM events GROUP BY 1"""))
 
-  // sketch aggregates (HLL++ distinct, approximate quantile): algorithms
-  // are engine-specific so there is no value oracle — correctness is the
-  // tolerance-vs-exact ScalaTest; the driver records a rows-only check
+  // sketch aggregates (HLL++ distinct, approximate quantile): the sketch
+  // VALUES are engine-specific, so the oracled contract is the error
+  // bound itself — Spark computes exact and approx in one pass and emits
+  // within-bound booleans (integer cross-multiplied for the HLL side;
+  // the quantile side brackets the approx median between exact quantiles
+  // at 0.495/0.505, a 5x margin over percentile_approx's n/accuracy rank
+  // guarantee). The oracle recomputes the exact columns and asserts the
+  // booleans TRUE: a sketch straying outside its bound breaks the hash.
   private val sketchAgg = Q(
     "sketch_agg",
     (s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
-    None)
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("amed"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+        percentile(col("l_extendedprice"), lit(0.495)).as("mlo"),
+        percentile(col("l_extendedprice"), lit(0.505)).as("mhi"))
+      .select(col("l_returnflag"), col("n"), col("exact_orders"),
+        col("exact_median"),
+        (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+          col("exact_orders") * 5).as("hll_within_5pct"),
+        (col("amed") >= col("mlo") && col("amed") <= col("mhi"))
+          .as("median_within_rank_bound")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+              count(DISTINCT l_orderkey) AS exact_orders,
+              quantile_cont(l_extendedprice, 0.5) AS exact_median,
+              TRUE AS hll_within_5pct,
+              TRUE AS median_within_rank_bound
+            FROM lineitem GROUP BY 1"""))
 
   // 60-bit hash both engines derive identically: nibble-decode 15 hex
   // chars of an ALREADY-computed md5 column (Spark conv(hex) == DuckDB
@@ -2705,14 +2726,95 @@ object Queries {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"""))
 
-  // ---------------------------------------------------------------- multimodal (stubbed codec)
+  // ---------------------------------------------------------------- multimodal (real codecs)
+  // Feature correctness, oracled: the scaled-integer twin of the float
+  // feature path. Each value is computed from the DECODED payload in
+  // 64-bit integer space (micro-unit channel means via truncating
+  // division, milli-weight luma 299r+587g+114b, exact variance numerator
+  // nf*suml2 - suml^2, fmt-chunk transport fields), while the oracle
+  // rebuilds the same integers from the generator's closed form. Columns
+  // stay clear of the seeded-random payload components (image B channel,
+  // audio noise), which the codec round-trip specs cover instead.
   private val multimodalFeatures = Q(
     "multimodal_features",
-    (s, d) => {
-      val media = Multimodal.syntheticMedia(s, 200)
-      Multimodal.featureTable(media).select("media_id", "kind", "n_bytes", "checksum")
-    },
-    None)
+    (s, d) => Multimodal.featureStats(Multimodal.syntheticMedia(s, 200)).toDF(),
+    Some("""WITH ids AS (
+              SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 200) t(i)),
+            img0 AS (
+              SELECT media_id, 16 + media_id % 32 AS w, 16 + media_id % 24 AS h
+              FROM ids WHERE media_id % 3 = 0),
+            imgx AS (
+              SELECT media_id, SUM((x * 255) // w) AS sx
+              FROM img0, unnest(range(0, w)) AS tx(x) GROUP BY media_id),
+            imgy AS (
+              SELECT media_id, SUM((y * 255) // h) AS sy
+              FROM img0, unnest(range(0, h)) AS ty(y) GROUP BY media_id),
+            img AS (
+              SELECT i.media_id, 'image' AS kind,
+                CAST(3 + length(CAST(w AS VARCHAR)) + 1
+                   + length(CAST(h AS VARCHAR)) + 1 + 4 + w * h * 3 AS BIGINT)
+                  AS n_bytes,
+                CAST((1000000 * h * x.sx) // (w * h) AS BIGINT) AS img_r_micromean,
+                CAST((1000000 * w * y.sy) // (w * h) AS BIGINT) AS img_g_micromean,
+                CAST((1000000 * w) // h AS BIGINT) AS img_aspect_micro,
+                CAST(w * h AS BIGINT) AS img_n_px
+              FROM img0 i JOIN imgx x USING (media_id) JOIN imgy y USING (media_id)),
+            aud AS (
+              SELECT media_id, 'audio' AS kind,
+                CAST(44 + 2 * (256 + media_id % 128) AS BIGINT) AS n_bytes,
+                CAST((1000000 * (256 + media_id % 128)) // 16000 AS BIGINT)
+                  AS aud_duration_micros,
+                CAST(32000 AS BIGINT) AS aud_byte_rate,
+                CAST(2 AS BIGINT) AS aud_block_align
+              FROM ids WHERE media_id % 3 = 1),
+            vid0 AS (
+              SELECT media_id, 4 + media_id % 6 AS nf
+              FROM ids WHERE media_id % 3 = 2),
+            vidf AS (
+              SELECT media_id, f,
+                SUM(299 * ((((x + f) % 8) * 255) // 8)
+                  + 587 * ((y * 255) // 6)
+                  + 114 * ((f * 40) % 256)) AS l
+              FROM vid0, unnest(range(0, nf)) AS tf(f),
+                unnest(range(0, 8)) AS tx(x), unnest(range(0, 6)) AS ty(y)
+              GROUP BY media_id, f),
+            vidagg AS (
+              SELECT v.media_id, v.nf,
+                CAST(SUM(l) AS BIGINT) AS s1,
+                CAST(SUM(l * l) AS BIGINT) AS s2,
+                CAST(SUM(CASE WHEN f = 0 THEN l ELSE 0 END) AS BIGINT) AS lfirst,
+                CAST(SUM(CASE WHEN f = v.nf - 1 THEN l ELSE 0 END) AS BIGINT) AS llast
+              FROM vid0 v JOIN vidf USING (media_id) GROUP BY v.media_id, v.nf),
+            vid AS (
+              SELECT media_id, 'video' AS kind,
+                CAST(8 + nf * 159 AS BIGINT) AS n_bytes,
+                CAST(nf AS BIGINT) AS vid_n_frames,
+                s1 AS vid_luma_milli_sum,
+                lfirst AS vid_luma_milli_first, llast AS vid_luma_milli_last,
+                CAST(nf * s2 - s1 * s1 AS BIGINT) AS vid_luma_var_num
+              FROM vidagg)
+            SELECT media_id, kind, n_bytes,
+              img_r_micromean, img_g_micromean, img_aspect_micro, img_n_px,
+              CAST(NULL AS BIGINT) AS aud_duration_micros,
+              CAST(NULL AS BIGINT) AS aud_byte_rate,
+              CAST(NULL AS BIGINT) AS aud_block_align,
+              CAST(NULL AS BIGINT) AS vid_n_frames,
+              CAST(NULL AS BIGINT) AS vid_luma_milli_sum,
+              CAST(NULL AS BIGINT) AS vid_luma_milli_first,
+              CAST(NULL AS BIGINT) AS vid_luma_milli_last,
+              CAST(NULL AS BIGINT) AS vid_luma_var_num
+            FROM img
+            UNION ALL
+            SELECT media_id, kind, n_bytes, NULL, NULL, NULL, NULL,
+              aud_duration_micros, aud_byte_rate, aud_block_align,
+              NULL, NULL, NULL, NULL, NULL
+            FROM aud
+            UNION ALL
+            SELECT media_id, kind, n_bytes, NULL, NULL, NULL, NULL,
+              NULL, NULL, NULL,
+              vid_n_frames, vid_luma_milli_sum, vid_luma_milli_first,
+              vid_luma_milli_last, vid_luma_var_num
+            FROM vid"""))
 
   // Decode correctness, oracled: every emitted value is read out of the
   // DECODED payload by the real codecs (PPM header+pixels, WAV fmt/data

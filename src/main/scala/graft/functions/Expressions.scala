@@ -971,6 +971,98 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Micro-unit quantization of a float vector: element-wise
+    * floor(x·1e6 + 0.5) as BIGINT — the codegen'd twin of the HOF
+    * `transform(v, x -> floor(x*1e6+0.5))` formulation. Each element is
+    * the same IEEE-exact step sequence (float→double cast, one multiply,
+    * one add, floor), so the integers are bit-identical to the HOF form
+    * and to any SQL oracle; the tight loop just avoids the per-row
+    * interpreted-lambda and array-of-boxed costs on the corpus pass.
+    */
+  case class QuantizeMicro(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"quantize_micro requires array<float>, got ${other.sql}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "quantize_micro"
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(arr.getFloat(i).toDouble * 1000000.0 + 0.5).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qmicro", this, classOf[QuantizeMicro].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Argmin cell id of a micro-quantized vector against a baked integer
+    * codebook: squared L2 distance in pure 64-bit arithmetic, first-match
+    * ties (strict `<`) to the lowest cell — exactly the contract of the
+    * HOF `array_position(dists, array_min(dists)) - 1` formulation, in
+    * one allocation-free loop. The codebook rides the expression (kCells
+    * × dim longs — model bytes, not data).
+    */
+  case class NearestCellQ(child: Expression, centroids: Array[Array[Long]])
+      extends UnaryExpression {
+    require(centroids.nonEmpty)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nearest_cell_q requires array<bigint>, got ${other.sql}")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_cell_q"
+
+    def compute(arr: ArrayData): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(arr.numElements(), cent.length)
+        var d = 0L
+        var i = 0
+        while (i < n) {
+          val diff = arr.getLong(i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestcell", this, classOf[NearestCellQ].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // -------- Column-facing wrappers --------
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
@@ -1004,6 +1096,9 @@ object Expressions {
   def bloom_might_contain(key: Column,
                           bc: org.apache.spark.broadcast.Broadcast[LongBloom]): Column =
     column(BloomMightContain(expression(key), bc))
+  def quantize_micro(vec: Column): Column = column(QuantizeMicro(expression(vec)))
+  def nearest_cell_q(vq: Column, centroids: Array[Array[Long]]): Column =
+    column(NearestCellQ(expression(vq), centroids))
   def z_value(coords: Column, nCols: Int, bits: Int): Column =
     column(ZValue(expression(coords), nCols, bits))
   /** Multi-field DOM extraction — one parse per page. Spec: (field,

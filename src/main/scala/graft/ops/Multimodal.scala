@@ -79,6 +79,33 @@ object Multimodal {
       require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
       (sampleRate, samples)
     }
+
+    /** Read the fmt-chunk transport fields — (byteRate, blockAlign,
+      * bitsPerSample) — by the same chunk walk as [[decodePcm16]]. These
+      * are real decoded header values (not recomputed from metadata), so
+      * emitting them exercises the full fmt parse.
+      */
+    def decodeFmtInfo(bytes: Array[Byte]): (Int, Int, Int) = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourCC(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourCC() == "RIFF", "not a RIFF file")
+      bb.getInt
+      require(fourCC() == "WAVE", "not a WAVE file")
+      while (bb.remaining() >= 8) {
+        val id = fourCC()
+        val size = bb.getInt
+        if (id == "fmt ") {
+          bb.getShort; bb.getShort; bb.getInt // fmt, channels, sample rate
+          val byteRate = bb.getInt
+          val blockAlign = bb.getShort
+          val bits = bb.getShort
+          return (byteRate, blockAlign.toInt, bits.toInt)
+        } else bb.position(bb.position() + size + (size & 1))
+      }
+      throw new IllegalArgumentException("missing fmt chunk")
+    }
   }
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
@@ -352,6 +379,87 @@ object Multimodal {
               base.copy(n_frames = Some(frames.length.toLong),
                 frame_w = Some(w0.toLong), frame_h = Some(h0.toLong),
                 vid_rgb_sum = Some(sum))
+            }
+          case _ => base
+        }
+      }
+    }
+  }
+
+  /** Scaled-integer feature profile — the oracled twin of the float
+    * [[extractFeatures]] path. Every value is computed FROM THE DECODED
+    * payload in 64-bit integer space (micro-units via truncating
+    * division, milli-weight luma 299r+587g+114b, exact integer variance
+    * numerator n·Σl² − (Σl)²), so an oracle that knows the generator's
+    * closed form rebuilds each number independently and the row
+    * hash-matches. Columns stay clear of the seeded-random payload
+    * components (image B channel, audio noise samples) — those remain
+    * covered by the float path and the codec round-trip specs.
+    * Kind-inapplicable columns are NULL.
+    */
+  case class MediaFeatureStats(media_id: Long, kind: String, n_bytes: Long,
+                               img_r_micromean: Option[Long], img_g_micromean: Option[Long],
+                               img_aspect_micro: Option[Long], img_n_px: Option[Long],
+                               aud_duration_micros: Option[Long], aud_byte_rate: Option[Long],
+                               aud_block_align: Option[Long],
+                               vid_n_frames: Option[Long], vid_luma_milli_sum: Option[Long],
+                               vid_luma_milli_first: Option[Long], vid_luma_milli_last: Option[Long],
+                               vid_luma_var_num: Option[Long])
+
+  def featureStats(media: Dataset[MediaRow]): Dataset[MediaFeatureStats] = {
+    import media.sparkSession.implicits._
+    val none = Option.empty[Long]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val base = MediaFeatureStats(r.media_id, r.kind, r.payload.length.toLong,
+          none, none, none, none, none, none, none, none, none, none, none, none)
+        r.kind match {
+          case "image" =>
+            val (w, h, rgb) = PpmCodec.decode(r.payload)
+            val n = (w.toLong * h).max(1L)
+            var rSum = 0L; var gSum = 0L
+            var p = 0
+            while (p < rgb.length) {
+              rSum += rgb(p) & 0xff; gSum += rgb(p + 1) & 0xff; p += 3
+            }
+            base.copy(
+              img_r_micromean = Some(1000000L * rSum / n),
+              img_g_micromean = Some(1000000L * gSum / n),
+              img_aspect_micro = Some(1000000L * w / h),
+              img_n_px = Some(n))
+          case "audio" =>
+            val (sr, s) = WavCodec.decodePcm16(r.payload)
+            val (byteRate, blockAlign, _) = WavCodec.decodeFmtInfo(r.payload)
+            base.copy(
+              aud_duration_micros = Some(1000000L * s.length / sr.toLong.max(1L)),
+              aud_byte_rate = Some(byteRate.toLong),
+              aud_block_align = Some(blockAlign.toLong))
+          case "video" =>
+            val frames = VideoContainer.decode(r.payload).map(PpmCodec.decode)
+            if (frames.isEmpty) base
+            else {
+              // per-frame luma sums in exact milli-weights (299/587/114
+              // sum to 1000): integers end to end, so Σl, first/last and
+              // the variance numerator nf·Σl² − (Σl)² are engine-exact
+              val lumaSums = frames.map { case (_, _, rgb) =>
+                var l = 0L
+                var p = 0
+                while (p < rgb.length) {
+                  l += 299L * (rgb(p) & 0xff) + 587L * (rgb(p + 1) & 0xff) +
+                    114L * (rgb(p + 2) & 0xff)
+                  p += 3
+                }
+                l
+              }
+              val nf = frames.length.toLong
+              val s1 = lumaSums.sum
+              val s2 = lumaSums.map(l => l * l).sum
+              base.copy(
+                vid_n_frames = Some(nf),
+                vid_luma_milli_sum = Some(s1),
+                vid_luma_milli_first = Some(lumaSums.head),
+                vid_luma_milli_last = Some(lumaSums.last),
+                vid_luma_var_num = Some(nf * s2 - s1 * s1))
             }
           case _ => base
         }

@@ -105,26 +105,23 @@ object Similarity {
     * coordinate to an integer count of 1e-6 units. Every op (float→double
     * cast, one multiply, one add, floor) is a single IEEE-exact step, so
     * any engine computes the identical integers — the foundation that
-    * makes the whole Lloyd loop below engine-reproducible.
+    * makes the whole Lloyd loop below engine-reproducible. Runs through
+    * the codegen'd [[graft.functions.Expressions.QuantizeMicro]] (same
+    * IEEE steps as the HOF `transform` form, no interpreted lambda).
     */
   private def quantized(vec: Column): Column =
-    transform(vec, x =>
-      floor(x.cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+    graft.functions.Expressions.quantize_micro(vec)
 
   /** Argmin cell id for a micro-unit vector against an integer codebook:
     * squared L2 distance in pure BIGINT arithmetic (order-independent,
     * overflow-safe: |coord| ≤ ~1e7 ⇒ per-dim square ≤ 1e14, ×64 dims
-    * ≪ 2^63). First-match ties via array_position = lowest cell wins.
+    * ≪ 2^63). First-match ties = lowest cell wins. One allocation-free
+    * codegen'd loop ([[graft.functions.Expressions.NearestCellQ]]) — the
+    * HOF zip_with/aggregate form evaluated interpreted per (row × cell)
+    * and dominated the operator's cost.
     */
-  private def nearestCellQ(vq: Column, centroids: Array[Array[Long]]): Column = {
-    val dists = centroids.map { c =>
-      val cCol = array(c.map(lit).toIndexedSeq: _*)
-      aggregate(zip_with(vq, cCol, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    }
-    val arr = array(dists.toIndexedSeq: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
-  }
+  private def nearestCellQ(vq: Column, centroids: Array[Array[Long]]): Column =
+    graft.functions.Expressions.nearest_cell_q(vq, centroids)
 
   /** Train a tiny IVF codebook in scaled-integer space: deterministic
     * init (lowest-id vectors, micro-unit quantized), `iters` Lloyd
@@ -140,13 +137,28 @@ object Similarity {
     */
   def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
                kCells: Int, iters: Int = 2): Array[Array[Long]] = {
-    var centroids: Array[Array[Long]] = corpus
-      .orderBy(col(idCol)).limit(kCells)
-      .select(quantized(col(vecCol))).collect()
+    // materialize the quantized projection once — each Lloyd round is a
+    // driver round-trip, and without this every round re-reads and
+    // re-quantizes the source (NOTE: localCheckpoint truncates lineage,
+    // so a lost block fails the job and the caller must retry)
+    val vq = corpus.select(col(idCol).as("__id"), quantized(col(vecCol)).as("vq"))
+      .localCheckpoint(true)
+    trainIvfQuantized(vq, kCells, iters)
+  }
+
+  /** Lloyd loop over an already-quantized (`__id`, `vq`) table — shared
+    * by [[trainIvf]] and [[ivfTopK]] so the caller can reuse one
+    * materialized quantized corpus for training AND final assignment.
+    */
+  private def trainIvfQuantized(vq: DataFrame, kCells: Int,
+                                iters: Int): Array[Array[Long]] = {
+    var centroids: Array[Array[Long]] = vq
+      .orderBy(col("__id")).limit(kCells)
+      .select(col("vq")).collect()
       .map(_.getSeq[Long](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(quantized(col(vecCol)).as("vq"))
-        .withColumn("cell", nearestCellQ(col("vq"), centroids))
+      val assigned = vq.select(col("vq"),
+        nearestCellQ(col("vq"), centroids).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -172,10 +184,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int, kCells: Int = 16, nProbe: Int = 3,
               codebook: Option[Array[Array[Long]]] = None): DataFrame = {
-    val centroids = codebook.getOrElse(trainIvf(corpus, idCol, vecCol, kCells))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
-      norm(col(vecCol)).as("cand_norm"),
-      nearestCellQ(quantized(col(vecCol)), centroids).as("cell"))
+    // one materialized pass carries everything training and assignment
+    // need (vectors, norms, quantized coords): the Lloyd rounds and the
+    // final cell assignment all read this in-memory table instead of
+    // re-scanning and re-quantizing the source per round (NOTE:
+    // localCheckpoint truncates lineage — a lost block fails the job)
+    val prepared = corpus.select(col(idCol).as("__id"), col(vecCol).as("cand_vec"),
+        norm(col(vecCol)).as("cand_norm"), quantized(col(vecCol)).as("vq"))
+      .localCheckpoint(true)
+    val centroids = codebook.getOrElse(trainIvfQuantized(prepared, kCells, iters = 2))
+    val c = prepared.select(col("__id").as("cand_id"), col("cand_vec"),
+      col("cand_norm"), nearestCellQ(col("vq"), centroids).as("cell"))
     // probe side: nProbe nearest cells by (integer dist, cell) — the
     // struct sort is lexicographic, so equidistant cells tie to lowest id
     val probeDists = centroids.zipWithIndex.map { case (cent, i) =>

@@ -93,18 +93,27 @@ class AggregatorsSpec extends SparkTestBase {
   }
 
   test("sketch aggregates land within tolerance of exact") {
+    // sketch_agg emits the bound CONTRACT: exact columns plus
+    // within-bound booleans computed in the same pass. Cross-check the
+    // exact columns against an independent aggregation and require every
+    // boolean true (the same assertions the DuckDB oracle hash-checks).
     val li = Tables.lineitem(spark, sf("sf0.01"))
-    val approx = SparkEntry.queries("sketch_agg")(spark, sf("sf0.01"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = SparkEntry.queries("sketch_agg")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
     val exact = li.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("n"),
+      .agg(count(lit(1)).as("cnt"), countDistinct($"l_orderkey").as("nd"),
         expr("percentile(l_extendedprice, 0.5)").as("med"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    approx.foreach { case (k, (n, med)) =>
-      assert(math.abs(n - exact(k)._1).toDouble / exact(k)._1 < 0.05,
-        s"HLL distinct for $k off by >5%")
-      assert(math.abs(med - exact(k)._2) / exact(k)._2 < 0.05,
-        s"approx median for $k off by >5%")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (k, (n, nd, med, hllOk, medOk)) =>
+      assert(n == exact(k)._1, s"row count for $k")
+      assert(nd == exact(k)._2, s"exact_orders for $k must match countDistinct")
+      assert(med == exact(k)._3, s"exact_median for $k must match percentile")
+      assert(hllOk, s"HLL distinct for $k strayed outside the 5% bound")
+      assert(medOk, s"approx median for $k outside the rank bound")
     }
   }
 
