@@ -1104,6 +1104,43 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2"""))
 
+  // The bounded-memory streaming dedup surfaced as a driver query: two
+  // OVERLAPPING parquet drops of event ids (%3 != 0 and %3 != 1 — the
+  // incr_weekly_merge replay shape) flow through the
+  // flatMapGroupsWithState bloom dedup in two micro-batches; replayed
+  // ids are dropped by the cross-batch filter state, so the emitted set
+  // is exactly the distinct ids. The filters are sized so the
+  // deterministic bloom has no false positive at driver scale (8
+  // shards x 1 MiB: per-probe fpp ~1e-10 at sf0.1, verified empty at
+  // sf0.01 AND sf0.1), making exact DISTINCT the oracle — the
+  // 100 TB/day dedup answer, state fixed at shards x words x 8 bytes
+  // regardless of id cardinality.
+  private val incrBloomDedup = Q(
+    "incr_bloom_dedup",
+    (s, d) => {
+      import s.implicits._
+      val base = scratchDir("graft_incr_bloom_")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = events(s, d).select(col("event_id"))
+      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      streaming.Incremental.bloomDedupStream(
+          stream.select(col("event_id")).as[Long],
+          shards = 8, numWords = 131072, numHashes = 5)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .start().awaitTermination()
+      s.read.parquet(outDir).select(col("value").as("event_id"))
+    },
+    Some("SELECT DISTINCT event_id FROM events"))
+
   // ---------------------------------------------------------------- C9-C12 parse battery
   private val parseRatings = Q(
     "parse_ratings",
@@ -2182,6 +2219,78 @@ object Queries {
           FROM h GROUP BY 1, 2"""
     })
 
+  // Linear quality scorer over the hashed features (the fastText-style
+  // learned gate): score = sum over buckets of w[bucket]*signed_count
+  // with deterministic centered INTEGER stand-in weights (Knuth mix mod
+  // 1001 - 500), so the dot product is exact integer arithmetic and the
+  // keep/drop boundary is engine-exact. The oracle rebuilds the hashed
+  // features (the proven feature_hash_bow CTE) and applies the same
+  // weight formula.
+  private val qualityScoreLinear = Q(
+    "quality_score_linear",
+    (s, d) => TextAnalysis.linearQualityScore(documents(s, d), "doc_id", "text",
+      buckets = 64),
+    Some {
+      val bucket20 = (1 to 5).map(i =>
+        s"(instr('0123456789abcdef', substr(mh, $i, 1)) - 1) * ${BigInt(16).pow(5 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+          md AS (SELECT doc_id, md5(w) AS mh FROM tok),
+          h AS (
+            SELECT doc_id,
+              CAST($bucket20 % 64 AS BIGINT) AS bucket,
+              CASE WHEN (instr('0123456789abcdef', substr(mh, 6, 1)) - 1) % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+            FROM md),
+          f AS (
+            SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS signed_sum
+            FROM h GROUP BY 1, 2)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_active_buckets,
+            CAST(sum(signed_sum * ((bucket * 2654435761) % 1001 - 500))
+              AS BIGINT) AS score,
+            CAST(sum(signed_sum * ((bucket * 2654435761) % 1001 - 500))
+              AS BIGINT) >= 0 AS label_keep
+          FROM f GROUP BY 1"""
+    })
+
+  // Within-document line dedup (the C4/RefinedWeb boilerplate-removal
+  // pass): the newline-free corpus is decomposed into fixed-width
+  // two-token "lines" on BOTH sides, first occurrence per (doc, line)
+  // wins, survivors reassemble in original order. Position-keyed
+  // explode + min-position aggregate + struct-sorted reassembly — all
+  // integer/string ops, engine-exact.
+  private val dedupLinesWithinDocQ = Q(
+    "dedup_lines_within_doc",
+    (s, d) => {
+      val toks = graft.functions.GraftFunctions.tokens(col("text"))
+      val nLines = ceil(size(toks) / lit(2.0)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * 2 + 1, lit(2)), " "))
+      ops.Dedup.dedupLinesWithinDoc(documents(s, d), "doc_id", lines)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            lin AS (
+              SELECT doc_id,
+                unnest([{pos: (i - 1) // 2,
+                         line: array_to_string(t[i:i+1], ' ')}
+                        FOR i IN range(1, len(t) + 1, 2)],
+                       recursive := true)
+              FROM toks),
+            firsts AS (
+              SELECT doc_id, line, min(pos) AS pos, count(*) AS n
+              FROM lin GROUP BY 1, 2)
+            SELECT doc_id,
+              CAST(sum(n) AS BIGINT) AS n_lines_total,
+              CAST(count(*) AS BIGINT) AS n_lines_kept,
+              string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+            FROM firsts GROUP BY 1"""))
+
   // Gopher-style repetition filters: duplicate-bigram fraction and
   // top-bigram fraction, from one tight-loop expression per row; the
   // ratios are single divisions of identical integers (engine-exact, no
@@ -2905,6 +3014,7 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, incrWeeklyMerge,
+    incrBloomDedup,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
     pagerankScaled,
@@ -2913,7 +3023,8 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
-    textLangid, textQuality, gopherQuality, featureHashBow, textRepetition,
+    textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
+    dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     corpusSample, corpusQualityFilter,

@@ -466,9 +466,10 @@ object Dedup {
     // here could ever release (the operator returns a lazy frame, so
     // there is no safe unpersist point) — a per-call cache leak. A
     // localCheckpoint's blocks belong to the RDD and are dropped by the
-    // ContextCleaner once the caller lets go of the result, at the
-    // documented cost that executor loss replays the stage (Curation
-    // takes the same trade).
+    // ContextCleaner once the caller lets go of the result, at the cost
+    // that lineage is truncated: losing an executor that held blocks
+    // FAILS the job (no replay path) and the caller must retry (Curation
+    // takes the same trade; Graph.scala documents the same contract).
     val keyed = spans.localCheckpoint(true)
     val dupKeys = keyed.groupBy(col("span_key"))
       .agg(count(lit(1)).as("n_occurrences"))
@@ -476,6 +477,38 @@ object Dedup {
         col("n_occurrences") <= maxOccurrences)
     keyed.join(dupKeys, "span_key")
       .select(col(idCol), col("pos"), col("span_key"), col("n_occurrences"))
+  }
+
+  /** Within-document line deduplication — the C4/RefinedWeb boilerplate
+    * pass: split each document into lines, keep only the FIRST occurrence
+    * of every distinct line inside that document, and reassemble the
+    * survivors in original order. `linesCol` is any array<string> line
+    * decomposition (split on newline for real documents; a fixed-width
+    * token chunking for newline-free corpora). All ops are integer/string
+    * exact — position-keyed explode, (doc, line) min-position aggregate,
+    * struct-sorted reassembly — so the result is oracle-reproducible.
+    *
+    * At scale this is a NARROW-per-document pass: both aggregations key
+    * on doc_id (the explode never leaves the document), so the shuffle is
+    * one exchange on doc_id and the per-group state is the document's own
+    * lines — no corpus-global structure, unlike cross-document dedup.
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String,
+                          linesCol: Column): DataFrame = {
+    val exploded = docs.select(col(idCol), posexplode(linesCol).as(Seq("pos", "line")))
+    // first occurrence per (doc, line): min position + how many copies
+    val firsts = exploded.groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("n_copies"))
+    // reassemble in original order: positions are unique within a doc, so
+    // the struct sort is total and engine-deterministic
+    firsts.groupBy(col(idCol))
+      .agg(
+        sum(col("n_copies")).as("n_lines_total"),
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_dedup"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold within blocking

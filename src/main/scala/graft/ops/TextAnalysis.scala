@@ -206,6 +206,32 @@ object TextAnalysis {
         sum(when(col("__pos"), 1L).otherwise(-1L)).as("signed_sum"))
   }
 
+  /** Linear quality scorer over hashed features — the fastText-style
+    * learned gate that replaces hand-rolled rule batteries once weights
+    * are trained offline: score = bias + Σ_b w[b] · signed_count[b] over
+    * the [[hashedBowFeatures]] buckets. Weights here are a deterministic
+    * INTEGER stand-in for a trained vector (w[b] = Knuth-mix(b) mod 1001
+    * − 500, centered), so the distributed dot product is a sum of exact
+    * integers — engine-reproducible at every boundary, like the
+    * cross-multiplied gopher thresholds. Swapping in real trained weights
+    * changes only the literal array, never the plan: one explode + two
+    * map-side-combinable doc-keyed aggregations, no vocabulary broadcast,
+    * no second pass — the same 100 TB shape as the featurizer itself.
+    */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int = 64, bias: Long = 0L): DataFrame = {
+    val feats = hashedBowFeatures(docs, idCol, textCol, buckets)
+    // deterministic centered integer weight per bucket (stand-in model)
+    val w = pmod(col("bucket") * lit(2654435761L), lit(1001L)) - lit(500L)
+    feats
+      .select(col(idCol), (col("signed_sum") * w).as("__contrib"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_active_buckets"),
+        (sum(col("__contrib")) + lit(bias)).as("score"))
+      .withColumn("label_keep", col("score") >= 0L)
+  }
+
   /** Term relevance (TF-IDF family) over the corpus: per (doc, term)
     * frequency, document frequency, and a log-free inverse-document-
     * frequency weight `tf * (N / df)`. Log-free on purpose: `ln` differs

@@ -154,4 +154,31 @@ class CurationSpec extends SparkTestBase {
     assert(Seq(2L, 3L, 4L, 5L, 6L).forall(id => !r(id).getBoolean(11)),
       "every failing rule must fail the composite")
   }
+
+  test("linear quality scorer: integer dot product over hashed features") {
+    val fx = Seq(1L -> "alpha alpha beta", 2L -> "alpha beta",
+      3L -> "gamma").toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.linearQualityScore(fx, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // recompute the expected score from the featurizer + weight formula —
+    // the scorer must be exactly sum(w[bucket] * signed_sum) with
+    // w[b] = (b * 2654435761) mod 1001 - 500
+    val feats = graft.ops.TextAnalysis.hashedBowFeatures(fx, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+    def w(b: Long): Long = java.lang.Math.floorMod(b * 2654435761L, 1001L) - 500L
+    val expected = feats.groupBy(_._1._1).map { case (doc, rows) =>
+      doc -> rows.map { case ((_, b), s) => s * w(b) }.sum
+    }
+    out.foreach { case (doc, (nb, score, keep)) =>
+      assert(score == expected(doc), s"score mismatch for doc $doc")
+      assert(keep == (score >= 0), s"label must be the sign gate for $doc")
+      assert(nb == feats.count(_._1._1 == doc), s"active buckets for $doc")
+    }
+    // deterministic across evaluations (a model, not a sample)
+    val again = graft.ops.TextAnalysis.linearQualityScore(fx, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == out)
+  }
 }

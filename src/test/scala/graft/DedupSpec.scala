@@ -340,4 +340,24 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("within-doc line dedup keeps first occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, Seq("nav menu", "real content one", "nav menu", "real content two",
+        "nav menu")),
+      (2L, Seq("only line")),
+      (3L, Seq("a", "b", "a", "b", "a", "c"))).toDF("doc_id", "lines")
+    val out = Dedup.dedupLinesWithinDoc(docs, "doc_id", col("lines"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_total"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[String]("text_dedup"))).toMap
+    // doc 1: boilerplate "nav menu" collapses to its first slot
+    assert(out(1L) == (5L, 3L, "nav menu\nreal content one\nreal content two"))
+    assert(out(2L) == (1L, 1L, "only line"))
+    // doc 3: first occurrences of a, b, c in original positions
+    assert(out(3L) == (6L, 3L, "a\nb\nc"))
+    // dedup is per-document: "nav menu"-style lines in doc 1 never affect
+    // other docs (each doc keeps its own copy) — implied by the output of
+    // docs 2/3 being untouched by doc 1's lines
+  }
 }
