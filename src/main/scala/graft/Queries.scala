@@ -33,14 +33,36 @@ object Queries {
     * /dev/shm when available so bench timings of `incr_*`/indexed
     * queries measure the OPERATOR, not disk-write variance of the temp
     * store (the bench-noise watch item); falls back to the JVM temp dir.
+    * Every created dir is registered with a JVM shutdown hook that
+    * removes it recursively — /dev/shm is RAM, and best-of-N bench runs
+    * reconstruct these stores per invocation, so leaked dirs would
+    * accumulate in tmpfs across a long session and squeeze the host.
     */
+  private val scratchCreated =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val scratchCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchCreated.forEach { root =>
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Exception => () })
+          finally walk.close()
+        } catch { case _: Exception => () }
+      }
+    }, "graft-scratch-cleanup"))
+
   private def scratchDir(prefix: String): String = {
+    scratchCleanupHook
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
       if (java.nio.file.Files.isDirectory(shm) &&
           java.nio.file.Files.isWritable(shm))
         java.nio.file.Files.createTempDirectory(shm, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
+    scratchCreated.add(dir)
     dir.toString
   }
 

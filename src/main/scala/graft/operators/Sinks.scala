@@ -69,15 +69,31 @@ object Sinks {
   def stampFamily(spark: SparkSession, dir: String, family: String): Unit = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(dir, "_graft_family")
-    val tmp = new Path(dir, "._graft_family.tmp")
+    // per-call temp name: two concurrent stampers of the same store must
+    // not consume each other's temp (a fixed name made the loser's
+    // rename fail spuriously even though a valid marker existed)
+    val tmp = new Path(dir, s"._graft_family.${java.util.UUID.randomUUID()}.tmp")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
     try out.write((family + "\n").getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(
-        s"stampFamily: could not publish $tmp -> $marker")
+    if (!fs.rename(tmp, marker)) {
+      // lost a publish race — success iff the winner stamped the SAME
+      // family; a different family is still a hard error
+      fs.delete(tmp, false)
+      val published =
+        try {
+          val in = fs.open(marker)
+          try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (published != family)
+        throw new java.io.IOException(
+          s"stampFamily: could not publish $tmp -> $marker " +
+            s"(found ${Option(published).getOrElse("no marker")})")
+    }
   }
 
   /** K1/K2/K3: append rows whose key is not already present (duplicate-key

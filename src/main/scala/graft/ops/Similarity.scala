@@ -347,7 +347,9 @@ object Similarity {
     // persist: there is no safe unpersist point in a lazily-returned
     // plan, and a CacheManager entry would leak per call — checkpoint
     // blocks are ContextCleaner-reclaimed once the caller drops the
-    // result (same trade as Dedup.duplicateSpans / Curation).
+    // result. The trade (same as Dedup.duplicateSpans / Curation):
+    // lineage is truncated, so losing an executor that held blocks FAILS
+    // the job — no replay — and the caller must retry.
     val buckets = corpusBuckets.localCheckpoint(true)
     val hot = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))

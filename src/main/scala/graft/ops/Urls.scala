@@ -28,7 +28,11 @@ object Urls {
   def path(u: Column): Column =
     regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
 
-  def query(u: Column): Column = regexp_extract(u, "\\?([^#]*)", 1)
+  /** Query part, anchored BEFORE any fragment: per RFC 3986 everything
+    * after the first '#' is fragment, so a '?' occurring inside a
+    * fragment (https://h.x/p#f?x) must not read as a query.
+    */
+  def query(u: Column): Column = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
 
   /** Query string with `utm_*` tracking params removed: each param is
     * consumed together with its leading separator (or start anchor),

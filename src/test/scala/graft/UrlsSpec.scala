@@ -29,6 +29,10 @@ class UrlsSpec extends SparkTestBase {
     assert(norm("https://h.x/p?utm_a=1&utm_b=2") == "https://h.x/p",
       "all-tracking query drops the '?' entirely")
     assert(norm("https://h.x/p#only-frag") == "https://h.x/p")
+    // RFC 3986: everything after '#' is fragment — a '?' INSIDE the
+    // fragment must not re-enter as a query
+    assert(norm("https://h.x/p#f?x=1") == "https://h.x/p")
+    assert(norm("https://h.x/p?id=1#f?x=2") == "https://h.x/p?id=1")
   }
 
   test("pathless and queryless URLs normalize clean") {
