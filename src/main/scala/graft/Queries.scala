@@ -542,6 +542,24 @@ object Queries {
               TRUE AS median_within_rank_bound
             FROM lineitem GROUP BY 1"""))
 
+  // Misra-Gries heavy hitters through the driver gate: with distinct
+  // keys <= k the summary provably takes no decrement step in reduce OR
+  // merge, so the sketch is EXACT and order-independent — the oracle is
+  // plain GROUP BY counts, and any bug in the counter bookkeeping breaks
+  // the hash. The eviction/bound behavior on high-cardinality skewed
+  // streams (est <= true, true - est <= N/(k+1), heavy hitters always
+  // present) is pinned by AggregatorsSpec's skewed fixture; at 100 TB
+  // the value is the FIXED k-counter state per group vs a full
+  // count-distinct shuffle.
+  private val sketchMgTopk = Q(
+    "sketch_mg_topk",
+    (s, d) => events(s, d)
+      .agg(udaf(new graft.functions.Aggregators.MisraGries(8),
+        org.apache.spark.sql.Encoders.STRING)
+        .apply(col("event_type")).as("mg"))
+      .select(explode(col("mg")).as(Seq("event_type", "est_count"))),
+    Some("SELECT event_type, count(*) AS est_count FROM events GROUP BY 1"))
+
   // 60-bit hash both engines derive identically: nibble-decode 15 hex
   // chars of an ALREADY-computed md5 column (Spark conv(hex) == DuckDB
   // instr-on-nibbles, the 15-digit generalization of duckBucket).
@@ -3027,6 +3045,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
+    sketchMgTopk,
     momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,

@@ -22,14 +22,12 @@ class EntrySmokeSpec extends SparkTestBase {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert((qs -- os) ==
-      Set("multimodal_features", "sketch_agg"),
-      "rows-only set is exactly the multimodal FLOAT feature path " +
-        "(decoded-media floats no SQL oracle can rebuild; the integer " +
-        "decode profile is hash-matched via multimodal_decode_stats) + " +
-        "the approx-sketch query whose error bound is the contract; " +
-        "ann_lsh_topk moved to a full hash-match in round 7 and " +
-        "ann_ivf_topk in round 9 (scaled-integer Lloyd replay)")
+    assert((qs -- os).isEmpty,
+      "EVERY query is oracled as of round 10: the last two rows-only " +
+        "holdouts closed when multimodal_features moved to a " +
+        "scaled-integer feature profile with a closed-form oracle and " +
+        "sketch_agg started emitting its error bound as within-bound " +
+        "booleans next to exact columns the oracle recomputes")
   }
 
   test("frame sampling decodes real frames and keeps every stride-th one") {

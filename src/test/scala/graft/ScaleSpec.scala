@@ -212,6 +212,33 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("linear scorer and line dedup plan bounded exchanges, no sort") {
+    // quality_score_linear: explode + (doc,bucket) agg + doc agg — two
+    // doc-keyed exchanges, both map-side combinable, nothing else
+    val score = SparkEntry.queries("quality_score_linear")(spark, sf("sf0.001"))
+    val scoreExec = score.queryExecution.executedPlan
+    val scoreExchanges = scoreExec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(scoreExchanges.size <= 2,
+      s"scorer must shuffle at most twice:\n$scoreExec")
+    assert(!scoreExec.toString.contains("Window"),
+      s"scorer must not window:\n$scoreExec")
+
+    // dedup_lines_within_doc: (doc,line) agg + doc agg — the explode
+    // never leaves the document, so again at most two exchanges and the
+    // reassembly is an array_sort inside the aggregate, not a SortExec
+    val lines = SparkEntry.queries("dedup_lines_within_doc")(spark, sf("sf0.001"))
+    val linesExec = lines.queryExecution.executedPlan
+    val lineExchanges = linesExec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(lineExchanges.size <= 2,
+      s"line dedup must shuffle at most twice:\n$linesExec")
+    val sorts = linesExec.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty,
+      s"line reassembly must sort inside the aggregate, not the plan:\n$linesExec")
+  }
+
   test("custom dot product participates in whole-stage codegen") {
     // non-literal input so the projection cannot constant-fold away
     val df = spark.range(3).select(
