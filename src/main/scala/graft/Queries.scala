@@ -297,6 +297,44 @@ object Queries {
               AND l_partkey IN (SELECT p_partkey FROM part)"""))
 
   // ---------------------------------------------------------------- J4
+  // The same parent-hierarchy closure as a DECLARATIVE recursive CTE
+  // (Spark 4 WITH RECURSIVE) — the reference's while-loop
+  // (etl_flow.py:359-414) expressed as the SQL standard's fixpoint
+  // construct, with DuckDB's recursive CTE as the oracle. The iterative
+  // Graph.ancestorClosure twin (j4_hierarchy) remains the scale path:
+  // its per-round dedup + adaptive driver fast path bound the frontier,
+  // while the fixpoint operator re-shuffles the whole accumulator per
+  // round. Both produce identical rows; the engine offers both idioms.
+  private val j4HierarchyRcte = Q(
+    "j4_hierarchy_rcte",
+    (s, d) => {
+      supplier(s, d).select(
+          concat(lit("S"), col("s_suppkey").cast("string")).as("child"),
+          concat(lit("N"), col("s_nationkey").cast("string")).as("parent"))
+        .unionByName(nation(s, d).select(
+          concat(lit("N"), col("n_nationkey").cast("string")).as("child"),
+          concat(lit("R"), col("n_regionkey").cast("string")).as("parent")))
+        .createOrReplaceTempView("graft_hier_edges")
+      s.sql("""
+        WITH RECURSIVE anc(child, ancestor, depth) AS (
+          SELECT child, parent, 1 FROM graft_hier_edges
+          UNION ALL
+          SELECT a.child, e.parent, a.depth + 1
+          FROM anc a JOIN graft_hier_edges e ON e.child = a.ancestor
+        )
+        SELECT child, ancestor, depth FROM anc""")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT 'S' || s_suppkey AS child, 'N' || s_nationkey AS parent FROM supplier
+              UNION ALL
+              SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+            anc(child, ancestor, depth) AS (
+              SELECT child, parent, 1 FROM e
+              UNION ALL
+              SELECT a.child, e2.parent, a.depth + 1
+              FROM anc a JOIN e e2 ON e2.child = a.ancestor)
+            SELECT child, ancestor, depth FROM anc"""))
+
   private val j4Hierarchy = Q(
     "j4_hierarchy",
     (s, d) => {
@@ -3041,6 +3079,7 @@ object Queries {
     c2CleanCollection, c3CleanCompany, c4CleanPerson,
     c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
+    j4HierarchyRcte,
     s4DimensionSeed, k8CascadeDelete,
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,

@@ -59,6 +59,28 @@ class GraphSpec extends SparkTestBase {
     assert(sorted(driver).count(_ == (1L, 4L, 2)) == 2)
   }
 
+  test("J4: recursive-CTE idiom agrees with the iterative closure") {
+    // acyclic forest (WITH RECURSIVE has no cycle guard by design — the
+    // iterative twin's maxDepth covers that case)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // 3-deep chain
+      (5L, 3L),                     // second child joining mid-chain
+      (6L, 7L)                      // separate pair
+    ).toDF("child", "parent")
+    edges.createOrReplaceTempView("graft_spec_hier_edges")
+    val rcte = spark.sql("""
+      WITH RECURSIVE anc(child, ancestor, depth) AS (
+        SELECT child, parent, 1 FROM graft_spec_hier_edges
+        UNION ALL
+        SELECT a.child, e.parent, a.depth + 1
+        FROM anc a JOIN graft_spec_hier_edges e ON e.child = a.ancestor
+      )
+      SELECT child, ancestor, depth FROM anc""")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(sorted(rcte) == sorted(Graph.ancestorClosure(edges)))
+  }
+
   test("pageRankScaled: cycle fixed point, dangling mass, exact integers") {
     // 3-cycle, outdeg 1 everywhere: base is the exact fixed point
     // (150000000 + (85 * 1e9) div 100 = 1e9)
