@@ -2344,10 +2344,14 @@ object Queries {
   private val dedupLinesWithinDocQ = Q(
     "dedup_lines_within_doc",
     (s, d) => {
-      val toks = graft.functions.GraftFunctions.tokens(col("text"))
-      val nLines = ceil(size(toks) / lit(2.0)).cast("int")
-      val lines = transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(toks, i * 2 + 1, lit(2)), " "))
+      // chunk pairs with ONE codegen'd regex pass (each match grabs a
+      // token plus at most one following token), then normalize the
+      // intra-chunk separator — equivalent to tokenize/slice/join but
+      // without the per-chunk interpreted-lambda array work
+      val lines = transform(
+        regexp_extract_all(lower(trim(col("text"))),
+          lit("\\S+(?:\\s+\\S+)?"), lit(0)),
+        c => regexp_replace(c, "\\s+", " "))
       ops.Dedup.dedupLinesWithinDoc(documents(s, d), "doc_id", lines)
     },
     Some("""WITH toks AS (
