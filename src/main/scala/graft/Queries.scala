@@ -1182,6 +1182,33 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2"""))
 
+  // JSONL round-trip — the training-data interchange format, driven end
+  // to end: the documents projection is written as JSON lines to scratch
+  // and read back with an explicit schema, and the per-source aggregate
+  // (row count, exact char mass, distinct content fingerprints) is
+  // hash-matched against the SAME aggregate computed straight from the
+  // parquet — any escaping/round-trip defect in the JSON path shifts a
+  // sum and breaks the hash. At 100 TB this is the ingest/export seam:
+  // schema-on-read with an explicit schema (never inference over a
+  // corpus), and the aggregate shape is one map-side-combinable pass.
+  private val jsonlRoundtrip = Q(
+    "jsonl_roundtrip",
+    (s, d) => {
+      val base = scratchDir("graft_jsonl_")
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      docs.coalesce(4).write.mode("overwrite").json(s"$base/docs")
+      s.read.schema(docs.schema).json(s"$base/docs")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+              count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents GROUP BY 1"""))
+
   // The bounded-memory streaming dedup surfaced as a driver query: two
   // OVERLAPPING parquet drops of event ids (%3 != 0 and %3 != 1 — the
   // incr_weekly_merge replay shape) flow through the
@@ -3098,7 +3125,7 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, incrWeeklyMerge,
-    incrBloomDedup,
+    incrBloomDedup, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
     pagerankScaled,

@@ -268,4 +268,36 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("linear scorer is additive under document concatenation") {
+    // hashed signed counts add when token streams concatenate, so the
+    // integer dot product must add exactly: score(a ++ b) = score(a) +
+    // score(b) — the linearity that lets partial aggregation distribute
+    samples(Gen.zip(textGen, textGen), 8).foreach { case (a, b) =>
+      val df = Seq(1L -> a, 2L -> b, 3L -> s"$a $b").toDF("doc_id", "text")
+      val s = TextAnalysis.linearQualityScore(df, "doc_id", "text", 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(s(3L) == s(1L) + s(2L),
+        s"score not additive: ${s(3L)} != ${s(1L)} + ${s(2L)} for '$a' ++ '$b'")
+    }
+  }
+
+  test("within-doc line dedup: kept <= total, distinct lines, order preserved") {
+    val linesGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("l1", "l2", "l3", "nav", "footer")))
+    samples(Gen.listOfN(4, linesGen), 6).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ls, i) => (i.toLong, ls) }
+        .toDF("doc_id", "lines")
+      val out = Dedup.dedupLinesWithinDoc(df, "doc_id", col("lines"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      docs.zipWithIndex.foreach { case (ls, i) =>
+        val (total, kept, text) = out(i.toLong)
+        assert(total == ls.size)
+        assert(kept == ls.distinct.size)
+        // survivors are exactly the distinct lines in first-seen order
+        assert(text.split("\n").toSeq == ls.distinct)
+      }
+    }
+  }
 }

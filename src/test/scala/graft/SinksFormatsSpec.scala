@@ -206,6 +206,22 @@ class SinksFormatsSpec extends SparkTestBase {
     assert(got(878L) == "Science Fiction")
   }
 
+  test("JSONL round-trip preserves quotes, newlines, tabs, and unicode") {
+    // the driver's jsonl_roundtrip checks aggregate parity on the plain
+    // harness corpus; this pins the HARD escaping cases byte-for-byte
+    val dir = Files.createTempDirectory("graft_jsonl_spec_").toString + "/docs"
+    val docs = Seq(
+      (1L, "has \"quotes\" and \\ backslash"),
+      (2L, "line1\nline2\ttabbed"),
+      (3L, "unicode: café 中文 😀"),
+      (4L, "")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want, "every text must survive the JSON escape round-trip")
+  }
+
   test("K6: bulk edge CSV load drops dangling endpoints and replays idempotently") {
     val base = Files.createTempDirectory("graft_k6_").toString
     val csvDir = base + "/edges_csv"
