@@ -971,6 +971,50 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ALL overlapping n-token windows in document order — the positional
+    * no-dedup twin of [[WordShingles]], for span-level dedup where every
+    * occurrence (and via posexplode, its position) matters. Empty when
+    * the document is shorter than n; identical strings to the HOF
+    * `transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))`
+    * formulation, in one allocation-tight loop instead of a per-window
+    * interpreted lambda.
+    */
+  case class SpanWindows(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "span_windows"
+
+    def compute(arr: ArrayData): ArrayData = {
+      val cnt = arr.numElements()
+      if (cnt < n) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[UTF8String](cnt)
+      var i = 0
+      while (i < cnt) {
+        val s = arr.getUTF8String(i)
+        toks(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        i += 1
+      }
+      val sep = UTF8String.fromString(" ")
+      val out = new Array[Any](cnt - n + 1)
+      var j = 0
+      while (j + n <= cnt) {
+        out(j) = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, j, j + n): _*)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("spanwin", this, classOf[SpanWindows].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Micro-unit quantization of a float vector: element-wise
     * floor(x·1e6 + 0.5) as BIGINT — the codegen'd twin of the HOF
     * `transform(v, x -> floor(x*1e6+0.5))` formulation. Each element is
@@ -1082,6 +1126,8 @@ object Expressions {
       .toAggregateExpression(isDistinct = false))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
+  def span_windows(tokens: Column, n: Int): Column =
+    column(SpanWindows(expression(tokens), n))
   def hyperplane_signatures(vec: Column, dim: Int, bits: Int, bands: Int,
                             seed: Int = 42): Column =
     column(HyperplaneSignatures(expression(vec), dim, bits, bands, seed))

@@ -433,14 +433,11 @@ object Dedup {
                      spanLen: Int, hashOnly: Boolean = true,
                      maxOccurrences: Int = 100000): DataFrame = {
     require(spanLen >= 1)
-    // tokenize into a BOUND column first: referencing the split
-    // expression directly inside the transform() lambda would re-run
-    // the tokenizer per window (O(len^2) re-splits per document)
-    val toks = col("__toks")
-    val windows = when(size(toks) >= spanLen,
-      transform(sequence(lit(1), size(toks) - (spanLen - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(spanLen)))))
-      .otherwise(array()) // sequence(1,0) would count DOWN, not empty
+    // windowing runs through the codegen'd positional SpanWindows
+    // expression (one tight loop, all occurrences in order) — the HOF
+    // transform/slice formulation evaluated an interpreted lambda and
+    // allocated a slice per window, and dominated the operator's cost
+    val windows = graft.functions.Expressions.span_windows(col("__toks"), spanLen)
     val spans = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       // positions 1..len-spanLen+1, 1-based to match SQL slicing
