@@ -1015,6 +1015,68 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Fused span hashing: the 15-nibble md5 prefix ([[Md5Bits]] nibbles
+    * = 15) of EVERY overlapping n-token window, fed to the digest token
+    * by token with the ' ' separator — byte-identical to hashing the
+    * [[SpanWindows]] strings, without ever materializing them. For a
+    * hash-only span shuffle this halves the work again: no per-window
+    * string assembly, and the exploded column is a bare long instead of
+    * a span-length string. Empty when the document is shorter than n.
+    */
+  case class SpanKeys(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "span_keys"
+
+    private val space = Array[Byte](' ')
+
+    def compute(arr: ArrayData): ArrayData = {
+      val cnt = arr.numElements()
+      if (cnt < n) return new GenericArrayData(Array.empty[Any])
+      val tokBytes = new Array[Array[Byte]](cnt)
+      var i = 0
+      while (i < cnt) {
+        val s = arr.getUTF8String(i)
+        tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+        i += 1
+      }
+      val md = md5Local.get()
+      val out = new Array[Any](cnt - n + 1)
+      var j = 0
+      while (j + n <= cnt) {
+        md.reset()
+        var t = j
+        while (t < j + n) {
+          md.update(tokBytes(t))
+          if (t < j + n - 1) md.update(space)
+          t += 1
+        }
+        val d = md.digest()
+        // value of the first 15 hex digits — the Md5Bits(_, 15) long
+        var v = 0L
+        var k = 0
+        while (k < 15) {
+          val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
+          v = (v << 4) | nib
+          k += 1
+        }
+        out(j) = v
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("spankeys", this, classOf[SpanKeys].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Micro-unit quantization of a float vector: element-wise
     * floor(x·1e6 + 0.5) as BIGINT — the codegen'd twin of the HOF
     * `transform(v, x -> floor(x*1e6+0.5))` formulation. Each element is
@@ -1128,6 +1190,8 @@ object Expressions {
     column(WordShingles(expression(tokens), n))
   def span_windows(tokens: Column, n: Int): Column =
     column(SpanWindows(expression(tokens), n))
+  def span_keys(tokens: Column, n: Int): Column =
+    column(SpanKeys(expression(tokens), n))
   def hyperplane_signatures(vec: Column, dim: Int, bits: Int, bands: Int,
                             seed: Int = 42): Column =
     column(HyperplaneSignatures(expression(vec), dim, bits, bands, seed))

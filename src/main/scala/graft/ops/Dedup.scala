@@ -433,18 +433,24 @@ object Dedup {
                      spanLen: Int, hashOnly: Boolean = true,
                      maxOccurrences: Int = 100000): DataFrame = {
     require(spanLen >= 1)
-    // windowing runs through the codegen'd positional SpanWindows
-    // expression (one tight loop, all occurrences in order) — the HOF
-    // transform/slice formulation evaluated an interpreted lambda and
-    // allocated a slice per window, and dominated the operator's cost
-    val windows = graft.functions.Expressions.span_windows(col("__toks"), spanLen)
-    val spans = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // windowing runs through codegen'd positional expressions (one tight
+    // loop, all occurrences in order) — the HOF transform/slice
+    // formulation evaluated an interpreted lambda and allocated a slice
+    // per window, and dominated the operator's cost. On the default
+    // hash-only path the window string is never materialized at all:
+    // SpanKeys feeds the digest token-by-token and the exploded column
+    // is a bare long (byte-identical to md5_bits(SpanWindows(...), 15)).
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val spans = (if (hashOnly)
+        toked.select(col(idCol),
+          posexplode(graft.functions.Expressions.span_keys(col("__toks"), spanLen))
+            .as(Seq("pos0", "span_key")))
+      else
+        toked.select(col(idCol),
+          posexplode(graft.functions.Expressions.span_windows(col("__toks"), spanLen))
+            .as(Seq("pos0", "span_key"))))
       // positions 1..len-spanLen+1, 1-based to match SQL slicing
-      .select(col(idCol), posexplode(windows).as(Seq("pos0", "span")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"),
-        (if (hashOnly) graft.functions.Expressions.md5_bits(col("span"), 15)
-         else col("span")).as("span_key"))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("span_key"))
     // aggregate + join back, NOT count() OVER (PARTITION BY span_key):
     // the window formulation sorts every span within its partition for a
     // count that needs no order. The count aggregate stays a primitive
