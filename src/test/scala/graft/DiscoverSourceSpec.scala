@@ -84,9 +84,13 @@ class DiscoverSourceSpec extends SparkTestBase {
       assert(r.load().collect().length == 30)
       (System.nanoTime() - t0) / 1000000
     }
+    // rate 10/s over 30 rows -> a ~2.9s paced floor: wide enough that
+    // box-load noise (sub-second) can neither fake pacing on the
+    // unthrottled run nor mask it on the throttled one (the old 100/s
+    // ~290ms floor flaked under a loaded parallel suite run)
     val unthrottled = timed(Map.empty)
-    val throttled = timed(Map("maxRowsPerSec" -> "100")) // 30 rows -> >= ~290ms
-    assert(throttled >= 250, s"expected pacing, got ${throttled}ms")
+    val throttled = timed(Map("maxRowsPerSec" -> "10"))
+    assert(throttled >= 2500, s"expected pacing, got ${throttled}ms")
     assert(unthrottled < throttled)
   }
 
@@ -94,9 +98,11 @@ class DiscoverSourceSpec extends SparkTestBase {
     val t0 = System.nanoTime()
     val n = spark.read.format("graft.sources.DiscoverDataSource")
       .option("pages", 1).option("pageSize", 30)
-      .option("maxRowsPerSec", "100").load().count()
+      .option("maxRowsPerSec", "10").load().count()
     val ms = (System.nanoTime() - t0) / 1000000
-    assert(n == 30 && ms < 250,
+    // a per-row-paced count would take >= ~2.9s at 10/s; the 1500ms
+    // bound leaves sub-second load noise a wide margin either way
+    assert(n == 30 && ms < 1500,
       s"pushed count must not pace per row, took ${ms}ms")
   }
 
