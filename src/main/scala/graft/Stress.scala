@@ -179,7 +179,21 @@ object Stress {
           concat(lit("R"), pmod(col("id"), lit(5))).as("parent"))
         graft.operators.Graph.ancestorClosure(sup.unionByName(nat),
           driverRows = 0)
-      }))
+      }),
+      // within-doc line dedup: per-document work only (the explode never
+      // leaves the doc), so runtime must track total line volume (x8 so
+      // the base run clears the job-launch floor)
+      ("dedup_lines_within_doc", n =>
+        graft.ops.Dedup.dedupLinesWithinDoc(docsAt(spark, n * 8), "doc_id",
+          transform(
+            regexp_extract_all(lower(trim(col("text"))),
+              lit("\\S+(?:\\s+\\S+)?"), lit(0)),
+            c => regexp_replace(c, "\\s+", " ")))),
+      // hashed-feature linear scorer: explode + two map-side-combinable
+      // doc-keyed aggregations — token volume is the only driver
+      ("quality_score_linear", n =>
+        graft.ops.TextAnalysis.linearQualityScore(
+          docsAt(spark, n * 8), "doc_id", "text", 64)))
 
     var failures = 0
     val results = cases.map { case (name, mk) =>
