@@ -1029,8 +1029,6 @@ object Expressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "span_keys"
 
-    private val space = Array[Byte](' ')
-
     def compute(arr: ArrayData): ArrayData = {
       val cnt = arr.numElements()
       if (cnt < n) return new GenericArrayData(Array.empty[Any])
@@ -1043,15 +1041,26 @@ object Expressions {
       }
       val md = md5Local.get()
       val out = new Array[Any](cnt - n + 1)
+      // assemble each window into one reusable buffer and feed the
+      // digest a single update: per-token update() calls carry enough
+      // per-call state overhead to show up at window volume
+      var maxLen = n - 1
+      i = 0
+      while (i < cnt) { maxLen += tokBytes(i).length; i += 1 }
+      val buf = new Array[Byte](maxLen)
       var j = 0
       while (j + n <= cnt) {
-        md.reset()
+        var len = 0
         var t = j
         while (t < j + n) {
-          md.update(tokBytes(t))
-          if (t < j + n - 1) md.update(space)
+          val tb = tokBytes(t)
+          System.arraycopy(tb, 0, buf, len, tb.length)
+          len += tb.length
+          if (t < j + n - 1) { buf(len) = ' '; len += 1 }
           t += 1
         }
+        md.reset()
+        md.update(buf, 0, len)
         val d = md.digest()
         // value of the first 15 hex digits — the Md5Bits(_, 15) long
         var v = 0L
