@@ -105,6 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKStrategy)
+    // declarative row_number()-rank filters rewrite to the bounded-heap
+    // top-k operator when provably semantics-preserving (see TopKRewrite)
+    e.injectOptimizerRule(session => graft.plans.TopKRewrite(session))
     e.injectFunction((FunctionIdentifier("float_vector_dot"),
       info("float_vector_dot", "_FUNC_(a, b) - sequential double dot product of two float vectors"),
       (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))))

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.TopKPerKeyPlan
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite the declarative group-wise top-k idiom
+  *
+  * {{{ Project(cols, Filter(rank <= k, Window(row_number() as rank
+  *     over (partition by keys order by score [desc|asc], tie asc)))) }}}
+  *
+  * into the engine's bounded-heap [[TopKPerKeyPlan]] operator — the (c)
+  * path of the build brief completed end to end: logical node + planner
+  * strategy + physical operator + THIS rule, so a user who writes the
+  * idiomatic window-rank formulation gets the O(n log k) heap operator
+  * (partial + final pair, exchange carries ≤ k rows per key per input
+  * partition) without knowing it exists. Spark's own InferWindowGroupLimit
+  * already prunes rows BELOW the window for this pattern but still pays
+  * the per-group sort inside WindowExec; the heap operator skips the
+  * sort entirely.
+  *
+  * The rewrite only fires when it is provably semantics-preserving:
+  *  - the Window computes EXACTLY ONE expression: a `row_number()` over
+  *    a (UnboundedPreceding, CurrentRow) row frame;
+  *  - the filter is a bare `rank <= lit` / `rank < lit` / `lit >= rank`
+  *    / `lit > rank` on that attribute;
+  *  - the Project above discards the rank attribute (the operator does
+  *    not emit one) and references only child columns;
+  *  - the ORDER BY is `score [desc|asc]` with an integral ASCENDING
+  *    tie-break as the last key (without a total order, row_number ties
+  *    are engine-arbitrary; with one, the heap's keep-smallest-tie
+  *    contract reproduces the window's row set exactly);
+  *  - the score is non-nullable and a no-NaN type (integral / decimal):
+  *    the heap operator DROPS null/NaN scores, while row_number ranks
+  *    them, so floating or nullable scores must keep the window path.
+  *
+  * Disable with `spark.graft.topkRewrite.enabled=false`.
+  */
+case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+
+  private def noNaNNumeric(dt: DataType): Boolean = dt match {
+    case _ if integral(dt) => true
+    case _: DecimalType    => true
+    case _                 => false
+  }
+
+  /** rank-bound filters: rank <= k, rank < k, k >= rank, k > rank. */
+  private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType)   => Some(v)
+      case _                            => None
+    }
+    cond match {
+      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) => lit(l)
+      case LessThan(a: Attribute, l) if a.semanticEquals(rank)        => lit(l).map(_ - 1)
+      case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) => lit(l)
+      case GreaterThan(l, a: Attribute) if a.semanticEquals(rank)     => lit(l).map(_ - 1)
+      case _ => None
+    }
+  }.filter(k => k >= 1 && k <= Int.MaxValue).map(_.toInt)
+
+  private def isRowNumberOverRowFrame(e: Expression): Boolean = e match {
+    case WindowExpression(RowNumber(),
+        WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!java.lang.Boolean.parseBoolean(
+        spark.conf.get("spark.graft.topkRewrite.enabled", "true"))) return plan
+    plan.transformUp {
+      case Project(projectList,
+          Filter(cond,
+            Window(Seq(alias @ Alias(we, _)), partitionSpec, orderSpec, wchild0, _)))
+          if isRowNumberOverRowFrame(we) &&
+            // score [desc|asc] + integral ascending tie-break = total order
+            orderSpec.length == 2 &&
+            orderSpec.last.direction == Ascending &&
+            orderSpec.last.child.isInstanceOf[Attribute] &&
+            integral(orderSpec.last.child.dataType) &&
+            orderSpec.head.child.isInstanceOf[Attribute] &&
+            noNaNNumeric(orderSpec.head.child.dataType) &&
+            !orderSpec.head.child.nullable &&
+            partitionSpec.forall(_.isInstanceOf[Attribute]) &&
+            // the Project must DROP the rank (the operator emits none)
+            projectList.forall(ne =>
+              ne.references.subsetOf(AttributeSet(wchild0.output))) &&
+            rankLimit(cond, alias.toAttribute).isDefined =>
+        val k = rankLimit(cond, alias.toAttribute).get
+        // InferWindowGroupLimit may already have inserted its pre-filter
+        // below the window; the heap operator subsumes it — unwrap
+        val wchild = wchild0 match {
+          case WindowGroupLimit(_, _, _, _, inner) => inner
+          case other                               => other
+        }
+        val smallest = orderSpec.head.direction == Ascending
+        Project(projectList,
+          TopKPerKeyPlan(partitionSpec, orderSpec.head.child, k, smallest,
+            Some(orderSpec.last.child), 4 << 20, wchild))
+    }
+  }
+}
+
+object TopKRewrite {
+  /** Install rule + strategy on a running session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graftbridge.TopKPerKey.install(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cur = classic.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[TopKRewrite])) {
+      classic.experimental.extraOptimizations = cur :+ TopKRewrite(spark)
+    }
+  }
+}
