@@ -41,6 +41,9 @@ object GraftExtensions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     applyRecommendedConfs(spark)
+    // runtime parity with the builder-installed extension: the strategy
+    // and the rank-filter -> heap-top-k rewrite rule (both idempotent)
+    graft.plans.TopKRewrite.install(spark)
     import org.apache.spark.sql.graftbridge.Bridge.registerFunction
     registerFunction(spark, "float_vector_dot", args => FloatVectorDot(args(0), args(1)))
     registerFunction(spark, "minhash_signature", args => MinHashSignature(args(0),
