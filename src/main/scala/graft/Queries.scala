@@ -580,6 +580,42 @@ object Queries {
               TRUE AS median_within_rank_bound
             FROM lineitem GROUP BY 1"""))
 
+  // The optimizer-rule path through the correctness gate: written in
+  // the DECLARATIVE window-rank idiom (row_number <= k with the rank
+  // column dropped) and relying on plans.TopKRewrite to execute it as
+  // the bounded-heap TopKPerKey operator — hash-matched against the
+  // DuckDB window formulation. The score is integer cents (no NaN;
+  // coalesce makes it non-nullable) and the ascending integral
+  // tie-break makes the kept MULTISET deterministic: rows tied beyond
+  // (score, tie) are indistinguishable in the output projection, so
+  // the first-k cut of the sorted multiset is engine-exact.
+  private val topkRankRewrite = Q(
+    "topk_rank_rewrite",
+    (s, d) => {
+      graft.plans.TopKRewrite.install(s)
+      val base = lineitem(s, d).select(col("l_returnflag"),
+        coalesce(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+          lit(0L)).as("price_cents"),
+        coalesce(col("l_orderkey"), lit(0L)).as("l_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("price_cents").desc, col("l_orderkey").asc)
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("l_returnflag", "price_cents", "l_orderkey")
+    },
+    Some("""WITH b AS (
+              SELECT l_returnflag,
+                CAST(coalesce(floor(l_extendedprice * 100 + 0.5), 0) AS BIGINT)
+                  AS price_cents,
+                coalesce(l_orderkey, 0) AS l_orderkey
+              FROM lineitem)
+            SELECT l_returnflag, price_cents, l_orderkey FROM (
+              SELECT l_returnflag, price_cents, l_orderkey,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY price_cents DESC, l_orderkey) AS rn
+              FROM b) WHERE rn <= 5"""))
+
   // Misra-Gries heavy hitters through the driver gate: with distinct
   // keys <= k the summary provably takes no decrement step in reduce OR
   // merge, so the sketch is EXACT and order-independent — the oracle is
@@ -3115,7 +3151,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
-    sketchMgTopk,
+    sketchMgTopk, topkRankRewrite,
     momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,

@@ -29,10 +29,12 @@ import org.apache.spark.sql.types._
   *    / `lit > rank` on that attribute;
   *  - the Project above discards the rank attribute (the operator does
   *    not emit one) and references only child columns;
-  *  - the ORDER BY is `score [desc|asc]` with an integral ASCENDING
-  *    tie-break as the last key (without a total order, row_number ties
-  *    are engine-arbitrary; with one, the heap's keep-smallest-tie
-  *    contract reproduces the window's row set exactly);
+  *  - the ORDER BY is `score [desc|asc]` with a NON-NULLABLE integral
+  *    ASCENDING tie-break as the last key (without a total order,
+  *    row_number ties are engine-arbitrary; with one, the heap's
+  *    keep-smallest-tie contract reproduces the window's row set
+  *    exactly; null ties would sort first in the window but last in
+  *    the heap);
   *  - the score is non-nullable and a no-NaN type (integral / decimal):
   *    the heap operator DROPS null/NaN scores, while row_number ranks
   *    them, so floating or nullable scores must keep the window path.
@@ -88,6 +90,10 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             orderSpec.last.direction == Ascending &&
             orderSpec.last.child.isInstanceOf[Attribute] &&
             integral(orderSpec.last.child.dataType) &&
+            // null ties sort FIRST in an ascending window order but the
+            // heap treats them as Long.MaxValue (last) — require
+            // non-nullable so the contract cannot diverge
+            !orderSpec.last.child.nullable &&
             orderSpec.head.child.isInstanceOf[Attribute] &&
             noNaNNumeric(orderSpec.head.child.dataType) &&
             !orderSpec.head.child.nullable &&

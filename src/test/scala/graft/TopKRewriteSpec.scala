@@ -89,4 +89,12 @@ class TopKRewriteSpec extends SparkTestBase {
     try assert(!physical(declarativeTopK(5)).contains("TopKPerKey"))
     finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
   }
+
+  test("the driver query topk_rank_rewrite actually takes the heap path") {
+    val df = SparkEntry.queries("topk_rank_rewrite")(spark, sf("sf0.001"))
+    val plan = physical(df)
+    assert(plan.contains("TopKPerKey"), s"rewrite must fire:\n$plan")
+    assert(!plan.contains("Window"), s"window must be gone:\n$plan")
+    assert(df.count() > 0)
+  }
 }
