@@ -2067,12 +2067,23 @@ object Queries {
     // ann_bruteforce_topk oracle already proved engine-exact.
     Some(annIvfOracleSql))
 
-  /** Generated Lloyd-replay SQL for ann_ivf_topk (see the Q above). */
-  private lazy val annIvfOracleSql: String = {
-    val kCells = 8; val iters = 2; val dim = 64; val nProbe = 3; val k = 5
+  /** Integer squared-L2 distance between two quantized vectors — the SQL
+    * twin of Similarity.nearestCellQ's accumulator. */
+  private def lloydDistExpr(dim: Int, v: String, c: String): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($v.vq[i] - $c.vq[i]) * ($v.vq[i] - $c.vq[i])))"
+
+  /** Shared Lloyd-replay WITH-prefix — Similarity.trainIvf stated in SQL:
+    * micro-unit quantized corpus `ve(vec_id, embedding, vq)`,
+    * deterministic lowest-id init `c0`, `iters` unrolled
+    * assignment+integer-mean rounds, final cell assignment
+    * `af(vec_id, cell)`. Every step pure BIGINT arithmetic (truncating
+    * `//` = Scala Long `/`), so cell membership is bit-identical to the
+    * engine's. Consumed by the ann_ivf_topk and dedup_semantic oracles.
+    */
+  private def lloydReplayPrefix(kCells: Int, iters: Int, dim: Int): String = {
     val dimRange = s"range(1, ${dim + 1})"
-    def distExpr(v: String, c: String) =
-      s"list_sum(list_transform($dimRange, i -> ($v.vq[i] - $c.vq[i]) * ($v.vq[i] - $c.vq[i])))"
+    def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
     def lloydRound(prev: String, n: Int): String =
       s"""a$n AS (
             SELECT vec_id, cell FROM (
@@ -2092,7 +2103,7 @@ object Queries {
     val rounds = (1 to iters)
       .map(n => lloydRound(if (n == 1) "c0" else s"c${n - 1}", n))
       .mkString(",\n")
-    s"""WITH ve AS (
+    s"""ve AS (
           SELECT vec_id, embedding,
             [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
              FOR e IN embedding] AS vq
@@ -2106,7 +2117,14 @@ object Queries {
             SELECT v.vec_id, c.cell,
               row_number() OVER (PARTITION BY v.vec_id
                 ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
-            FROM ve v CROSS JOIN c$iters c) WHERE rn = 1),
+            FROM ve v CROSS JOIN c$iters c) WHERE rn = 1)"""
+  }
+
+  /** Generated Lloyd-replay SQL for ann_ivf_topk (see the Q above). */
+  private lazy val annIvfOracleSql: String = {
+    val kCells = 8; val iters = 2; val dim = 64; val nProbe = 3; val k = 5
+    def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
+    s"""WITH ${lloydReplayPrefix(kCells, iters, dim)},
         pc AS (
           SELECT vec_id AS probe_id, cell FROM (
             SELECT v.vec_id, c.cell,
@@ -2131,6 +2149,37 @@ object Queries {
               ORDER BY score DESC, cand_id) AS INTEGER) AS rank
           FROM scored) WHERE rank <= $k"""
   }
+
+  // SemDeDup: k-means cells (the engine-exact integer Lloyd the IVF
+  // oracle already replays) confine the cosine sweep; within a cell a
+  // vector is dropped when its rounded cosine to any lower-id member
+  // reaches tau. tau=0.35 sits in the within-cell cosine tail of the
+  // 64-dim corpus (~19% pruned at sf0.01, measured), the operating
+  // band SemDeDup targets, so the verdict table exercises both
+  // outcomes at every SF.
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    (s, d) => Similarity.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+      kCells = 8, tau = 0.35),
+    Some(dedupSemanticOracleSql))
+
+  /** Generated Lloyd-replay SQL for dedup_semantic: shared prefix through
+    * the final assignment `af`, then the prune verdict as a plain EXISTS
+    * over within-cell lower-id pairs at the same rounded-cosine
+    * threshold. */
+  private lazy val dedupSemanticOracleSql: String =
+    s"""WITH ${lloydReplayPrefix(kCells = 8, iters = 2, dim = 64)},
+        dup AS (
+          SELECT DISTINCT a.vec_id
+          FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+          JOIN ve va ON va.vec_id = a.vec_id
+          JOIN ve vb ON vb.vec_id = b.vec_id
+          WHERE round(list_dot_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[]))), 6)
+            >= 0.35)
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+        FROM af a LEFT JOIN dup d ON d.vec_id = a.vec_id"""
 
   private val annLsh = Q(
     "ann_lsh_topk",
@@ -3168,7 +3217,7 @@ object Queries {
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
-    dedupEmbedding,
+    dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
     textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,

@@ -219,6 +219,55 @@ object Similarity {
       .select("probe_id", "cand_id", "score", "rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means, then pruning
+    * near-duplicates WITHIN each cluster only — the trick that turns an
+    * O(n^2) all-pairs cosine sweep into sum-over-cells of |cell|^2,
+    * with kCells the knob that bounds cell size at any corpus scale
+    * (kCells grows with n, cell population stays ~n/kCells).
+    *
+    * Engine-exact end to end: clustering is the scaled-integer Lloyd
+    * of [[trainIvf]] (BIGINT arithmetic, deterministic init, ties to
+    * the lowest cell), so cell membership is bit-identical on any
+    * engine; the prune rule is declarative — a vector is dropped when
+    * its rounded cosine to ANY lower-id member of its cell reaches
+    * `tau` (keep-lowest-id, the deterministic stand-in for SemDeDup's
+    * keep-one-per-epsilon-ball) — so the kept/dropped verdicts are a
+    * simple EXISTS any SQL engine replays. Emits the full verdict
+    * table (vec_id, cell, kept), not just survivors, so the caller can
+    * audit prune rate per cell.
+    *
+    * Plan shape: one bounded self-join on the cell key (co-partitions
+    * both sides, quadratic confined to a cell — the
+    * [[knnGraphBlocked]] bound), one semi-join back. No broadcast of
+    * the corpus, no all-pairs, no window sort.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    kCells: Int, tau: Double, iters: Int = 2): DataFrame = {
+    // one materialized pass feeds training, assignment, and scoring
+    // (NOTE: localCheckpoint truncates lineage — a lost block fails the
+    // job and the caller must retry)
+    val prepared = embs.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        norm(col(vecCol)).as("__norm"), quantized(col(vecCol)).as("vq"))
+      .localCheckpoint(true)
+    val centroids = trainIvfQuantized(prepared, kCells, iters)
+    val assigned = prepared.select(col("__id"), col("__vec"), col("__norm"),
+      nearestCellQ(col("vq"), centroids).as("cell"))
+    val a = assigned.select(col("cell"), col("__id").as("vec_id"),
+      col("__vec").as("__va"), col("__norm").as("__na"))
+    val b = assigned.select(col("cell"), col("__id").as("__nb_id"),
+      col("__vec").as("__vb"), col("__norm").as("__nb"))
+    val dupIds = a.join(b, Seq("cell"))
+      .filter(col("__nb_id") < col("vec_id"))
+      .withColumn("__score", round(
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("__score") >= tau)
+      .select(col("vec_id"))
+    assigned.select(col("__id").as("vec_id"), col("cell"))
+      .join(dupIds.distinct().withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__dup").isNull.as("kept"))
+  }
+
   /** Brute-force top-k through the custom bounded-heap operator
     * (graftbridge.TopKPerKey) instead of a window sort: same candidate
     * generation, O(n log k) selection with no per-partition sort buffer.

@@ -215,6 +215,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("semanticDedup: planted near-dups dropped, lowest id kept, distinct kept") {
+    // two tight bundles far apart + one isolated vector: k-means must
+    // separate the bundles, and within each bundle only the lowest id
+    // survives at tau=0.9 (bundle members are tiny perturbations of one
+    // another, cosine ~0.9999)
+    def bundle(base: Array[Float], ids: Seq[Long]) = ids.zipWithIndex.map {
+      case (id, i) => (id, base.zipWithIndex.map { case (x, j) =>
+        x + (if (j == i % 4) 0.01f else 0f) })
+    }
+    val rows = bundle(Array(1f, 0f, 0f, 0f), Seq(10L, 11L, 12L)) ++
+      bundle(Array(0f, 1f, 0f, 0f), Seq(20L, 21L)) ++
+      Seq((30L, Array(0f, 0f, 1f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        kCells = 3, tau = 0.9)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(out.size == 6, "verdict table covers every vector")
+    assert(kept == Set(10L, 20L, 30L),
+      s"lowest id per bundle + the isolated vector survive, got $kept")
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    assert(cellOf(10L) == cellOf(11L) && cellOf(11L) == cellOf(12L),
+      "bundle members share a cell")
+    assert(cellOf(10L) != cellOf(20L), "bundles land in different cells")
+  }
+
+  test("semanticDedup is deterministic across invocations") {
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 5 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        kCells = 4, tau = 0.6)
+      .as[(Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    val r1 = run(); val r2 = run()
+    assert(r1 == r2)
+    assert(r1.exists(!_._3) && r1.exists(_._3),
+      "fixture exercises both kept and dropped verdicts")
+  }
+
   test("hyperplane signature is deterministic") {
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("id", "v")
     val s1 = df.select(Similarity.hyperplaneSignature(col("v"), 16, 8).as("s"))
