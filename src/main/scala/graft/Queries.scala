@@ -2943,6 +2943,90 @@ object Queries {
             WHERE NOT (p.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
                        AND p.o_totalprice IS NOT DISTINCT FROM c.o_totalprice)"""))
 
+  // MERGE/upsert surfaced through the oracle gate: a base snapshot
+  // (keys with custkey % 3 != 0) parked on scratch, then a batch of
+  // modified rows (custkey % 2 == 0, acctbal bumped) merged in via
+  // Sinks.mergeUpsert's staged-swap rewrite — matched keys take the
+  // batch row, unmatched stored rows survive, new keys append. The
+  // read-back is what the oracle checks, so the whole write-merge-read
+  // round trip must be exact, not just the plan.
+  private val mergeUpsertQ = Q(
+    "merge_upsert",
+    (s, d) => {
+      val dir = scratchDir("graft_merge_")
+      val path = s"$dir/customers"
+      customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.parquet(path)
+      val batch = customer(s, d).filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+      operators.Sinks.mergeUpsert(batch, path, Seq("c_custkey"))
+      s.read.parquet(path)
+    },
+    Some("""WITH base AS (
+              SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_custkey % 3 <> 0),
+            batch AS (
+              SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+              FROM customer WHERE c_custkey % 2 = 0)
+            SELECT * FROM batch
+            UNION ALL
+            SELECT * FROM base b WHERE NOT EXISTS (
+              SELECT 1 FROM batch x WHERE x.c_custkey = b.c_custkey)"""))
+
+  // co-located join: both sides bucketed by the join key at write time
+  // (Sinks.writeBucketedAt), so the equi-join itself needs NO exchange —
+  // the pre-partition-once, join-many-times pattern for a 100 TB fact
+  // table. Correctness oracle is the plain join over the source tables
+  // (the bucketed round trip must preserve every row); the shuffle-free
+  // join plan is asserted in ScaleSpec's writeBucketedAt test.
+  private val bucketedJoinColocated = Q(
+    "bucketed_join_colocated",
+    (s, d) => {
+      val dir = scratchDir("graft_bktjoin_")
+      operators.Sinks.writeBucketedAt(
+        orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", "o_custkey", 8, s"$dir/orders")
+      operators.Sinks.writeBucketedAt(
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bkt_customer", "c_custkey", 8, s"$dir/customer")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some("""SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+              count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1"""))
+
+  // crawl-frontier politeness scheduling over the synthetic URL corpus:
+  // Spark PARSES the host out of the assembled URL (Urls.host regexp);
+  // the oracle states the host in closed form — independent derivations,
+  // the url_normalize pattern. Waves/offsets are pure integers.
+  private val crawlFrontier = Q(
+    "crawl_frontier",
+    (s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://www.site"), (id % 7).cast("string"),
+        lit(".example.com/path/"), id.cast("string"))
+      ops.Urls.frontierSchedule(
+        documents(s, d).select(id, url.as("url"), col("n_chars")),
+        "doc_id", "url", "n_chars", delaySeconds = 5)
+    },
+    Some("""SELECT doc_id,
+              'www.site' || (doc_id % 7) || '.example.com' AS host,
+              n_chars,
+              CAST(row_number() OVER (PARTITION BY doc_id % 7
+                ORDER BY n_chars DESC, doc_id) AS INTEGER) AS wave,
+              (CAST(row_number() OVER (PARTITION BY doc_id % 7
+                ORDER BY n_chars DESC, doc_id) AS INTEGER) - 1) * 5
+                AS fetch_offset_s
+            FROM documents"""))
+
   // per-dimension embedding profile — the normalization-bounds pass of a
   // feature-scaling stage; order-independent aggregates only (FP rule)
   private val embeddingDimStats = Q(
@@ -3227,6 +3311,7 @@ object Queries {
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
+    mergeUpsertQ, bucketedJoinColocated, crawlFrontier,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats)

@@ -329,6 +329,23 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** [[writeBucketed]] at an explicit location (external table): the same
+    * co-location contract, but the parquet lands under `path` instead of
+    * the session warehouse — the form a pipeline uses to park bucketed
+    * intermediates on scratch/object storage. Any prior registration of
+    * `table` is dropped first (the files of a previous EXTERNAL
+    * registration are the caller's to manage), so re-runs re-register
+    * cleanly against their own fresh path.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, key: String, buckets: Int,
+                      path: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Partitioned-by-value write: predicates on the partition column prune
     * whole directories at planning time (PartitionFilters), the coarse
     * data-skipping layer under the parquet min/max stats.

@@ -59,6 +59,26 @@ object Urls {
       when(qc =!= "", concat(lit("?"), qc)).otherwise(lit("")))
   }
 
+  /** Per-host politeness scheduling — the frontier-assignment step a
+    * crawler runs after [[normalize]]: one fetch per host per wave
+    * (row_number within host, higher `priorityCol` first, id tiebreak),
+    * waves spaced `delaySeconds` apart. Purely integer past the host
+    * parse; one exchange on the host key — the same key-partitioned
+    * shape at any crawl size. A skewed megahost stays one partition's
+    * sequential schedule, which IS the politeness contract: waits on a
+    * single host cannot be parallelized, only interleaved with other
+    * hosts' waves.
+    */
+  def frontierSchedule(df: DataFrame, idCol: String, urlCol: String,
+                       priorityCol: String, delaySeconds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col(priorityCol).desc, col(idCol))
+    df.select(col(idCol), host(col(urlCol)).as("host"), col(priorityCol))
+      .withColumn("wave", row_number().over(w))
+      .withColumn("fetch_offset_s", (col("wave") - 1) * lit(delaySeconds))
+  }
+
   /** Per-row canonicalization profile: the parsed parts plus the
     * reassembled normalized URL (every column engine-exact string
     * arithmetic, so the whole table oracles).

@@ -33,6 +33,25 @@ class ScaleSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("writeBucketedAt (external path): co-located join plans without a shuffle exchange") {
+    Seq("bk_ext_left", "bk_ext_right").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_ext_").toString
+    val left = (1 to 5000).map(i => (i.toLong % 300, i)).toDF("k", "v1")
+    val right = (1 to 4000).map(i => (i.toLong % 300, i * 2)).toDF("k", "v2")
+    Sinks.writeBucketedAt(left, "bk_ext_left", "k", 8, s"$dir/left")
+    Sinks.writeBucketedAt(right, "bk_ext_right", "k", 8, s"$dir/right")
+    val joined = spark.table("bk_ext_left")
+      .join(spark.table("bk_ext_right").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"externally-located bucketed join must not shuffle; plan:\n$plan")
+    // the files really landed at the explicit path, not the warehouse
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/left"))
+      .anyMatch(p => p.toString.contains("part-")), "parquet under the external path")
+    assert(joined.count() == left.join(right, "k").count(),
+      "bucketed round trip preserves the join cardinality")
+  }
+
   test("snapshot diff over bucketed snapshots plans without a shuffle exchange") {
     Seq("bk_snap_prev", "bk_snap_cur").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
