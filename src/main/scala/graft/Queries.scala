@@ -2181,6 +2181,78 @@ object Queries {
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
         FROM af a LEFT JOIN dup d ON d.vec_id = a.vec_id"""
 
+  // product quantization: 64 float dims -> 8 one-byte codes, the
+  // memory-bound ANN representation at 100 TB scale. Per-subspace
+  // integer Lloyd (fused — one job per round for all 8 subspaces), so
+  // codes AND the integer reconstruction error are engine-exact; the
+  // oracle replays all 8 trainings.
+  private val embPqCodes = Q(
+    "embedding_pq_codes",
+    (s, d) => Similarity.pqCodes(embeddings(s, d), "vec_id", "embedding",
+      m = 8, subDim = 8, kSub = 16, iters = 2),
+    Some(pqCodesOracleSql))
+
+  /** Generated per-subspace Lloyd-replay SQL for embedding_pq_codes: the
+    * [[lloydReplayPrefix]] recipe instantiated once per subspace over the
+    * sliced quantized vector, final SELECT joins the m assignments into
+    * codes + a summed integer reconstruction error. */
+  private lazy val pqCodesOracleSql: String = {
+    val m = 8; val subDim = 8; val kSub = 16; val iters = 2
+    def distExpr(v: String, c: String) = lloydDistExpr(subDim, v, c)
+    val dimRange = s"range(1, ${subDim + 1})"
+    def subCtes(s: Int): String = {
+      val lo = s * subDim + 1
+      def lloydRound(prev: String, n: Int): String =
+        s"""a${s}_$n AS (
+              SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
+                FROM v$s v CROSS JOIN $prev c) WHERE rn = 1),
+            u${s}_$n AS (
+              SELECT a.cell, i.i AS dim, CAST(SUM(v.vq[i.i]) // COUNT(*) AS BIGINT) AS cv
+              FROM a${s}_$n a JOIN v$s v USING (vec_id), $dimRange AS i(i)
+              GROUP BY a.cell, i.i),
+            c${s}_$n AS (
+              SELECT p.cell, coalesce(m.vq, p.vq) AS vq
+              FROM $prev p LEFT JOIN
+                (SELECT cell, list(cv ORDER BY dim) AS vq FROM u${s}_$n GROUP BY cell) m
+                USING (cell))"""
+      val rounds = (1 to iters)
+        .map(n => lloydRound(if (n == 1) s"c${s}_0" else s"c${s}_${n - 1}", n))
+        .mkString(",\n")
+      s"""v$s AS (
+            SELECT vec_id,
+              list_transform(range($lo, ${lo + subDim}), i -> vq[i]) AS vq
+            FROM ve),
+          c${s}_0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vq
+            FROM (SELECT vec_id, vq FROM v$s ORDER BY vec_id LIMIT $kSub)),
+          $rounds,
+          af$s AS (
+            SELECT vec_id, cell, dist FROM (
+              SELECT v.vec_id, c.cell, ${distExpr("v", "c")} AS dist,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
+              FROM v$s v CROSS JOIN c${s}_$iters c) WHERE rn = 1)"""
+    }
+    val codeSel = (0 until m).map(s => s"af$s.cell AS code_$s").mkString(",\n          ")
+    val errSum = (0 until m).map(s => s"af$s.dist").mkString(" + ")
+    val joins = (0 until m).map(s => s"JOIN af$s ON af$s.vec_id = ve.vec_id")
+      .mkString("\n        ")
+    s"""WITH ve AS (
+          SELECT vec_id,
+            [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             FOR e IN embedding] AS vq
+          FROM embeddings),
+        ${(0 until m).map(subCtes).mkString(",\n")}
+        SELECT ve.vec_id,
+          $codeSel,
+          CAST($errSum AS BIGINT) AS err_q
+        FROM ve
+        $joins"""
+  }
+
   private val annLsh = Q(
     "ann_lsh_topk",
     // (bits=8, bands=16) over the old (10, 4): random 64-dim embeddings
@@ -3303,6 +3375,7 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
+    embPqCodes,
     textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,

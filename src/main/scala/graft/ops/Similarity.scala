@@ -268,6 +268,92 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("__dup").isNull.as("kept"))
   }
 
+  /** Product quantization (Jégou et al. 2011, TPAMI): split the vector
+    * into `m` contiguous subspaces and train an independent `kSub`-cell
+    * codebook per subspace — a vector compresses to m small codes
+    * (m bytes at kSub<=256), the memory-bound ANN representation at
+    * 100 TB (64 float dims -> 8 bytes, 32x). Training is the same
+    * scaled-integer Lloyd as [[trainIvf]] per subspace, FUSED: each
+    * round runs ONE job for all m subspaces (per-subspace assignment
+    * columns, union'd (sub, cell, pos) integer-mean agg) instead of m
+    * sequential trainings — m times fewer driver round trips, identical
+    * arithmetic. Deterministic init (lowest-id vectors, shared across
+    * subspaces), BIGINT means with truncating division, ties to the
+    * lowest cell: bit-identical codebooks on any engine.
+    *
+    * Returns codebooks(sub)(cell)(dimWithinSub).
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, subDim: Int, kSub: Int, iters: Int = 2): Array[Array[Array[Long]]] = {
+    val prepared = corpus.select(col(idCol).as("__id"), quantized(col(vecCol)).as("vq"))
+      .localCheckpoint(true)
+    trainPqQuantized(prepared, m, subDim, kSub, iters)
+  }
+
+  private def subVec(s: Int, subDim: Int): Column =
+    slice(col("vq"), s * subDim + 1, subDim)
+
+  private def trainPqQuantized(prepared: DataFrame, m: Int, subDim: Int,
+                               kSub: Int, iters: Int): Array[Array[Array[Long]]] = {
+    // one init job seeds every subspace: the kSub lowest-id full vectors,
+    // sliced per subspace on the driver (kSub x m x subDim longs — bytes)
+    val seed = prepared.orderBy(col("__id")).limit(kSub)
+      .select(col("vq")).collect().map(_.getSeq[Long](0).toArray)
+    val codebooks: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+      seed.map(v => v.slice(s * subDim, s * subDim + subDim)))
+    for (_ <- 0 until iters) {
+      // ONE fused job: per-subspace assignment + (sub, cell, pos) means
+      val perSub = (0 until m).map { s =>
+        val vqs = subVec(s, subDim)
+        prepared.select(lit(s).as("sub"),
+          nearestCellQ(vqs, codebooks(s)).as("cell"),
+          posexplode(vqs).as(Seq("pos", "x")))
+      }
+      val means = perSub.reduce(_ union _)
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // truncating Long division — matches SQL integer `//` exactly;
+      // empty cells keep their previous centroid
+      means.foreach(r => codebooks(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3) / r.getLong(4))
+    }
+    codebooks
+  }
+
+  /** PQ encoding profile: per vector, the m subspace codes plus the
+    * total integer reconstruction error (squared L2 in micro-units
+    * between the quantized vector and its per-subspace centroids) — the
+    * audit table a PQ index build emits. Codes and error are pure BIGINT
+    * arithmetic on the deterministic [[trainPq]] codebooks, so the whole
+    * table is engine-exact. One narrow pass over the corpus after
+    * training; nothing shuffles.
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, subDim: Int = 8, kSub: Int = 16,
+              iters: Int = 2): DataFrame = {
+    val prepared = corpus.select(col(idCol).as("vec_id"), quantized(col(vecCol)).as("vq"))
+      .localCheckpoint(true)
+    val codebooks = trainPqQuantized(
+      prepared.withColumnRenamed("vec_id", "__id")
+        .select(col("__id"), col("vq")), m, subDim, kSub, iters)
+    val codeCols = (0 until m).map(s =>
+      nearestCellQ(subVec(s, subDim), codebooks(s)).as(s"code_$s"))
+    val withCodes = prepared.select(col("vec_id") +: col("vq") +: codeCols: _*)
+    // reconstruction error: element_at picks the assigned centroid from a
+    // literal array-of-arrays, zip_with/aggregate squares the residual —
+    // bounded work (m x subDim) per row
+    val errCols = (0 until m).map { s =>
+      val cents = array(codebooks(s).map(c =>
+        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val cent = element_at(cents, col(s"code_$s") + 1)
+      aggregate(zip_with(subVec(s, subDim), cent, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    withCodes.withColumn("err_q", errCols.reduce(_ + _))
+      .drop("vq")
+  }
+
   /** Brute-force top-k through the custom bounded-heap operator
     * (graftbridge.TopKPerKey) instead of a window sort: same candidate
     * generation, O(n log k) selection with no per-partition sort buffer.

@@ -254,6 +254,48 @@ class SimilaritySpec extends SparkTestBase {
       "fixture exercises both kept and dropped verdicts")
   }
 
+  test("pqCodes: corpus of kSub distinct patterns reconstructs exactly (err 0)") {
+    // ids 0..7 are the distinct patterns; later ids repeat them. The
+    // lowest-id init therefore seeds every pattern as a centroid, Lloyd
+    // means keep them fixed, and every vector's reconstruction error is
+    // exactly zero — the PQ analog of the IVF determinism proof.
+    val patterns = (0 until 8).map(p => Array.tabulate(16)(j => (p * 17 + j * 3).toFloat / 100f))
+    val rows = (0 until 48).map(i => (i.toLong, patterns(i % 8)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(emb, "vec_id", "embedding",
+      m = 4, subDim = 4, kSub = 8, iters = 2)
+    import org.apache.spark.sql.Row
+    val rowsOut = out.collect()
+    assert(rowsOut.length == 48)
+    assert(rowsOut.forall(r => r.getLong(r.fieldIndex("err_q")) == 0L),
+      "every vector reconstructs exactly from its pattern centroid")
+    // vectors sharing a pattern share ALL subspace codes
+    val codeTuple = rowsOut.map { r =>
+      r.getLong(0) -> (0 until 4).map(s => r.getInt(r.fieldIndex(s"code_$s")))
+    }.toMap
+    (0 until 8).foreach { p =>
+      val members = (0 until 48).filter(_ % 8 == p).map(_.toLong)
+      assert(members.map(codeTuple).distinct.size == 1,
+        s"pattern $p members share codes")
+    }
+  }
+
+  test("pqCodes is deterministic and codes stay in [0, kSub)") {
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.pqCodes(emb, "vec_id", "embedding",
+        m = 4, subDim = 4, kSub = 8, iters = 2)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val r1 = run(); val r2 = run()
+    assert(r1.map(_.toList).toList == r2.map(_.toList).toList)
+    assert(r1.forall(r => (1 to 4).forall { c =>
+      val v = r(c).asInstanceOf[Int]; v >= 0 && v < 8
+    }))
+    assert(r1.exists(_.last.asInstanceOf[Long] > 0L),
+      "a generic corpus has non-zero reconstruction error")
+  }
+
   test("hyperplane signature is deterministic") {
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("id", "v")
     val s1 = df.select(Similarity.hyperplaneSignature(col("v"), 16, 8).as("s"))
