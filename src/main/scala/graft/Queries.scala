@@ -2192,12 +2192,12 @@ object Queries {
       m = 8, subDim = 8, kSub = 16, iters = 2),
     Some(pqCodesOracleSql))
 
-  /** Generated per-subspace Lloyd-replay SQL for embedding_pq_codes: the
-    * [[lloydReplayPrefix]] recipe instantiated once per subspace over the
-    * sliced quantized vector, final SELECT joins the m assignments into
-    * codes + a summed integer reconstruction error. */
-  private lazy val pqCodesOracleSql: String = {
-    val m = 8; val subDim = 8; val kSub = 16; val iters = 2
+  /** Shared per-subspace Lloyd-replay WITH-prefix for the PQ oracles:
+    * the [[lloydReplayPrefix]] recipe instantiated once per subspace
+    * over the sliced quantized vector — `ve`, then for each subspace s
+    * the chain v$s / c${s}_0 / rounds / af$s(vec_id, cell, dist).
+    * Consumed by embedding_pq_codes and ann_pq_adc_topk. */
+  private def pqReplayPrefix(m: Int, subDim: Int, kSub: Int, iters: Int): String = {
     def distExpr(v: String, c: String) = lloydDistExpr(subDim, v, c)
     val dimRange = s"range(1, ${subDim + 1})"
     def subCtes(s: Int): String = {
@@ -2236,21 +2236,70 @@ object Queries {
                   ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
               FROM v$s v CROSS JOIN c${s}_$iters c) WHERE rn = 1)"""
     }
-    val codeSel = (0 until m).map(s => s"af$s.cell AS code_$s").mkString(",\n          ")
-    val errSum = (0 until m).map(s => s"af$s.dist").mkString(" + ")
-    val joins = (0 until m).map(s => s"JOIN af$s ON af$s.vec_id = ve.vec_id")
-      .mkString("\n        ")
-    s"""WITH ve AS (
+    s"""ve AS (
           SELECT vec_id,
             [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
              FOR e IN embedding] AS vq
           FROM embeddings),
-        ${(0 until m).map(subCtes).mkString(",\n")}
+        ${(0 until m).map(subCtes).mkString(",\n")}"""
+  }
+
+  private lazy val pqCodesOracleSql: String = {
+    val m = 8
+    val codeSel = (0 until m).map(s => s"af$s.cell AS code_$s").mkString(",\n          ")
+    val errSum = (0 until m).map(s => s"af$s.dist").mkString(" + ")
+    val joins = (0 until m).map(s => s"JOIN af$s ON af$s.vec_id = ve.vec_id")
+      .mkString("\n        ")
+    s"""WITH ${pqReplayPrefix(m, subDim = 8, kSub = 16, iters = 2)}
         SELECT ve.vec_id,
           $codeSel,
           CAST($errSum AS BIGINT) AS err_q
         FROM ve
         $joins"""
+  }
+
+  // PQ search via asymmetric distance computation: probes precompute one
+  // integer distance table per subspace, candidates are ranked by m code
+  // lookups summed — the corpus side of the join touches only the 8-byte
+  // codes, the 32x-compressed 100 TB representation. All-integer, so the
+  // ranking oracles end to end on top of the replayed PQ training.
+  private val annPqAdc = Q(
+    "ann_pq_adc_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, m = 8, subDim = 8, kSub = 16, iters = 2)
+    },
+    Some(annPqAdcOracleSql))
+
+  private lazy val annPqAdcOracleSql: String = {
+    val m = 8; val subDim = 8; val iters = 2; val k = 5
+    def distExpr(v: String, c: String) = lloydDistExpr(subDim, v, c)
+    val pdCtes = (0 until m).map { s =>
+      s"""pd$s AS (
+            SELECT p.vec_id AS probe_id, c.cell, ${distExpr("p", "c")} AS dist
+            FROM v$s p CROSS JOIN c${s}_$iters c
+            WHERE p.vec_id < 10)"""
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(s =>
+      s"""JOIN af$s ON af$s.vec_id = ca.vec_id
+          JOIN pd$s ON pd$s.probe_id = pr.vec_id AND pd$s.cell = af$s.cell""")
+      .mkString("\n          ")
+    val distSum = (0 until m).map(s => s"pd$s.dist").mkString(" + ")
+    s"""WITH ${pqReplayPrefix(m, subDim, kSub = 16, iters)},
+        $pdCtes,
+        adc AS (
+          SELECT pr.vec_id AS probe_id, ca.vec_id AS cand_id,
+            CAST($distSum AS BIGINT) AS adc_dist
+          FROM (SELECT vec_id FROM ve WHERE vec_id < 10) pr
+          CROSS JOIN ve ca
+          $codeJoins
+          WHERE ca.vec_id <> pr.vec_id)
+        SELECT probe_id, cand_id, adc_dist, rank FROM (
+          SELECT probe_id, cand_id, adc_dist,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY adc_dist, cand_id) AS INTEGER) AS rank
+          FROM adc) WHERE rank <= $k"""
   }
 
   private val annLsh = Q(
@@ -3375,7 +3424,7 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
-    embPqCodes,
+    embPqCodes, annPqAdc,
     textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,

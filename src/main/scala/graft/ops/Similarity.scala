@@ -354,6 +354,56 @@ object Similarity {
       .drop("vq")
   }
 
+  /** PQ search via asymmetric distance computation (ADC) — the lookup
+    * path product quantization exists for: each probe precomputes one
+    * small table per subspace (its integer squared-L2 distance to every
+    * centroid, kSub entries), and a candidate's distance is then m table
+    * lookups summed by its stored codes — no per-pair vector arithmetic
+    * at all. At 100 TB the corpus side touches ONLY the m-byte codes
+    * (the 32x-compressed representation); the probe tables are
+    * broadcast-sized model state (probes x m x kSub longs).
+    *
+    * All-integer, so the ranking is engine-exact: ties break to the
+    * lowest cand_id, selection runs through the bounded-heap
+    * [[org.apache.spark.sql.graftbridge.TopKPerKey]] in smallest-first
+    * mode (distance, not similarity). Recall vs exact cosine is the PQ
+    * approximation trade; the codes' fidelity is audited by [[pqCodes]]'
+    * reconstruction error.
+    */
+  def pqAdcTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int = 8, subDim: Int = 8,
+                kSub: Int = 16, iters: Int = 2): DataFrame = {
+    val prepared = corpus.select(col(idCol).as("cand_id"), quantized(col(vecCol)).as("vq"))
+      .localCheckpoint(true)
+    val codebooks = trainPqQuantized(
+      prepared.select(col("cand_id").as("__id"), col("vq")), m, subDim, kSub, iters)
+    val codeCols = (0 until m).map(s =>
+      nearestCellQ(subVec(s, subDim), codebooks(s)).as(s"__code_$s"))
+    val coded = prepared.select(col("cand_id") +: codeCols: _*)
+    val tableCols = (0 until m).map { s =>
+      val vqs = subVec(s, subDim)
+      array((0 until kSub).map { c =>
+        val cent = array(codebooks(s)(c).map(lit).toIndexedSeq: _*)
+        aggregate(zip_with(vqs, cent, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }.toIndexedSeq: _*).as(s"__tab_$s")
+    }
+    val pTab = probes.select(col(idCol).as("probe_id"), quantized(col(vecCol)).as("vq"))
+      .select(col("probe_id") +: tableCols: _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"__tab_$s"), col(s"__code_$s") + 1)).reduce(_ + _)
+    val scored = coded.join(broadcast(pTab), col("probe_id") =!= col("cand_id"))
+      .withColumn("adc_dist", adc)
+      .select("probe_id", "cand_id", "adc_dist")
+    val top = org.apache.spark.sql.graftbridge.TopKPerKey(
+      scored, Seq("probe_id"), "adc_dist", k, smallest = true,
+      tieBreakCol = Some("cand_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select("probe_id", "cand_id", "adc_dist", "rank")
+  }
+
   /** Brute-force top-k through the custom bounded-heap operator
     * (graftbridge.TopKPerKey) instead of a window sort: same candidate
     * generation, O(n log k) selection with no per-partition sort buffer.
