@@ -1603,6 +1603,39 @@ object Queries {
             SELECT doc_id, pos, span_key, n_occurrences
             FROM counted WHERE n_occurrences > 1"""))
 
+  // cross-source duplication attribution: which source pairs share
+  // duplicated 8-token spans, and how much — the contamination matrix
+  // behind "which source do we prune". Pure count algebra over the
+  // span-digest table; occurrence pairs are never materialized.
+  private val dedupCrossSource = Q(
+    "dedup_cross_source",
+    (s, d) => Dedup.crossSourceSpanMatrix(documents(s, d), "doc_id", "text",
+      "source", 8),
+    Some(s"""WITH tok AS (
+              SELECT doc_id, source,
+                string_split_regex(lower(trim(text)), '\\s+') AS ts
+              FROM documents),
+            hashed AS (
+              SELECT doc_id, source, md5(array_to_string(ts[i:i+7], ' ')) AS mh
+              FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            sc AS (
+              SELECT ${duckHex60("mh")} AS span_key, source, count(*) AS c
+              FROM hashed GROUP BY 1, 2),
+            tot AS (
+              SELECT span_key FROM sc GROUP BY span_key
+              HAVING sum(c) > 1 AND sum(c) <= 100000),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+                     ELSE a.c * b.c END AS pairs
+              FROM sc a
+              JOIN sc b ON a.span_key = b.span_key AND a.source <= b.source
+              JOIN tot t ON t.span_key = a.span_key)
+            SELECT source_a, source_b,
+              CAST(sum(pairs) AS BIGINT) AS n_dup_pairs,
+              count(*) AS n_shared_spans
+            FROM pairs WHERE pairs > 0 GROUP BY 1, 2"""))
+
   // policy dedup: every doc gets a case-variant twin (same normalized
   // key) and an independent deterministic quality score; the survivor
   // is the higher-scored copy, ties to the smaller id. The twin offset
@@ -2812,6 +2845,71 @@ object Queries {
                   AS BIGINT) AS pre
               FROM documents)"""))
 
+  // length-bucketed batch formation: the padding-minimizing loader
+  // companion to pack_sequences — bucket by token-length band, cut
+  // batches in id order, charge padding against the batch max
+  private val lengthBucketBatchesQ = Q(
+    "length_bucket_batches",
+    (s, d) => ops.Splits.lengthBucketBatches(documents(s, d), "doc_id", "text",
+      bucketWidth = 32, batchSize = 8),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS n_tokens
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_tokens, n_tokens // 32 AS bucket FROM t),
+            r AS (
+              SELECT doc_id, n_tokens, bucket,
+                (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                  // 8 AS batch_id
+              FROM b)
+            SELECT doc_id, n_tokens, bucket, batch_id,
+              max(n_tokens) OVER (PARTITION BY bucket, batch_id) AS batch_max,
+              max(n_tokens) OVER (PARTITION BY bucket, batch_id) - n_tokens
+                AS pad_waste
+            FROM r"""))
+
+  // second columnar interchange seam: the documents projection
+  // round-trips through ORC (schema-preserving, splittable — the other
+  // columnar format a lakehouse ingests) and must aggregate identically
+  // to the parquet source
+  private val orcRoundtrip = Q(
+    "orc_roundtrip",
+    (s, d) => {
+      val base = scratchDir("graft_orc_")
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      docs.coalesce(4).write.mode("overwrite").orc(s"$base/docs")
+      s.read.schema(docs.schema).orc(s"$base/docs")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+              count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents GROUP BY 1"""))
+
+  // quantile normalization of a per-document score within each source —
+  // the cross-source score calibration pass (a length score from crawl A
+  // is not comparable to crawl B's until both are rank-normalized).
+  // percent_rank is (rank-1)/(n-1) on integer ranks: identical IEEE
+  // division on identical integers, engine-exact with no rounding.
+  private val qualityQuantileNorm = Q(
+    "quality_quantile_norm",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pct", percent_rank().over(w))
+    },
+    Some("""SELECT doc_id, source, n_chars,
+              percent_rank() OVER (PARTITION BY source
+                ORDER BY n_chars, doc_id) AS pct
+            FROM documents"""))
+
   // snapshot delta: two deterministic "versions" of orders (mod-keyed
   // deletions + doubled prices as updates) diffed into added/removed/
   // changed — the week-over-week incremental-table comparison
@@ -3420,7 +3518,8 @@ object Queries {
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
     pagerankScaled,
     scoreWeightedSample, jsonExtract,
-    dedupExact, dedupKeepBest, dedupSpanExact, dedupJaccard, dedupMinhash,
+    dedupExact, dedupKeepBest, dedupSpanExact, dedupCrossSource,
+    dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
@@ -3431,6 +3530,7 @@ object Queries {
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
+    lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     mergeUpsertQ, bucketedJoinColocated, crawlFrontier,

@@ -482,6 +482,52 @@ object Dedup {
       .select(col(idCol), col("pos"), col("span_key"), col("n_occurrences"))
   }
 
+  /** Cross-source duplication attribution: for every pair of sources,
+    * how many duplicated `spanLen`-token spans they share and how many
+    * duplicate occurrence-pairs that amounts to — the contamination
+    * matrix that tells a corpus owner WHERE its boilerplate/overlap
+    * comes from (two crawls of the same site, a dataset repackaged
+    * under another name) before deciding which source to prune.
+    *
+    * Scalable by construction: spans reduce to (span_key, source)
+    * COUNTS first (map-side combinable, the [[duplicateSpans]] digest
+    * keys — 8-byte longs, never span strings), and only that tiny
+    * aggregated table self-joins; pair counts come from the count
+    * algebra (c*(c-1)/2 within a source, ca*cb across), never from
+    * materializing occurrence pairs. `maxOccurrences` drops boilerplate
+    * spans exactly like [[duplicateSpans]].
+    */
+  def crossSourceSpanMatrix(docs: DataFrame, idCol: String, textCol: String,
+                            srcCol: String, spanLen: Int,
+                            maxOccurrences: Int = 100000): DataFrame = {
+    require(spanLen >= 1)
+    val spans = docs
+      .select(col(srcCol).as("source"), tokens(col(textCol)).as("__toks"))
+      .select(col("source"),
+        explode(graft.functions.Expressions.span_keys(col("__toks"), spanLen))
+          .as("span_key"))
+    // counts table is tiny after the agg; checkpoint so the self-join
+    // does not re-tokenize the corpus twice (NOTE: localCheckpoint
+    // truncates lineage — a lost block fails the job, caller retries)
+    val sc = spans.groupBy(col("span_key"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = sc.groupBy(col("span_key")).agg(sum(col("c")).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxOccurrences)
+      .select("span_key")
+    val a = sc.select(col("span_key"), col("source").as("source_a"), col("c").as("ca"))
+    val b = sc.select(col("span_key"), col("source").as("source_b"), col("c").as("cb"))
+    a.join(b, "span_key")
+      .filter(col("source_a") <= col("source_b"))
+      .join(tot, "span_key")
+      .withColumn("pairs", when(col("source_a") === col("source_b"),
+        expr("ca * (ca - 1) div 2")).otherwise(col("ca") * col("cb")))
+      .filter(col("pairs") > 0)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_dup_pairs"),
+        count(lit(1)).as("n_shared_spans"))
+  }
+
   /** Within-document line deduplication — the C4/RefinedWeb boilerplate
     * pass: split each document into lines, keep only the FIRST occurrence
     * of every distinct line inside that document, and reassemble the

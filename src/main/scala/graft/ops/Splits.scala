@@ -201,4 +201,33 @@ object Splits {
       .withColumn("bin_offset", col("pre") % budget)
       .drop("pre")
   }
+
+  /** Length-bucketed batch formation — the padding-minimizing batcher a
+    * training loader runs: documents are grouped into length buckets
+    * (`bucketWidth` tokens wide), batches of `batchSize` are cut within
+    * each bucket in id order, and every document is charged its padding
+    * waste against the LONGEST member of its batch (what the loader
+    * actually pads to). Complements [[packSequences]]: packing
+    * concatenates, bucketing batches similarly-sized documents — the two
+    * standard answers to padding overhead.
+    *
+    * Two window passes over the bucket partitioning (row_number, then
+    * max over the assembled batch) — one exchange on the bucket key;
+    * buckets are independent and parallel at any corpus size, and the
+    * bucket key is near-uniform by construction (length distribution
+    * sliced into fixed bands).
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+                          bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1)
+    val wBatch = Window.partitionBy(col("bucket"), col("batch_id"))
+    docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div ${bucketWidth}L"))
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY ${idCol}) - 1) " +
+          s"div ${batchSize}L"))
+      .withColumn("batch_max", max(col("n_tokens")).over(wBatch))
+      .withColumn("pad_waste", col("batch_max") - col("n_tokens"))
+  }
 }

@@ -360,4 +360,32 @@ class DedupSpec extends SparkTestBase {
     // other docs (each doc keeps its own copy) — implied by the output of
     // docs 2/3 being untouched by doc 1's lines
   }
+
+  test("crossSourceSpanMatrix: count algebra on a planted bi-source fixture") {
+    // span length 2 over tiny docs. span "x y": a=2 occurrences, b=1 →
+    // (a,a) C(2,2)=1 pair, (a,b) 2·1=2; span "y z": a=1, b=1 → (a,b) 1;
+    // span "y q" occurs once → not duplicated, excluded entirely.
+    val src = Seq(
+      (1L, "x y z", "a"), (2L, "x y q", "a"), (3L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceSpanMatrix(src, "doc_id", "text", "source", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_shared_spans"))).toMap
+    assert(out == Map(
+      ("a", "a") -> (1L, 1L),   // "x y" within a
+      ("a", "b") -> (3L, 2L)),  // "x y" (2) + "y z" (1) across
+      s"got $out")
+  }
+
+  test("crossSourceSpanMatrix: maxOccurrences drops boilerplate spans") {
+    val src = Seq(
+      (1L, "x y z", "a"), (2L, "x y q", "a"), (3L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    // "x y" totals 3 occurrences → dropped at cap 2; only "y z" remains
+    val out = Dedup.crossSourceSpanMatrix(src, "doc_id", "text", "source", 2,
+        maxOccurrences = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_shared_spans"))).toMap
+    assert(out == Map(("a", "b") -> (1L, 1L)), s"got $out")
+  }
 }

@@ -138,4 +138,25 @@ class SplitsSpec extends SparkTestBase {
     bins.foreach(r => assert(r.getLong(2) == r.getLong(1) + 1,
       s"shard ${r.getString(0)}: max bin ${r.getLong(1)}, distinct ${r.getLong(2)}"))
   }
+
+  test("lengthBucketBatches: exact bucket/batch/pad arithmetic on a known set") {
+    def words(n: Int) = (1 to n).map(_ => "t").mkString(" ")
+    // token counts: 1→3, 2→2, 6→1 (bucket 0); 3→5, 4→6, 5→7 (bucket 1)
+    val docs = Seq(
+      (1L, words(3)), (2L, words(2)), (3L, words(5)),
+      (4L, words(6)), (5L, words(7)), (6L, words(1)))
+      .toDF("doc_id", "text")
+    val out = Splits.lengthBucketBatches(docs, "doc_id", "text",
+        bucketWidth = 4, batchSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("batch_id"),
+          r.getAs[Long]("batch_max"), r.getAs[Long]("pad_waste"))).toMap
+    // bucket 0 in id order: [1,2] then [6]; bucket 1: [3,4] then [5]
+    assert(out(1L) == (0L, 0L, 3L, 0L))
+    assert(out(2L) == (0L, 0L, 3L, 1L))
+    assert(out(6L) == (0L, 1L, 1L, 0L))
+    assert(out(3L) == (1L, 0L, 6L, 1L))
+    assert(out(4L) == (1L, 0L, 6L, 0L))
+    assert(out(5L) == (1L, 1L, 7L, 0L))
+  }
 }
