@@ -3222,6 +3222,67 @@ object Queries {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1"""))
 
+  // partition-pruned scan surfaced through the gate: the events
+  // projection lands hive-partitioned by event_type (Sinks
+  // .writePartitioned), and the read-back filter must prune to one
+  // directory at PLANNING time (PartitionFilters — asserted in
+  // LayoutSpec); the oracle checks the aggregate over the round trip
+  private val partitionPrunedScan = Q(
+    "partition_pruned_scan",
+    (s, d) => {
+      val dir = scratchDir("graft_part_")
+      val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      operators.Sinks.writePartitioned(ev, s"$dir/events", "event_type")
+      s.read.parquet(s"$dir/events")
+        .filter(col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS value_cents
+            FROM events WHERE event_type = 'click' GROUP BY 1"""))
+
+  // partition-scoped MERGE: the 100 TB merge shape — the batch touches
+  // one partition ('click'), only that directory is read and
+  // dynamically overwritten (matched keys take the batch row, unmatched
+  // survive, new keys append); untouched partitions are never rewritten.
+  // The read-back aggregate over ALL partitions is what the oracle
+  // checks, so both the merge arithmetic and the untouched-partition
+  // preservation are inside the hash.
+  private val mergeUpsertPartitionedQ = Q(
+    "merge_upsert_partitioned",
+    (s, d) => {
+      val dir = scratchDir("graft_pmerge_")
+      val path = s"$dir/events"
+      val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 3 =!= 0)
+        .write.partitionBy("event_type").parquet(path)
+      val batch = ev
+        .filter(col("event_type") === "click" && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 100.0)
+      operators.Sinks.mergeUpsertPartitioned(batch, path, Seq("event_id"),
+        "event_type", strict = true)
+      s.read.parquet(path).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type, value FROM events),
+            base AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+            batch AS (
+              SELECT event_id, event_type, value + 100.0 AS value
+              FROM ev WHERE event_type = 'click' AND event_id % 2 = 0),
+            merged AS (
+              SELECT * FROM batch
+              UNION ALL
+              SELECT * FROM base b WHERE NOT EXISTS (
+                SELECT 1 FROM batch x WHERE x.event_id = b.event_id))
+            SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS value_cents
+            FROM merged GROUP BY 1"""))
+
   // crawl-frontier politeness scheduling over the synthetic URL corpus:
   // Spark PARSES the host out of the assembled URL (Urls.host regexp);
   // the oracle states the host in closed form — independent derivations,
@@ -3534,6 +3595,7 @@ object Queries {
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     mergeUpsertQ, bucketedJoinColocated, crawlFrontier,
+    partitionPrunedScan, mergeUpsertPartitionedQ,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats)

@@ -73,4 +73,22 @@ class LayoutSpec extends SparkTestBase {
     assert(filesRead <= 4,
       s"y-only predicate should touch a minority of the 8 z-files, read $filesRead")
   }
+
+  test("hive-partitioned write prunes at planning time (PartitionFilters)") {
+    import graft.operators.Sinks
+    val df = spark.range(0, 1000).select(col("id"),
+      concat(lit("t"), (col("id") % 4L)).as("kind"), (col("id") * 2L).as("v"))
+    val dir = Files.createTempDirectory("graft_part_prune").toString + "/t"
+    Sinks.writePartitioned(df, dir, "kind")
+    val filtered = spark.read.parquet(dir).filter($"kind" === "t1")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("kind"),
+      s"partition predicate must reach the scan as a PartitionFilter; plan:\n$plan")
+    // the filter never appears as a post-scan data filter on kind
+    assert(filtered.count() == 250)
+    val filesRead = filtered.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(filesRead.forall(_.contains("kind=t1")),
+      s"only the kind=t1 directory is read, got ${filesRead.mkString(", ")}")
+  }
 }
