@@ -193,7 +193,32 @@ object Stress {
       // doc-keyed aggregations — token volume is the only driver
       ("quality_score_linear", n =>
         graft.ops.TextAnalysis.linearQualityScore(
-          docsAt(spark, n * 8), "doc_id", "text", 64)))
+          docsAt(spark, n * 8), "doc_id", "text", 64)),
+      // PQ at a FIXED (m, subDim, kSub): every phase — fused Lloyd
+      // rounds, code assignment, reconstruction error — is n x constant
+      // work, so runtime must track the corpus (the codebook is model
+      // state, not data)
+      ("embedding_pq_codes", n => {
+        val emb = spark.range(n * 4).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(1, 16), " +
+            "p -> CAST(pmod(hash(id, p), 97) AS FLOAT))").as("embedding"))
+        graft.ops.Similarity.pqCodes(emb, "vec_id", "embedding",
+          m = 4, subDim = 4, kSub = 8, iters = 2)
+      }),
+      // cross-source span matrix: one span-digest aggregation (linear in
+      // token volume) + a self-join of the tiny (span, source) count
+      // table — source count is constant, so output stays bounded
+      ("dedup_cross_source", n =>
+        graft.ops.Dedup.crossSourceSpanMatrix(
+          docsAt(spark, n * 4)
+            .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+          "doc_id", "text", "source", 8)),
+      // length-bucketed batching: one exchange on the near-uniform
+      // bucket key, two window passes — token counting dominates
+      ("length_bucket_batches", n =>
+        graft.ops.Splits.lengthBucketBatches(docsAt(spark, n * 8),
+          "doc_id", "text", bucketWidth = 16, batchSize = 32)))
 
     var failures = 0
     val results = cases.map { case (name, mk) =>

@@ -515,11 +515,16 @@ object Dedup {
     val tot = sc.groupBy(col("span_key")).agg(sum(col("c")).as("n"))
       .filter(col("n") > 1 && col("n") <= maxOccurrences)
       .select("span_key")
-    val a = sc.select(col("span_key"), col("source").as("source_a"), col("c").as("ca"))
-    val b = sc.select(col("span_key"), col("source").as("source_b"), col("c").as("cb"))
+    // restrict to duplicated spans BEFORE the self-join: duplicated
+    // spans are the rare tail of any real corpus, so the join input
+    // shrinks from every span to just that tail, and AQE broadcasts
+    // the survivors (both dup branches re-read the checkpointed sc,
+    // never the corpus)
+    val dup = sc.join(tot, "span_key")
+    val a = dup.select(col("span_key"), col("source").as("source_a"), col("c").as("ca"))
+    val b = dup.select(col("span_key"), col("source").as("source_b"), col("c").as("cb"))
     a.join(b, "span_key")
       .filter(col("source_a") <= col("source_b"))
-      .join(tot, "span_key")
       .withColumn("pairs", when(col("source_a") === col("source_b"),
         expr("ca * (ca - 1) div 2")).otherwise(col("ca") * col("cb")))
       .filter(col("pairs") > 0)
