@@ -331,12 +331,13 @@ object Similarity {
     */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, subDim: Int = 8, kSub: Int = 16,
-              iters: Int = 2): DataFrame = {
+              iters: Int = 2,
+              codebook: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val prepared = corpus.select(col(idCol).as("vec_id"), quantized(col(vecCol)).as("vq"))
       .localCheckpoint(true)
-    val codebooks = trainPqQuantized(
+    val codebooks = codebook.getOrElse(trainPqQuantized(
       prepared.withColumnRenamed("vec_id", "__id")
-        .select(col("__id"), col("vq")), m, subDim, kSub, iters)
+        .select(col("__id"), col("vq")), m, subDim, kSub, iters))
     val codeCols = (0 until m).map(s =>
       nearestCellQ(subVec(s, subDim), codebooks(s)).as(s"code_$s"))
     val withCodes = prepared.select(col("vec_id") +: col("vq") +: codeCols: _*)
@@ -372,11 +373,12 @@ object Similarity {
     */
   def pqAdcTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                 vecCol: String, k: Int, m: Int = 8, subDim: Int = 8,
-                kSub: Int = 16, iters: Int = 2): DataFrame = {
+                kSub: Int = 16, iters: Int = 2,
+                codebook: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val prepared = corpus.select(col(idCol).as("cand_id"), quantized(col(vecCol)).as("vq"))
       .localCheckpoint(true)
-    val codebooks = trainPqQuantized(
-      prepared.select(col("cand_id").as("__id"), col("vq")), m, subDim, kSub, iters)
+    val codebooks = codebook.getOrElse(trainPqQuantized(
+      prepared.select(col("cand_id").as("__id"), col("vq")), m, subDim, kSub, iters))
     val codeCols = (0 until m).map(s =>
       nearestCellQ(subVec(s, subDim), codebooks(s)).as(s"__code_$s"))
     val coded = prepared.select(col("cand_id") +: codeCols: _*)

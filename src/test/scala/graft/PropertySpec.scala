@@ -300,4 +300,86 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("crossSourceSpanMatrix matches a naive occurrence-pair recount") {
+    val srcGen = Gen.oneOf("sa", "sb", "sc")
+    val corpusGen = Gen.listOfN(6, Gen.zip(textGen, srcGen))
+    samples(corpusGen, 8).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.crossSourceSpanMatrix(docs, "doc_id", "text", "source", 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_shared_spans"))).toMap
+      // naive: every occurrence of every duplicated 3-window, all
+      // unordered occurrence pairs, grouped by the sorted source pair
+      val occs = corpus.zipWithIndex.flatMap { case ((t, s), i) =>
+        t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).zipWithIndex
+          .map { case (w, p) => (w.mkString(" "), s, (i, p)) }
+      }
+      val bySpan = occs.groupBy(_._1).filter(_._2.size > 1)
+      val naivePairs = scala.collection.mutable.Map
+        .empty[(String, String), (Long, scala.collection.mutable.Set[String])]
+      bySpan.foreach { case (span, os) =>
+        val touched = scala.collection.mutable.Set.empty[(String, String)]
+        for (a <- os.indices; b <- (a + 1) until os.size) {
+          val key = if (os(a)._2 <= os(b)._2) (os(a)._2, os(b)._2)
+            else (os(b)._2, os(a)._2)
+          val (n, spans) = naivePairs.getOrElseUpdate(key,
+            (0L, scala.collection.mutable.Set.empty[String]))
+          naivePairs(key) = (n + 1, spans += span)
+          touched += key
+        }
+      }
+      val naive = naivePairs.map { case (k, (n, sp)) => k -> (n, sp.size.toLong) }
+      assert(got == naive.toMap, s"corpus=$corpus\n got=$got\n want=$naive")
+    }
+  }
+
+  test("lengthBucketBatches: batch size bound, max is the member max, docs preserved") {
+    samples(Gen.listOfN(20, textGen), 8).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Splits
+        .lengthBucketBatches(docs, "doc_id", "text", 4, 3)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bucket"), r.getAs[Long]("batch_id"),
+          r.getAs[Long]("batch_max"), r.getAs[Long]("pad_waste")))
+      assert(out.length == texts.size, "every doc is batched exactly once")
+      out.groupBy(t => (t._3, t._4)).foreach { case ((bkt, _), members) =>
+        assert(members.length <= 3, "batch size bound")
+        val mx = members.map(_._2).max
+        assert(members.forall(_._5 == mx), "batch_max is the member max")
+        assert(members.forall(m => m._6 == mx - m._2 && m._6 >= 0))
+        assert(members.forall(m => m._2 / 4 == bkt), "bucket = n_tokens div width")
+      }
+    }
+  }
+
+  test("semanticDedup verdicts match a naive within-cell cosine check") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100))
+    samples(Gen.listOfN(24, vecGen), 4).foreach { vecs =>
+      val emb = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat / 100f).toArray) }
+        .toDF("vec_id", "embedding")
+      val out = graft.ops.Similarity
+        .semanticDedup(emb, "vec_id", "embedding", kCells = 3, tau = 0.8)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      val cellOf = out.map { case (id, (c, _)) => id -> c }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        BigDecimal(dot / (na * nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val byId = vecs.zipWithIndex
+        .map { case (v, i) => i.toLong -> v.map(_.toFloat / 100f).toArray }.toMap
+      out.foreach { case (id, (cell, kept)) =>
+        val hasNearLower = byId.keys.exists(o => o < id && cellOf(o) == cell &&
+          cos(byId(o), byId(id)) >= 0.8)
+        assert(kept == !hasNearLower,
+          s"vec $id cell $cell: kept=$kept but lower-id near neighbor=$hasNearLower")
+      }
+    }
+  }
 }
