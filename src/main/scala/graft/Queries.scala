@@ -1108,6 +1108,54 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, sid"""))
 
+  // the declarative session_window run as a REAL streaming job: two
+  // micro-batch parquet drops (disjoint halves of events), stateful
+  // session aggregation merging sessions ACROSS batches, complete-mode
+  // memory sink read back after AvailableNow termination. The final
+  // session table must equal batch sessionization of the whole stream —
+  // the same oracle sessionize_gap proves, now reached through
+  // cross-batch session-state merge instead of one scan.
+  private val incrSessionStream = Q(
+    "incr_session_stream",
+    (s, d) => {
+      val base = scratchDir("graft_sess_stream_")
+      val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+      val ev = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+        col("value"))
+      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      ev.filter(col("event_id") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val qname = "graft_sess_stream_out"
+      s.catalog.dropTempView(qname)
+      graft.streaming.Sessionize.streamingSessions(stream, "ts", "user_id")
+        .writeStream.outputMode("complete").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start().awaitTermination()
+      s.table(qname).select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+    },
+    Some("""WITH t AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) < 1800000000
+                  THEN 0 ELSE 1 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t)
+            SELECT user_id,
+              CAST(min(ts) AS TIMESTAMP) AS session_start,
+              CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+              count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid"""))
+
   // session-level analytics — the rollup consumers actually run on
   // sessionized data: per user, session count, event volume, and
   // duration stats (all integer micros -> engine-exact)
@@ -3574,7 +3622,7 @@ object Queries {
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, incrWeeklyMerge,
-    incrBloomDedup, jsonlRoundtrip,
+    incrBloomDedup, incrSessionStream, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
     pagerankScaled,
