@@ -3331,6 +3331,31 @@ object Queries {
                 AS value_cents
             FROM merged GROUP BY 1"""))
 
+  // small-file compaction driven end to end: orders lands as 64 tiny
+  // files (the incremental-append accretion shape), Sinks.compact
+  // rewrites it through the staged swap, and the read-back integer
+  // aggregates must be untouched — data integrity of the rewrite is
+  // inside the hash (file-count/staging behavior stays in
+  // SinksFormatsSpec, where it is deterministic)
+  private val compactRoundtrip = Q(
+    "compact_roundtrip",
+    (s, d) => {
+      val dir = scratchDir("graft_compact_")
+      val path = s"$dir/orders"
+      orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(64).write.parquet(path)
+      operators.Sinks.compact(s, path, targetFileBytes = 64L * 1024 * 1024)
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("price_cents"))
+    },
+    Some("""SELECT count(*) AS n,
+              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS price_cents
+            FROM orders"""))
+
   // crawl-frontier politeness scheduling over the synthetic URL corpus:
   // Spark PARSES the host out of the assembled URL (Urls.host regexp);
   // the oracle states the host in closed form — independent derivations,
@@ -3643,7 +3668,7 @@ object Queries {
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     mergeUpsertQ, bucketedJoinColocated, crawlFrontier,
-    partitionPrunedScan, mergeUpsertPartitionedQ,
+    partitionPrunedScan, mergeUpsertPartitionedQ, compactRoundtrip,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats)
