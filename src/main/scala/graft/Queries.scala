@@ -3626,6 +3626,139 @@ object Queries {
               n_frames, frame_w, frame_h, vid_rgb_sum
             FROM vid"""))
 
+  // ---------------------------------------------------------------- retrieval
+  // BM25 top-k in exact integer-rational form (k1=6/5, b=3/4 cross-
+  // multiplied into one BIGINT fraction; log-free Robertson idf): query
+  // terms span the df spectrum (dup is rare, vector/merge near-stopword)
+  private val bm25Topk = Q(
+    "bm25_topk",
+    (s, d) => TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
+      Seq("dup", "vector", "merge"), k = 20),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM dl),
+            qtf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('dup', 'vector', 'merge') GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+            sc AS (
+              SELECT q.doc_id,
+                (((n_docs - df.df) * 1000 // (df.df + 1))
+                   * 22 * q.tf * t_tokens)
+                  // (10 * q.tf * t_tokens + 3 * t_tokens + 9 * dl.dl * n_docs)
+                  AS ts
+              FROM qtf q JOIN df USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_terms,
+              CAST(sum(ts) AS BIGINT) AS score_milli
+            FROM sc GROUP BY 1
+            ORDER BY score_milli DESC, doc_id LIMIT 20"""))
+
+  // inverted-index layout pass: per-term df/cf + bounded posting-list
+  // head (comma-joined, doc-id-sorted)
+  private val invertedIndexQ = Q(
+    "inverted_index",
+    (s, d) => TextAnalysis.invertedIndex(documents(s, d), "doc_id", "text",
+      headLen = 20),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(tf) AS BIGINT) AS cf,
+              array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+                AS postings_head
+            FROM tf GROUP BY 1"""))
+
+  // CCNet-style head/middle/tail perplexity terciles per source, with an
+  // integer unigram-surprisal stand-in for the KenLM score
+  private val ccnetPplBucket = Q(
+    "ccnet_ppl_bucket",
+    (s, d) => TextAnalysis.ccnetPplBuckets(documents(s, d), "doc_id", "text",
+      "source"),
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents),
+            uni AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS t_tokens FROM uni),
+            cost AS (
+              SELECT doc_id, source, (t_tokens * 1000) // cnt AS s
+              FROM toks JOIN uni USING (term) CROSS JOIN tot),
+            pd AS (
+              SELECT doc_id, source, count(*) AS n_tokens,
+                sum(s) AS total_cost
+              FROM cost GROUP BY 1, 2),
+            p2 AS (
+              SELECT doc_id, source, n_tokens,
+                total_cost // n_tokens AS ppl_milli,
+                ntile(3) OVER (PARTITION BY source
+                               ORDER BY total_cost // n_tokens, doc_id) AS t3
+              FROM pd)
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(ppl_milli AS BIGINT) AS ppl_milli,
+              CAST(t3 AS BIGINT) AS tercile,
+              CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+            FROM p2"""))
+
+  // UT1-style domain blocklist over synthesized hosts: suffix-explode +
+  // broadcast dim join; odd ids land on .net (parent-domain match),
+  // even ids block only on the specific siteN subdomain rules
+  private val urlBlocklist = Q(
+    "url_blocklist",
+    (s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(
+        lit("https://www.site"), (id % 7).cast("string"), lit(".example."),
+        when(id % 2 === 0, "com").otherwise("net"),
+        lit("/p/"), id.cast("string"))
+      val rules = Seq("site3.example.com", "site5.example.com", "example.net")
+        .toDF("domain")
+      ops.Urls.blocklistFilter(
+        documents(s, d).select(id, url.as("url")), "doc_id", "url", rules)
+    },
+    Some("""SELECT doc_id,
+              'www.site' || (doc_id % 7) || '.example.' ||
+                CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'net' END AS host,
+              (doc_id % 2 = 1) OR (doc_id % 7 IN (3, 5)) AS blocked,
+              CASE WHEN doc_id % 2 = 1 THEN 'example.net'
+                   WHEN doc_id % 7 IN (3, 5)
+                     THEN 'site' || (doc_id % 7) || '.example.com'
+              END AS matched_rule
+            FROM documents"""))
+
+  // CDC changelog apply: orders as an I/U/D event log keyed by customer
+  // (o_orderkey the monotone sequence), last writer wins, last-op DELETE
+  // erases the key — the merge-on-read read path
+  private val cdcApply = Q(
+    "cdc_apply",
+    (s, d) => ops.TimeSeries.applyChangelog(
+      orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 19 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice")),
+      "o_custkey", "o_orderkey", "op", Seq("o_totalprice")),
+    Some("""WITH log AS (
+              SELECT o_custkey, o_orderkey,
+                CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+                o_totalprice
+              FROM orders),
+            r AS (
+              SELECT o_custkey, o_orderkey, op, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey DESC) AS rn
+              FROM log)
+            SELECT o_custkey, o_totalprice,
+              CAST(o_orderkey AS BIGINT) AS last_seq
+            FROM r WHERE rn = 1 AND op <> 'D'"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -3662,6 +3795,7 @@ object Queries {
     dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
+    bm25Topk, invertedIndexQ, ccnetPplBucket, urlBlocklist, cdcApply,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

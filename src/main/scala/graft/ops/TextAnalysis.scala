@@ -393,4 +393,115 @@ object TextAnalysis {
       .join(probe, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
+
+  /** BM25 retrieval (Robertson/Spärck Jones) for a fixed query-term set,
+    * in exact integer-rational form so ranking is engine-reproducible at
+    * every tie boundary. With k1 = 6/5 and b = 3/4, the per-term score
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  avgdl = T/N
+    *
+    * cross-multiplies (numerator and denominator by 10·T) into the pure
+    * BIGINT fraction
+    *
+    *   idf_milli · 22·tf·T  /  (10·tf·T + 3·T + 9·dl·N)
+    *
+    * where T = total corpus tokens, N = corpus docs, dl = doc tokens,
+    * and idf_milli = ((N − df)·1000) div (df + 1) is the log-free
+    * Robertson idf stand-in (monotone in df, zero for stopwords present
+    * in every document — the same libm-avoidance rule as
+    * [[termRelevance]]). Per-term scores truncate to milli units, sum
+    * per document, and the global top-k breaks ties on the id.
+    *
+    * Shape at 100 TB: the query-term filter lands before the (doc, term)
+    * aggregation so only matching tokens shuffle; dl/T/N come from one
+    * map-side-combinable doc-length pass whose tiny (N, T) summary is a
+    * broadcast scalar, and df for the handful of query terms broadcasts
+    * too. Final top-k is a TakeOrdered, never a full sort. The stated
+    * scale bound: idf_milli·22·tf·T must stay under 2^63 — at petabyte
+    * corpora drop idf to centi-units or score per shard and re-rank.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val qtf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_milli", expr("((n_docs - df) * 1000) div (df + 1)"))
+      .withColumn("term_score_milli",
+        expr("(idf_milli * 22 * tf * t_tokens) div " +
+          "(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched_terms"),
+        sum(col("term_score_milli")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** CCNet-style language-model quality bucketing (Wenzek et al. 2020)
+    * with an integer unigram surprisal stand-in for the KenLM
+    * perplexity: each token costs `(T·1000) div cnt(token)` milli-units
+    * (inverse corpus frequency — monotone in −log p, log-free so the
+    * oracle reproduces it exactly), a document's perplexity proxy is the
+    * truncating mean cost over its tokens, and documents split into
+    * head/middle/tail TERCILES PER SOURCE by `ntile(3)` over the total
+    * order (ppl, id) — the exact CCNet head/middle/tail partitioning
+    * that downstream mixing weights key on. Swapping in real LM
+    * log-probs changes only the per-token cost column, never the plan.
+    *
+    * Shape at 100 TB: one explode feeding two map-side-combinable
+    * aggregations (corpus unigram counts, per-doc cost sums); the
+    * unigram table is Zipf-bounded so it broadcasts; the only wide
+    * exchange is the per-source ntile window, which partitions by
+    * source — the CCNet sharding axis.
+    */
+  def ccnetPplBuckets(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(sourceCol),
+      explode(tokens(col(textCol))).as("term"))
+    val unigram = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = unigram.agg(sum(col("cnt")).as("t_tokens"))
+    val cost = toks.join(broadcast(unigram), "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col(sourceCol),
+        expr("(t_tokens * 1000) div cnt").as("surprisal_milli"))
+    val perDoc = cost.groupBy(col(idCol), col(sourceCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprisal_milli")).as("total_cost"))
+      .withColumn("ppl_milli", expr("total_cost div n_tokens"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("ppl_milli"), col(idCol))
+    perDoc.select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("ppl_milli"), ntile(3).over(w).cast("long").as("tercile"))
+      .withColumn("ppl_bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+  }
+
+  /** Inverted-index build — the retrieval-side posting-list layout:
+    * per term, document frequency, collection frequency, and the head
+    * of the doc-id-sorted posting list (bounded, comma-joined so the
+    * artifact is a flat column). The full list never materializes on
+    * the driver and the head bound caps per-term payload, so a
+    * stopword's posting row stays O(headLen) — at 100 TB the long tails
+    * live as doc-id-sorted shards, and this is the per-shard layout
+    * pass. One (doc, term) aggregation (map-side combinable) feeding
+    * one per-term aggregation.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    headLen: Int = 20): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        concat_ws(",",
+          transform(slice(sort_array(collect_list(col(idCol))), 1, headLen),
+            _.cast("string"))).as("postings_head"))
+  }
 }

@@ -80,4 +80,24 @@ object TimeSeries {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__tie")
   }
+
+  /** CDC changelog apply — materialize the end state of an
+    * insert/update/delete event stream: last writer per key wins (by
+    * `seqCol`, with `seqCol` itself the total order so no tie column is
+    * needed), and a last-op DELETE erases the key from the snapshot.
+    * This is the read-side of a merge-on-read lakehouse table: the same
+    * one-exchange window shape as [[scd2]] (partition by key, one sort,
+    * row_number desc), never a per-version self-join. At 100 TB the
+    * changelog compacts shard-locally first (the same expression is a
+    * valid per-file reducer because "latest per key" is associative),
+    * then one global pass settles cross-shard keys.
+    */
+  def applyChangelog(log: DataFrame, keyCol: String, seqCol: String,
+                     opCol: String, attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    log
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .select((keyCol +: attrCols).map(col) :+ col(seqCol).as("last_seq"): _*)
+  }
 }

@@ -93,4 +93,43 @@ object Urls {
       cleanQuery(query(u)).as("query_clean"),
       normalize(u).as("url_norm"))
   }
+
+  /** Registrable parent-domain suffixes of a host, most-specific first:
+    * `www.a.example.com` → `[www.a.example.com, a.example.com,
+    * example.com]`. The bare TLD is excluded (blocklists never carry
+    * it); fan-out is bounded by the label count, ≤ ~5 in real crawls.
+    */
+  def domainSuffixes(h: Column): Column = {
+    val labels = split(h, "\\.")
+    transform(sequence(lit(1), greatest(size(labels) - 1, lit(1))),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** UT1-style domain blocklist filter: a URL is blocked when its host
+    * OR ANY registrable parent domain appears in the blocklist — the
+    * standard suffix-matching contract (blocking `example.com` blocks
+    * `www.site3.example.com`). Matching is an explode of the bounded
+    * suffix set joined against the blocklist DIM (left join + per-URL
+    * argmin on the most specific hit), never a `LIKE`-shaped cross
+    * join: at 100 TB the multi-million-entry list is either a broadcast
+    * (it fits: UT1 ≈ 4M rows) or a shuffle join on the suffix key, and
+    * either way the probe side stays one bounded explode per URL.
+    */
+  def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+                      blocklist: DataFrame): DataFrame = {
+    val h = host(col(urlCol))
+    val sufs = df.select(col(idCol), h.as("host"))
+      .select(col(idCol), col("host"),
+        explode(domainSuffixes(col("host"))).as("suffix"))
+    sufs.join(broadcast(blocklist.withColumnRenamed("domain", "suffix")
+        .withColumn("__hit", lit(1))), Seq("suffix"), "left")
+      .groupBy(col(idCol), col("host"))
+      .agg(max(col("__hit") === 1).as("blocked"),
+        // most specific (longest) matching rule, host tiebreak moot:
+        // suffixes of one host have distinct lengths
+        max(when(col("__hit") === 1,
+          struct(length(col("suffix")).as("l"), col("suffix").as("s"))))
+          .getField("s").as("matched_rule"))
+      .withColumn("blocked", coalesce(col("blocked"), lit(false)))
+  }
 }
