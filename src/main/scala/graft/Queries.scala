@@ -3759,6 +3759,108 @@ object Queries {
               CAST(o_orderkey AS BIGINT) AS last_seq
             FROM r WHERE rn = 1 AND op <> 'D'"""))
 
+  // prefix-filtered EXACT set-similarity join (AllPairs/PPJoin): the
+  // oracle computes the same answer from the raw definition — the prefix
+  // filter is a lossless prune, so no oracle-side mirroring is needed
+  private val setsimPrefixJoin = Q(
+    "setsim_prefix_join",
+    (s, d) => Dedup.prefixFilteredJaccardPairs(documents(s, d), "doc_id",
+      "text", 3, 0.5),
+    Some(s"""WITH $duckShingles,
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+              FROM sh0 x JOIN sh0 y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+              CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union,
+              n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter >= 0.5 * (sa.n_sh + sb.n_sh - n_inter)"""))
+
+  // margin-based bitext mining in quantized-integer space: even vec_ids
+  // act as the source language, odd as the target; k=4 neighborhoods;
+  // the oracle replays quantization, BIGINT dots (exact in double below
+  // 2^53), the two rank<=k mass windows, and the integer margin
+  private val marginMineBitext = Q(
+    "margin_mine_bitext",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                 FOR e IN embedding] AS vq
+              FROM embeddings),
+            s AS (SELECT vec_id AS src_id, vq FROM q WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, vq FROM q WHERE vec_id % 2 = 1),
+            d AS (
+              SELECT src_id, tgt_id,
+                CAST(list_dot_product(s.vq::DOUBLE[], t.vq::DOUBLE[])
+                  AS BIGINT) AS dot_q
+              FROM s, t),
+            r AS (
+              SELECT src_id, tgt_id, dot_q,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY dot_q DESC, tgt_id) AS rs,
+                row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY dot_q DESC, src_id) AS rt
+              FROM d),
+            sm AS (SELECT src_id, CAST(sum(dot_q) AS BIGINT) AS src_mass
+                   FROM r WHERE rs <= 4 GROUP BY 1),
+            tm AS (SELECT tgt_id, CAST(sum(dot_q) AS BIGINT) AS tgt_mass
+                   FROM r WHERE rt <= 4 GROUP BY 1),
+            m AS (
+              SELECT d.src_id, d.tgt_id, d.dot_q,
+                8 * d.dot_q - sm.src_mass - tm.tgt_mass AS margin_q,
+                row_number() OVER (PARTITION BY d.src_id
+                  ORDER BY 8 * d.dot_q - sm.src_mass - tm.tgt_mass DESC,
+                           d.tgt_id) AS rk
+              FROM d JOIN sm USING (src_id) JOIN tm USING (tgt_id))
+            SELECT src_id, tgt_id, dot_q, CAST(margin_q AS BIGINT) AS margin_q
+            FROM m WHERE rk = 1 AND margin_q > 0"""))
+
+  // one BPE statistics round: adjacent character-pair corpus frequency
+  // plus distinct-word support inside words of the documents corpus
+  private val bpePairStatsQ = Q(
+    "bpe_pair_stats",
+    (s, d) => TextAnalysis.bpePairStats(documents(s, d), "text"),
+    Some("""WITH w AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents),
+            i AS (
+              SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM w WHERE length(w) >= 2),
+            p AS (SELECT w, substr(w, CAST(i AS INT), 2) AS pair FROM i)
+            SELECT pair, CAST(count(*) AS BIGINT) AS n_occ,
+              CAST(count(DISTINCT w) AS BIGINT) AS n_words
+            FROM p GROUP BY 1"""))
+
+  // hourly OHLC bars per event_type: open/close are order selections
+  // (ts, event_id), low/high plain min/max — no float arithmetic, so
+  // doubles pass the hash gate exactly
+  private val resampleOhlcQ = Q(
+    "resample_ohlc",
+    (s, d) => ops.TimeSeries.resampleOhlc(events(s, d), "event_type", "ts",
+      "event_id", "value"),
+    Some("""WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                  ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                  ORDER BY ts DESC, event_id DESC) AS rd
+              FROM events)
+            SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_events,
+              max(CASE WHEN ra = 1 THEN value END) AS open,
+              max(CASE WHEN rd = 1 THEN value END) AS close,
+              min(value) AS low, max(value) AS high
+            FROM r GROUP BY 1, 2"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -3796,6 +3898,7 @@ object Queries {
     textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     bm25Topk, invertedIndexQ, ccnetPplBucket, urlBlocklist, cdcApply,
+    setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

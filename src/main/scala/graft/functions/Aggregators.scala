@@ -195,4 +195,47 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Sum of the k largest values per group, in O(k) state — the
+    * neighborhood-mass aggregate for margin mining and any "top-k
+    * similarity budget" statistic. State is an UNSORTED bounded buffer
+    * holding the current k largest (plus its running minimum's position
+    * found on demand); reduce replaces the minimum when beaten, merge
+    * concatenates and re-prunes. Associative and commutative, so Spark
+    * runs it map-side like any built-in — contrast a row_number window,
+    * which must SORT every group's full candidate list on one partition.
+    * Value ties at the k boundary are indistinguishable by construction
+    * (equal values sum equally), so the result matches any
+    * deterministic-tie window formulation.
+    */
+  class TopKSum(k: Int) extends Aggregator[Long, Array[Long], Long] {
+    require(k >= 1)
+
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(buf: Array[Long], x: Long): Array[Long] =
+      if (buf.length < k) buf :+ x
+      else {
+        var mi = 0
+        var i = 1
+        while (i < buf.length) { if (buf(i) < buf(mi)) mi = i; i += 1 }
+        if (x > buf(mi)) buf(mi) = x
+        buf
+      }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val all = a ++ b
+        if (all.length <= k) all
+        else { java.util.Arrays.sort(all); all.takeRight(k) }
+      }
+
+    override def finish(buf: Array[Long]): Long = buf.sum
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }

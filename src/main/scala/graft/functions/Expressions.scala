@@ -161,6 +161,47 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Exact BIGINT dot product over two long vectors (micro-unit
+    * quantized embeddings). Pure 64-bit integer accumulation — the
+    * caller owns the overflow bound (|q| ≤ 5·10^5 per component keeps
+    * d ≤ 10^7 safe). Codegen'd so pair-scoring loops (margin mining,
+    * quantized re-ranking) stay inside whole-stage codegen instead of
+    * the interpreted zip_with/aggregate HOF path.
+    */
+  case class LongVectorDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "long_vector_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** k-component MinHash signature of a string array: component j is the
     * minimum of [[MinHashFamily]] permutation j over the md5-derived
     * 60-bit element hashes. One pass per element; element bytes hashed
@@ -1182,6 +1223,8 @@ object Expressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
     column(FloatVectorDot(expression(a), expression(b)))
+  def long_vector_dot(a: Column, b: Column): Column =
+    column(LongVectorDot(expression(a), expression(b)))
   def minhash_signature(tokens: Column, k: Int): Column =
     column(MinHashSignature(expression(tokens), k))
   def simhash60(tokens: Column): Column = column(SimHash60(expression(tokens)))

@@ -583,4 +583,95 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all document
+    * pairs whose n-gram shingle sets have Jaccard >= `threshold`,
+    * EXACTLY — the prefix filter is a lossless candidate prune, never an
+    * approximation (contrast [[minhashLshPairs]], which trades recall).
+    *
+    * Shingles are globally ordered by ascending document frequency
+    * (rarest first, shingle text as the tie), each document indexes only
+    * its PREFIX of length |x| − ⌊t·|x|⌋ + 1 under that order, and the
+    * classical prefix-filter theorem guarantees every qualifying pair
+    * (given the size filter |B| ≥ t·|A|, enforced in the join) shares at
+    * least one prefix shingle. Verification then runs per candidate PAIR
+    * with `array_intersect` on the two full (bounded, per-doc) sets — no
+    * second explode, no re-shuffle of the corpus.
+    *
+    * Shape at 100 TB: candidate fan-out concentrates on RARE shingles by
+    * construction — a boilerplate shingle shared by millions of
+    * documents sits at the END of the frequency order and never enters a
+    * prefix, the exact pathology [[ngramJaccardPairs]] needs its maxDf
+    * stop-list for. The df table is Zipf-bounded (AQE broadcasts it);
+    * the only wide exchanges carry (id, prefix-shingle) rows and the
+    * bounded candidate pairs.
+    */
+  def prefixFilteredJaccardPairs(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    // vocabulary pass: df per shingle, plus a DENSE INTEGER CODE whose
+    // rank order IS the global (df asc, shingle asc) frequency order —
+    // downstream, documents become sorted long arrays, candidate joins
+    // key on longs, and verification intersects longs, never strings.
+    // The bijection makes every count identical to the string
+    // formulation. The global rank runs over the VOCABULARY table (df
+    // distinct shingles), not the corpus; at a scale where that
+    // outgrows one window partition, rank per df-band and offset by the
+    // bands' running totals — same order, no single sort
+    import org.apache.spark.sql.expressions.Window
+    val vocab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .withColumn("__code", row_number()
+        .over(Window.orderBy(col("__df"), col("shingle"))).cast("long"))
+    // per-doc set as the sorted code array; materialized once: probe
+    // (twice, via the self-join) and both verification sides all read
+    // this table — without the checkpoint the shingle+vocab+sort
+    // subtree would replay four times in one plan (NOTE: localCheckpoint
+    // truncates lineage — a lost block fails the job, caller retries)
+    val ordered = sh.join(broadcast(vocab), "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__code"))).as("__set"))
+      .withColumn("__size", size(col("__set")).cast("long"))
+      .withColumn("__prefix",
+        slice(col("__set"), lit(1),
+          (col("__size") - floor(lit(threshold) * col("__size")) + 1)
+            .cast("int")))
+      .localCheckpoint(true)
+    // 0-based position inside the frequency-ordered prefix rides along
+    // for the PPJoin positional filter below
+    val probe = ordered.select(col(idCol), col("__size"),
+      posexplode(col("__prefix")).as(Seq("__pos", "__code")))
+    // PPJoin positional filter: the minimum overlap a qualifying pair
+    // needs is α = ⌈t/(1+t)·(|A|+|B|)⌉, and a candidate first met at
+    // prefix positions (i, j) can still share at most
+    // 1 + min(|A|−i−1, |B|−j−1) shingles — rows whose bound cannot
+    // reach α die HERE, per matching row, before the distinct
+    val cands = probe.alias("a").join(probe.alias("b"),
+        col("a.__code") === col("b.__code") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("b.__size") >= lit(threshold) * col("a.__size") &&
+          col("a.__size") >= lit(threshold) * col("b.__size") &&
+          (lit(1) + least(col("a.__size") - col("a.__pos") - 1,
+            col("b.__size") - col("b.__pos") - 1)) >=
+            lit(threshold / (1.0 + threshold)) *
+              (col("a.__size") + col("b.__size")))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // one bounded row per document — broadcast both verification sides
+    // so the candidate stream verifies in a single narrow pass
+    val sets = ordered.select(col(idCol), col("__set").as("__arr"),
+      col("__size"))
+    cands
+      .join(broadcast(sets.select(col(idCol).as("id_a"),
+        col("__arr").as("__arr_a"), col("__size").as("n_a"))), "id_a")
+      .join(broadcast(sets.select(col(idCol).as("id_b"),
+        col("__arr").as("__arr_b"), col("__size").as("n_b"))), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") >= lit(threshold) * col("n_union"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+  }
 }

@@ -614,4 +614,74 @@ object Similarity {
       spark.read.parquet(s"$storeDir/vectors"),
       probes, idCol, vecCol, dim, k, bits, bands, maxBucket, multiProbe)
   }
+
+  /** Margin-based bitext/nearest-neighbor mining (Artetxe & Schwenk,
+    * ACL 2019 — the CCMatrix/LASER alignment criterion, "distance"
+    * margin variant): a source/target pair scores by how much its
+    * similarity EXCEEDS the typical similarity of each endpoint's own
+    * k-nearest neighborhood,
+    *
+    *   margin(x, y) = 2k·sim(x, y) − Σ_{z∈NNk(x)} sim(x, z)
+    *                              − Σ_{w∈NNk(y)} sim(w, y),
+    *
+    * which demotes "hub" vectors that are close to everything. Run
+    * entirely in micro-unit quantized integer space (the IVF/PQ recipe):
+    * sim = Σ q(x)_i·q(y)_i is a pure BIGINT dot, both neighborhood mass
+    * terms are integer sums over rank ≤ k windows (ties on the partner
+    * id), and the margin is an exact integer — engine-reproducible at
+    * every tie. Emits the best (margin, then id) target per source with
+    * a strictly positive margin — the mined alignment.
+    *
+    * Shape at 100 TB: the bipartite `dots` table here is exact over the
+    * given frames; at corpus scale it comes from an ANN k′-NN join
+    * (ivfTopK / lshTopK with k′ ≥ k) instead, and the window + mass +
+    * margin pipeline downstream of `dots` applies UNCHANGED — margin
+    * mining only ever reads each endpoint's bounded candidate list. The
+    * two neighborhood-mass aggregates are map-side combinable and tiny
+    * (one row per distinct endpoint); both re-joins broadcast.
+    * Overflow bound: 2k·dot ≤ 2k·d·(5·10^5)² must stay under 2^63 —
+    * holds through k ~ 10^4 at d = 64.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val sq = src.select(col(idCol).as("src_id"),
+      quantized(col(vecCol)).as("__sv"))
+    val tq = tgt.select(col(idCol).as("tgt_id"),
+      quantized(col(vecCol)).as("__tv"))
+    val dots = sq.crossJoin(broadcast(tq))
+      .select(col("src_id"), col("tgt_id"),
+        graft.functions.Expressions.long_vector_dot(col("__sv"), col("__tv"))
+          .as("dot_q"))
+    // materialized once: both mass aggregates AND the final margin pass
+    // read the pair table — without the checkpoint the pair-scoring
+    // subtree would replay three times in one plan. Bounded by
+    // construction (|S|·|T| here; the ANN candidate lists at scale).
+    // NOTE: localCheckpoint truncates lineage — a lost block fails the
+    // job and the caller retries.
+    val pairs = dots.localCheckpoint(true)
+    // neighborhood masses via the O(k)-state TopKSum aggregate —
+    // map-side combinable, NO per-group sort (a row_number window would
+    // sort every candidate list); value ties at the k boundary sum
+    // identically, so this equals the windowed formulation exactly
+    val topkSum = udaf(new graft.functions.Aggregators.TopKSum(k))
+    val srcMass = pairs.groupBy("src_id")
+      .agg(topkSum(col("dot_q")).as("__src_mass"))
+    val tgtMass = pairs.groupBy("tgt_id")
+      .agg(topkSum(col("dot_q")).as("__tgt_mass"))
+    // best (margin, then lowest tgt_id) per source: a single argmax
+    // aggregate via MaxByRow — one exchange, again no sort
+    val scored = pairs
+      .join(broadcast(srcMass), "src_id")
+      .join(broadcast(tgtMass), "tgt_id")
+      .withColumn("margin_q",
+        lit(2L * k) * col("dot_q") - col("__src_mass") - col("__tgt_mass"))
+    scored.groupBy("src_id")
+      .agg(graft.functions.Expressions.max_by_row(
+        struct(col("tgt_id"), col("dot_q"), col("margin_q")),
+        col("margin_q"), col("tgt_id")).as("__best"))
+      .select(col("src_id"), col("__best.tgt_id").as("tgt_id"),
+        col("__best.dot_q").as("dot_q"),
+        col("__best.margin_q").as("margin_q"))
+      .filter(col("margin_q") > 0)
+  }
 }

@@ -504,4 +504,103 @@ object TextAnalysis {
           transform(slice(sort_array(collect_list(col(idCol))), 1, headLen),
             _.cast("string"))).as("postings_head"))
   }
+
+  /** The statistics pass of one BPE merge round (Sennrich et al. 2016):
+    * corpus-frequency of every adjacent character pair inside words,
+    * plus the distinct-word support. A tokenizer trainer takes the
+    * argmax pair, merges it, and repeats; each round is exactly this
+    * aggregation over the re-segmented corpus, so this is the
+    * distributed inner loop of BPE training. [[bpeMergeRounds]] drives
+    * the full loop.
+    *
+    * Shape at 100 TB: one explode (word → its ≤ len−1 pairs, narrow per
+    * row) into one aggregation; the occurrence count is map-side
+    * combinable and the distinct-word support is a bounded two-level
+    * aggregate (pair, word) → pair. Vocabulary of pairs is alphabet²,
+    * tiny. The standard production shortcut — pre-aggregate to (word,
+    * count) once and weight pairs by word count — changes the input
+    * table, not this plan.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"),
+        explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("w")).as("n_words"))
+  }
+
+  /** Full BPE training loop over [[bpePairStats]]-shaped rounds: start
+    * from the character segmentation of every distinct word (weighted by
+    * corpus frequency), and for `rounds` iterations merge the globally
+    * most frequent adjacent symbol pair (ties to the lexicographically
+    * smallest pair). Returns the ordered merge table (round, pair,
+    * frequency at merge time) — the tokenizer model artifact.
+    *
+    * The distinct-word working set is Zipf-bounded (vocabulary, not
+    * corpus, scale) so the per-round re-segmentation is a narrow map
+    * over it; only the pair-count aggregate (alphabet²-bounded) and the
+    * single argmax row move between rounds. The argmax collect is one
+    * row per round — bounded by construction, the same driver-probe
+    * budget as the Lloyd codebooks.
+    */
+  def bpeMergeRounds(docs: DataFrame, textCol: String,
+                     rounds: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    // vocabulary with corpus frequency — the classical BPE working set
+    var segmented = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val best = segmented
+        // fully-merged single-symbol words contribute no pairs (and
+        // sequence(1, 0) would DESCEND under the default step rule)
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] as l, syms[i] as r))")).as("p"),
+          col("n"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, freq) = best.head
+        merges += ((round, l + r, freq))
+        // re-segment: greedy left-to-right merge of the chosen pair
+        val next = segmented.select(expr(
+          s"""aggregate(syms,
+             |  named_struct('acc', cast(array() as array<string>),
+             |               'fused', false),
+             |  (st, s) -> IF(NOT st.fused AND size(st.acc) > 0
+             |                AND element_at(st.acc, -1) = ${sqlStr(l)}
+             |                AND s = ${sqlStr(r)},
+             |    named_struct('acc', concat(slice(st.acc, 1, size(st.acc) - 1),
+             |                   array(element_at(st.acc, -1) || s)),
+             |                 'fused', true),
+             |    named_struct('acc', concat(st.acc, array(s)),
+             |                 'fused', false)),
+             |  st -> st.acc)""".stripMargin).as("syms"), col("n"))
+          .localCheckpoint(true)
+        segmented.unpersist()
+        segmented = next
+        round += 1
+      }
+    }
+    segmented.unpersist()
+    docs.sparkSession.createDataFrame(merges.toSeq)
+      .toDF("round", "pair", "freq")
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 }

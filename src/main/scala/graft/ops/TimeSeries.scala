@@ -100,4 +100,32 @@ object TimeSeries {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .select((keyCol +: attrCols).map(col) :+ col(seqCol).as("last_seq"): _*)
   }
+
+  /** Time-bucket downsampling to OHLC bars (open/high/low/close +
+    * event count) per key — the standard telemetry/market resample.
+    * Open and close are argmin/argmax SELECTIONS by the total event
+    * order (ts, then `seqCol` for same-timestamp ties) via single
+    * struct-min/max aggregates — one map-side-combinable exchange, never
+    * a window sort over the raw stream, and no floating-point
+    * ARITHMETIC (min/max/first/last of doubles are exact picks, so the
+    * result is engine-reproducible; deliberately no sum/avg column —
+    * that belongs to the decimal-typed aggregates).
+    *
+    * Shape at 100 TB: aggregation state is one constant-size struct per
+    * (key, bucket); with time-partitioned input the exchange is
+    * partition-local. This is the compaction step that turns an
+    * unbounded event stream into a bounded bar table.
+    */
+  def resampleOhlc(events: DataFrame, keyCol: String, tsCol: String,
+                   seqCol: String, valCol: String,
+                   bucket: String = "hour"): DataFrame =
+    events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col(tsCol), col(seqCol), col(valCol)))
+          .getField(valCol).as("open"),
+        max(struct(col(tsCol), col(seqCol), col(valCol)))
+          .getField(valCol).as("close"),
+        min(col(valCol)).as("low"),
+        max(col(valCol)).as("high"))
 }
