@@ -3861,6 +3861,131 @@ object Queries {
               min(value) AS low, max(value) AS high
             FROM r GROUP BY 1, 2"""))
 
+  // per-vertex triangle counts over a sparse circulant graph on the
+  // part table (nodes = p_partkey mod N, chords +1/+2/7n+3 — triangle-
+  // rich at constant degree, so the graph SCALES with the table instead
+  // of densifying: a co-occurrence graph over bucketed keys saturates
+  // to a clique as SF grows). The oracle replays degree-ordered
+  // orientation with the same row-wise (degree, vertex) total order
+  private val triangleCountQ = Q(
+    "triangle_count",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst")))
+      Graph.triangleCounts(edges, "src", "dst")
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes FROM base),
+            canon AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst),
+            deg AS (
+              SELECT x, count(*) AS d FROM (
+                SELECT u AS x FROM canon UNION ALL SELECT v FROM canon)
+              GROUP BY 1),
+            orient AS (
+              SELECT CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.u ELSE c.v END AS lo,
+                     CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.v ELSE c.u END AS hi
+              FROM canon c
+              JOIN deg du ON du.x = c.u
+              JOIN deg dv ON dv.x = c.v),
+            wedges AS (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM orient e1 JOIN orient e2
+                ON e1.lo = e2.lo AND e1.hi < e2.hi),
+            closing AS (
+              SELECT lo AS b, hi AS c FROM orient
+              UNION ALL SELECT hi, lo FROM orient),
+            tris AS (
+              SELECT w.a, w.b, w.c FROM wedges w
+              WHERE EXISTS (SELECT 1 FROM closing x
+                            WHERE x.b = w.b AND x.c = w.c))
+            SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+              SELECT a AS vertex FROM tris
+              UNION ALL SELECT b FROM tris
+              UNION ALL SELECT c FROM tris)
+            GROUP BY 1"""))
+
+  // document-level collocation lift in milli units (log-free PMI core)
+  private val cooccurrenceLiftQ = Q(
+    "cooccurrence_lift",
+    (s, d) => TextAnalysis.cooccurrenceLift(documents(s, d), "doc_id",
+      "text", minSupport = 5L),
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            dfq AS (SELECT term, count(*) AS n_t FROM toks GROUP BY 1),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+              CAST(da.n_t AS BIGINT) AS n_a, CAST(db.n_t AS BIGINT) AS n_b,
+              CAST((n_ab * n_docs * 1000) // (da.n_t * db.n_t) AS BIGINT)
+                AS lift_milli
+            FROM pairs
+            JOIN dfq da ON da.term = term_a
+            JOIN dfq db ON db.term = term_b
+            CROSS JOIN nd"""))
+
+  // unsmoothed bigram LM: conditional milli-probabilities over adjacent
+  // word pairs; context counts are bigram-head totals
+  private val bigramLmQ = Q(
+    "bigram_lm",
+    (s, d) => TextAnalysis.bigramLm(documents(s, d), "text"),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+              FROM documents),
+            bg AS (
+              SELECT a.w AS w1, b.w AS w2, count(*) AS n_12
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(n_12) AS n_1ctx FROM bg GROUP BY 1)
+            SELECT w1, w2, CAST(n_12 AS BIGINT) AS n_12,
+              CAST(n_1ctx AS BIGINT) AS n_1ctx,
+              CAST((n_12 * 1000) // n_1ctx AS BIGINT) AS p_milli
+            FROM bg JOIN ctx USING (w1)"""))
+
+  // hopping windows (1 h size / 15 min slide) over events: each event
+  // lands in 4 epoch-aligned hops; bounds emitted as epoch seconds
+  private val hoppingWindowQ = Q(
+    "hopping_window_agg",
+    (s, d) => Incremental.hoppingCounts(events(s, d), "ts", "event_type",
+      sizeSec = 3600L, slideSec = 900L),
+    Some("""WITH hops AS (
+              -- integer microseconds, then floor-to-slide: epoch(ts)
+              -- returns DOUBLE and casting it to BIGINT ROUNDS, which
+              -- would shift sub-second events across hop boundaries
+              SELECT event_type, value,
+                (epoch_us(ts) // 900000000) * 900 - k * 900 AS hop_start
+              FROM events
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+            SELECT hop_start, hop_start + 3600 AS hop_end, event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(value) AS min_value, max(value) AS max_value
+            FROM hops GROUP BY 1, 2, 3"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -3899,6 +4024,7 @@ object Queries {
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     bm25Topk, invertedIndexQ, ccnetPplBucket, urlBlocklist, cdcApply,
     setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
+    triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

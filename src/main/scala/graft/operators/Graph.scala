@@ -701,4 +701,58 @@ object Graph {
     */
   def withRelationshipId(df: DataFrame, headKey: Column, tailKey: Column): DataFrame =
     df.withColumn("relationship_id", relationshipId(headKey, tailKey))
+
+  /** Per-vertex triangle counts by the degree-ordered compact-forward
+    * algorithm (Latapy 2008; the cohesion/clustering-coefficient
+    * numerator). Edges canonicalize to undirected-distinct first, then
+    * ORIENT low→high under the total order (degree, vertex): every
+    * triangle is counted exactly once, as the wedge at its
+    * lowest-ordered vertex closed by the oriented third edge — and the
+    * orientation bounds each vertex's out-degree by O(√|E|), which is
+    * what keeps the wedge join from exploding on hubs (orienting by raw
+    * vertex id instead leaves a high-degree hub with millions of
+    * out-edges and a quadratic wedge set — the classic skew failure).
+    *
+    * Shape at 100 TB: three shuffles (canonical dedup, degree agg +
+    * broadcast-or-shuffle attach, wedge self-join + closure join on
+    * edge keys), all hash exchanges on bounded-fanout keys; no windows,
+    * no driver state. Output is one row per vertex that closes at least
+    * one triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    // canonical undirected-distinct edges, self-loops dropped
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("x"))
+      .union(canon.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient along the (degree, vertex) total order
+    val withDeg = canon
+      .join(broadcast(deg.withColumnRenamed("x", "u")
+        .withColumnRenamed("d", "du")), "u")
+      .join(broadcast(deg.withColumnRenamed("x", "v")
+        .withColumnRenamed("d", "dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("lo"), col("v").as("hi")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+        .as("e"))
+      .select(col("e.lo"), col("e.hi"))
+    // wedges at the lowest-ordered vertex, closed by an oriented edge
+    val wedges = oriented.alias("e1").join(oriented.alias("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+    // the closing edge (b, c) may be oriented either way under the
+    // degree order — probe both
+    val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))
+      .union(oriented.select(col("hi").as("b"), col("lo").as("c")))
+    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -603,4 +603,70 @@ object TextAnalysis {
   }
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Document-level token co-occurrence with PMI-style lift, in exact
+    * integer-rational milli units — the collocation/association pass
+    * (pointwise mutual information's monotone log-free core):
+    *
+    *   lift(a, b) = P(a,b) / (P(a)·P(b))
+    *              = n_ab · N / (n_a · n_b)   (document frequencies)
+    *
+    * emitted as `(n_ab · N · 1000) div (n_a · n_b)`. Pairs are DISTINCT
+    * tokens per document (presence, not token count), canonical a < b,
+    * pruned by `minSupport` co-occurring documents.
+    *
+    * Shape at 100 TB: the per-doc distinct-token explode self-joins
+    * INSIDE the document only (bounded by per-doc vocabulary²), then
+    * one map-side-combinable pair count; unary document frequencies are
+    * vocabulary-scale and broadcast back. The minSupport filter lands
+    * on the aggregate, pruning the Zipf tail before the join.
+    */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+                       minSupport: Long = 2L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val dfTbl = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val pairs = toks.alias("a").join(toks.alias("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(dfTbl.select(col("term").as("term_a"),
+        col("n_t").as("n_a"))), "term_a")
+      .join(broadcast(dfTbl.select(col("term").as("term_b"),
+        col("n_t").as("n_b"))), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_milli",
+        expr("(n_ab * n_docs * 1000) div (n_a * n_b)"))
+      .select("term_a", "term_b", "n_ab", "n_a", "n_b", "lift_milli")
+  }
+
+  /** Unsmoothed bigram language model in exact milli units: for every
+    * adjacent word pair, the conditional probability estimate
+    * `P(w2|w1) = count(w1 w2) / count(w1 ·)` as
+    * `(n_12 · 1000) div n_1ctx`, where the context count n_1ctx counts
+    * w1 as a bigram HEAD (not raw unigrams — the final token of a
+    * document heads nothing, the standard LM bookkeeping). Adjacent
+    * pairs come from one narrow per-row transform — no positional
+    * self-join, no shuffle of the corpus — feeding one
+    * map-side-combinable aggregation; context totals re-derive from the
+    * bigram table itself (vocabulary-scale, broadcast back).
+    */
+  def bigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val bigrams = docs
+      .select(tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__t) - 1)," +
+          " i -> struct(__t[i-1] as w1, __t[i] as w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_12"))
+    val ctx = bigrams.groupBy(col("w1")).agg(sum(col("n_12")).as("n_1ctx"))
+    bigrams.join(broadcast(ctx), "w1")
+      .withColumn("p_milli", expr("(n_12 * 1000) div n_1ctx"))
+      .select("w1", "w2", "n_12", "n_1ctx", "p_milli")
+  }
 }

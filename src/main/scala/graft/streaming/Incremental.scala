@@ -31,6 +31,32 @@ object Incremental {
       .groupBy(date_trunc("week", col(tsCol)).as("week_start"), col(keyCol))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Hopping (sliding) window aggregation: overlapping windows of
+    * `sizeSec` seconds every `slideSec` seconds (size must be a
+    * multiple of slide), epoch-aligned like Spark's `window()`. Each
+    * event lands in size/slide windows; count plus min/max value per
+    * (window, key) — selection-only measures, so doubles stay
+    * engine-exact. Window bounds emit as EPOCH SECONDS, sidestepping
+    * timestamp-type drift between engines. Works unchanged on a
+    * streaming frame under a watermark; batch is the replayable oracle.
+    *
+    * Shape at 100 TB: the size/slide fan-out happens map-side inside
+    * `window()`'s expand, the aggregate is map-side combinable, and the
+    * exchange is (window, key)-bounded — the standard sliding-metric
+    * plan. Never a self-join on time ranges.
+    */
+  def hoppingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    sizeSec: Long, slideSec: Long): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").cast("long").as("hop_start"),
+        col("window.end").cast("long").as("hop_end"),
+        col(keyCol), col("n_events"), col("min_value"), col("max_value"))
+
   /** Streaming variant with event-time watermark: late rows beyond the
     * watermark are dropped, matching the reference's "window closed, rerun
     * appends are deduped" behavior. window() is epoch-aligned and
