@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.GraftFunctions._
 import graft.operators.{Clean, Discover, Graph}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
+import graft.ops.{Dedup, EventAnalytics, Multimodal, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.Incremental
 
 /** The driver-facing query surface: every operator family from SURVEY.md §2
@@ -3986,6 +3986,77 @@ object Queries {
               min(value) AS min_value, max(value) AS max_value
             FROM hops GROUP BY 1, 2, 3"""))
 
+  // strictly-ordered signup→view→click→purchase funnel with a 7-day
+  // conversion window; per-step distinct-user counts
+  private val funnelConversionQ = Q(
+    "funnel_conversion",
+    (s, d) => EventAnalytics.funnelConversion(events(s, d), "user_id", "ts",
+      "event_type", Seq("signup", "view", "click", "purchase"),
+      windowSec = Some(7L * 86400L)),
+    Some("""WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'view' AND e.ts > s1.t
+                AND e.ts <= s1.t + INTERVAL 604800 SECOND
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'click' AND e.ts > s2.t
+                AND e.ts <= s2.t + INTERVAL 604800 SECOND
+              GROUP BY 1),
+            s4 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s3 ON e.user_id = s3.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s3.t
+                AND e.ts <= s3.t + INTERVAL 604800 SECOND
+              GROUP BY 1)
+            SELECT 1 AS step_n, 'signup' AS step, count(*) AS n_users FROM s1
+            UNION ALL SELECT 2, 'view', count(*) FROM s2
+            UNION ALL SELECT 3, 'click', count(*) FROM s3
+            UNION ALL SELECT 4, 'purchase', count(*) FROM s4"""))
+
+  // weekly cohort retention: (first-event week, whole-week offset) →
+  // distinct active users; offsets are exact epoch-second divisions
+  private val retentionCohortsQ = Q(
+    "retention_cohorts",
+    (s, d) => EventAnalytics.retentionCohorts(events(s, d), "user_id", "ts"),
+    Some("""WITH act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+              FROM events),
+            f AS (
+              SELECT user_id, min(act_week) AS cohort_week
+              FROM act GROUP BY 1)
+            SELECT cohort_week,
+              (epoch_us(act_week) - epoch_us(cohort_week)) // 604800000000
+                AS week_offset,
+              count(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN f USING (user_id) GROUP BY 1, 2"""))
+
+  // per-user next-event Markov transitions with milli conditional
+  // probabilities; (ts, event_id) is the deterministic total order
+  private val eventTransitionsQ = Q(
+    "event_transitions",
+    (s, d) => EventAnalytics.eventTransitions(events(s, d), "user_id", "ts",
+      "event_type", "event_id"),
+    Some("""WITH seq AS (
+              SELECT user_id, event_type AS from_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events),
+            tr AS (
+              SELECT from_type, to_type, count(*) AS n_trans
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            ctx AS (
+              SELECT from_type, sum(n_trans) AS n_from FROM tr GROUP BY 1)
+            SELECT from_type, to_type, n_trans,
+              CAST(n_from AS BIGINT) AS n_from,
+              CAST((n_trans * 1000) // n_from AS BIGINT) AS p_milli
+            FROM tr JOIN ctx USING (from_type)"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4025,6 +4096,7 @@ object Queries {
     bm25Topk, invertedIndexQ, ccnetPplBucket, urlBlocklist, cdcApply,
     setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
+    funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event log: ordered funnel
+  * conversion, cohort retention, and the per-user next-event transition
+  * matrix. These are the standard read-side queries an event pipeline
+  * like the reference's weekly flow (`etl_flow.py`'s trailing-window
+  * rerun over rating events) feeds downstream; all three emit exact
+  * integer/timestamp results so the DuckDB oracle hash-matches.
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered funnel: a user reaches step i+1 when an event of
+    * that type occurs STRICTLY after their first step-i arrival (and
+    * within `windowSec` of it, when set). One row per step:
+    * `(step_n, step, n_users)`.
+    *
+    * Scale shape: step 1 is one map-side-combinable min per user; each
+    * later step is the step-filtered slice of events joined to the
+    * previous frontier — every stage exchanges on the SAME user key, so
+    * the k−1 joins reuse one partitioning, and each frontier is at most
+    * one row per user (monotonically shrinking). Never a window over
+    * the full history, never an unfiltered self-join; k is a small
+    * constant set by the funnel definition.
+    */
+  def funnelConversion(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String],
+                       windowSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var frontier = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    val frontiers = scala.collection.mutable.ArrayBuffer((steps.head, frontier))
+    steps.tail.foreach { st =>
+      val prev = frontier.select(col(userCol), col("t").as("prev_t"))
+      val bound = windowSec.map(w =>
+          col(tsCol) <= col("prev_t") + expr(s"INTERVAL $w SECOND"))
+        .getOrElse(lit(true))
+      frontier = events.filter(col(typeCol) === st)
+        .join(prev, userCol)
+        .filter(col(tsCol) > col("prev_t") && bound)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+      frontiers += ((st, frontier))
+    }
+    frontiers.zipWithIndex.map { case ((st, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_n"), lit(st).as("step"), col("n_users"))
+    }.reduce(_.union(_))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the `date_trunc`
+    * week of their first event; each (cohort week, whole-week offset)
+    * cell counts the distinct users active that week. Week offsets are
+    * exact integer divisions of epoch-second differences (aligned week
+    * starts are always 604800 s apart in UTC).
+    *
+    * Scale shape: activity collapses to DISTINCT (user, week) FIRST —
+    * the 100 TB event log shrinks to at most users × weeks rows before
+    * anything joins — then one user-keyed join against the per-user min
+    * (itself map-side combinable), and a final two-phase distinct
+    * count. Three bounded exchanges, no windows.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val act = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("act_week"))
+      .distinct()
+    val first = act.groupBy(col(userCol))
+      .agg(min(col("act_week")).as("cohort_week"))
+    act.join(first, userCol)
+      .withColumn("week_offset", expr(
+        "(unix_timestamp(act_week) - unix_timestamp(cohort_week)) div 604800"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** First-order (Markov) transition matrix over each user's
+    * time-ordered event stream: counts of adjacent (from, to) event
+    * types and the conditional milli-probability
+    * `P(to|from) = (n_trans · 1000) div n_from`, with `(ts, id)` as the
+    * deterministic total order. The LM bookkeeping matches
+    * [[TextAnalysis.bigramLm]]: context totals are transition-HEAD
+    * sums, so each user's final event heads nothing.
+    *
+    * Scale shape: one user-keyed sort-window produces the adjacent
+    * pairs (the only full exchange), the pair count is map-side
+    * combinable, and context totals re-derive from the tiny transition
+    * table itself and broadcast back — event-type² rows, never a
+    * second pass over the log.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val ctx = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    trans.join(broadcast(ctx), "from_type")
+      .withColumn("p_milli", expr("(n_trans * 1000) div n_from"))
+      .select("from_type", "to_type", "n_trans", "n_from", "p_milli")
+  }
+}

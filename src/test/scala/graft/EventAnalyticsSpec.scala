@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.EventAnalytics
+
+/** Hand-computed fixtures for the product-analytics operators: funnel
+  * conversion, cohort retention, and event transitions.
+  */
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnelConversion: strict order and conversion window both gate") {
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "view"),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "buy"),
+      // u2 views BEFORE signup — view must not count
+      (4L, ts("2024-01-02 00:00:00"), 2L, "view"),
+      (5L, ts("2024-01-02 01:00:00"), 2L, "signup"),
+      // u3 views past the 1-day window
+      (6L, ts("2024-01-03 00:00:00"), 3L, "signup"),
+      (7L, ts("2024-01-05 00:00:00"), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnelConversion(ev, "user_id", "ts",
+        "event_type", Seq("signup", "view", "buy"),
+        windowSec = Some(86400L))
+      .as[(Int, String, Long)].collect().toSet
+    assert(out == Set((1, "signup", 3L), (2, "view", 1L), (3, "buy", 1L)))
+  }
+
+  test("funnelConversion: equal timestamps are not 'after'") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:00:00"), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnelConversion(ev, "user_id", "ts",
+        "event_type", Seq("a", "b"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(out == Set((1, "a", 1L), (2, "b", 0L)))
+  }
+
+  test("retentionCohorts: offsets count whole weeks from the cohort week") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Mon wk0 (2024-01-01 is a Monday)
+      (1L, ts("2024-01-10 10:00:00")), // wk1
+      (1L, ts("2024-01-24 10:00:00")), // wk3
+      (2L, ts("2024-01-09 10:00:00")), // cohort wk of Jan 8
+      (2L, ts("2024-01-12 10:00:00"))) // same week → one cell
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val w0 = ts("2024-01-01 00:00:00")
+    val w1 = ts("2024-01-08 00:00:00")
+    assert(out == Set((w0, 0L, 1L), (w0, 1L, 1L), (w0, 3L, 1L),
+      (w1, 0L, 1L)))
+  }
+
+  test("eventTransitions: head-context conditionals in milli units") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "a"),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "c"),
+      (5L, ts("2024-01-01 00:00:00"), 2L, "b")) // single event: no pair
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.eventTransitions(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .select("from_type", "to_type", "n_trans", "p_milli")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", "b", 1L, 500L), ("a", "c", 1L, 500L), ("b", "a", 1L, 1000L)))
+  }
+
+  test("eventTransitions: ts ties break by id deterministically") {
+    val ev = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "x"),
+      (11L, ts("2024-01-01 00:00:00"), 1L, "y"),
+      (12L, ts("2024-01-01 00:00:00"), 1L, "z"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.eventTransitions(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(out == Set(("x", "y"), ("y", "z")))
+  }
+}
