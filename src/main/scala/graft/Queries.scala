@@ -4057,6 +4057,124 @@ object Queries {
               CAST((n_trans * 1000) // n_from AS BIGINT) AS p_milli
             FROM tr JOIN ctx USING (from_type)"""))
 
+  // common-neighbor link prediction over the same circulant graph as
+  // triangle_count: non-adjacent pairs sharing >= 2 neighbors, scored
+  // by exact milli-Jaccard of their neighborhoods
+  private val commonNeighborsQ = Q(
+    "common_neighbors",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst")))
+      Graph.commonNeighbors(edges, "src", "dst", minCommon = 2L)
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes FROM base),
+            canon AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst),
+            adj AS (
+              SELECT u AS a, v AS b FROM canon
+              UNION ALL SELECT v, u FROM canon),
+            deg AS (SELECT a, count(*) AS d FROM adj GROUP BY 1),
+            pairs AS (
+              SELECT e1.b AS v1, e2.b AS v2, count(*) AS n_common
+              FROM adj e1 JOIN adj e2
+                ON e1.a = e2.a AND e1.b < e2.b
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT v1, v2, n_common,
+              d1.d AS deg1, d2.d AS deg2,
+              (n_common * 1000) // (d1.d + d2.d - n_common) AS jaccard_milli
+            FROM pairs p
+            JOIN deg d1 ON d1.a = p.v1
+            JOIN deg d2 ON d2.a = p.v2
+            WHERE NOT EXISTS (SELECT 1 FROM canon c
+                              WHERE c.u = p.v1 AND c.v = p.v2)"""))
+
+  // schema evolution across parquet batches: an early batch without the
+  // quality column and a later batch with it, read under mergeSchema —
+  // the additive-column migration every long-lived corpus goes through.
+  // The aggregate distinguishes absent (NULL) from present values, so a
+  // wrong NULL-fill or column misalignment shifts a sum and breaks the
+  // hash. At 100 TB this is the ingest contract: schema-on-read with
+  // explicit evolution, never a rewrite of the historical corpus.
+  private val schemaEvolutionQ = Q(
+    "schema_evolution_merge",
+    (s, d) => {
+      val base = scratchDir("graft_schemaevo_")
+      val docs = documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$base/b1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("doc_id") % 97).as("q_bucket"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$base/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/b1", s"$base/b2")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(col("q_bucket")).as("n_with_bucket"),
+          sum(coalesce(col("q_bucket"), lit(0L))).as("sum_bucket"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_with_bucket,
+              CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN doc_id % 97
+                            ELSE 0 END) AS BIGINT) AS sum_bucket
+            FROM documents GROUP BY 1"""))
+
+  // streaming ingest dedup via dropDuplicatesWithinWatermark: two
+  // overlapping micro-batch drops (every event_id % 3 == 2 row arrives
+  // twice) flow through watermark-bounded dedup state into a parquet
+  // sink; the final table must equal exact DISTINCT over the log. The
+  // watermark delay covers the corpus span here, so no state evicts and
+  // the dedup is exact — at 100 TB/day the SAME operator with a
+  // real-time watermark is the bounded-state answer: state holds only
+  // keys newer than the delay instead of the full key history.
+  private val incrStreamDedup = Q(
+    "incr_stream_dedup",
+    (s, d) => {
+      val base = scratchDir("graft_sdedup_")
+      val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+      val ev = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4097,6 +4215,7 @@ object Queries {
     setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
+    commonNeighborsQ, schemaEvolutionQ, incrStreamDedup,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

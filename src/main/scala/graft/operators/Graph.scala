@@ -755,4 +755,48 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Common-neighbor link prediction: for every NON-adjacent canonical
+    * pair (v1 < v2) sharing at least `minCommon` neighbors, the shared
+    * count, both degrees, and the neighborhood-Jaccard score in exact
+    * milli units, `(n_common · 1000) div (deg1 + deg2 − n_common)` —
+    * the classic "people you may know" / entity-resolution candidate
+    * generator (Liben-Nowell & Kleinberg 2003's CN and Jaccard
+    * predictors, log-free so every engine agrees bit-for-bit).
+    *
+    * Shape at 100 TB: the wedge self-join is keyed on the CENTER vertex
+    * (each pair of a vertex's neighbors is a candidate), so its cost is
+    * Σ deg² — inherent to exact common-neighbor counting, not a plan
+    * artifact; on power-law graphs cap hub degrees upstream (drop or
+    * sample neighbors beyond a cutoff, the standard mitigation) before
+    * calling this. Everything downstream of the wedge generate is
+    * map-side-combinable counting plus vertex-scale degree joins, and
+    * the `minCommon` filter lands on the aggregate, pruning the long
+    * tail of incidental pairs before the joins.
+    */
+  def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+                      minCommon: Long = 2L): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // full adjacency (both directions) for wedges and degrees
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .union(canon.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val pairs = adj.alias("e1").join(adj.alias("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .groupBy(col("e1.b").as("v1"), col("e2.b").as("v2"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    pairs
+      .join(canon.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"), "left_anti")
+      .join(deg.select(col("a").as("v1"), col("d").as("deg1")), "v1")
+      .join(deg.select(col("a").as("v2"), col("d").as("deg2")), "v2")
+      .withColumn("jaccard_milli",
+        expr("(n_common * 1000) div (deg1 + deg2 - n_common)"))
+      .select("v1", "v2", "n_common", "deg1", "deg2", "jaccard_milli")
+  }
 }

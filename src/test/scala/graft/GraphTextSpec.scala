@@ -39,6 +39,33 @@ class GraphTextSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("commonNeighbors: square predicts its diagonals, excludes edges") {
+    // 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) share both their
+    // neighbors; adjacent pairs share none and edges are excluded anyway
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.commonNeighbors(edges, "src", "dst", minCommon = 2L)
+      .select("v1", "v2", "n_common", "jaccard_milli")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)))
+  }
+
+  test("commonNeighbors: triangle is fully adjacent, nothing to predict") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.commonNeighbors(edges, "src", "dst", 1L).count() == 0)
+  }
+
+  test("commonNeighbors: minCommon prunes single-wedge pairs") {
+    // path 1-2-3: (1,3) share only vertex 2
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.commonNeighbors(edges, "src", "dst", minCommon = 2L)
+      .count() == 0)
+    val loose = Graph.commonNeighbors(edges, "src", "dst", minCommon = 1L)
+      .select("v1", "v2", "n_common", "deg1", "deg2", "jaccard_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(loose == Set((1L, 3L, 1L, 1L, 1L, 1000L)))
+  }
+
   test("cooccurrenceLift: document-frequency lift in exact milli units") {
     val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c a"))
       .toDF("doc_id", "text")
