@@ -4175,6 +4175,70 @@ object Queries {
               round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1"""))
 
+  // stream-stream interval join run as a REAL streaming job: clicks and
+  // purchases arrive as separate streams in two micro-batch drops each;
+  // every purchase joins the same user's clicks from the trailing hour
+  // (equality + event-time range, the append-mode stream-stream join),
+  // lands in a parquet sink, and is re-aggregated per user. Cross-batch
+  // pairs (click in one batch, purchase in another) only match through
+  // the join STATE — the batch oracle proves the stateful join equals
+  // the one-shot interval join. At 100 TB/day the same operator with a
+  // real-time watermark bounds state to the join window instead of the
+  // full history; here the delay covers the corpus so the join is exact.
+  private val incrStreamJoin = Q(
+    "incr_stream_join",
+    (s, d) => {
+      val base = scratchDir("graft_sjoin_")
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("user_id").as("p_user_id"))
+      clicks.filter(col("click_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/clicks")
+      clicks.filter(col("click_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/clicks")
+      purch.filter(col("purchase_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/purch")
+      purch.filter(col("purchase_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/purch")
+      val cs = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+        .withWatermark("click_ts", "90 days")
+      val ps = s.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/purch")
+        .withWatermark("purchase_ts", "90 days")
+      ps.join(cs,
+          ps("p_user_id") === cs("user_id") &&
+            cs("click_ts") <= ps("purchase_ts") &&
+            cs("click_ts") >= ps("purchase_ts") - expr("INTERVAL 3600 SECOND"))
+        .select(col("p_user_id"), col("purchase_id"), col("click_id"))
+        .writeStream.format("parquet").option("path", s"$base/table")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/table")
+        .groupBy(col("p_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          countDistinct(col("click_id")).as("n_clicks"))
+    },
+    Some("""WITH c AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase')
+            SELECT p.user_id, count(*) AS n_pairs,
+              count(DISTINCT p.event_id) AS n_purchases,
+              count(DISTINCT c.event_id) AS n_clicks
+            FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 3600 SECOND
+            GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4215,7 +4279,7 @@ object Queries {
     setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
-    commonNeighborsQ, schemaEvolutionQ, incrStreamDedup,
+    commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,
