@@ -4239,6 +4239,43 @@ object Queries {
               AND c.ts >= p.ts - INTERVAL 3600 SECOND
             GROUP BY 1"""))
 
+  // perceptual near-dup image grouping: red-channel average-hash over
+  // the REAL decoded PPM pixels, grouped into duplicate clusters. The
+  // oracle replays the generator's closed-form gradient through the
+  // same block-mean/threshold/bit-pack integer math.
+  private val imageAHashDedupQ = Q(
+    "image_ahash_dedup",
+    (s, d) => Multimodal.imageAHash(Multimodal.syntheticMedia(s, 200),
+        channel = 0)
+      .toDF().groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_media_id")),
+    Some("""WITH ids AS (
+              SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 200) t(i)),
+            img0 AS (
+              SELECT media_id, 16 + media_id % 32 AS w, 16 + media_id % 24 AS h
+              FROM ids WHERE media_id % 3 = 0),
+            px AS (
+              SELECT media_id, (x * 8) // w AS bx, (x * 255) // w AS v
+              FROM img0, unnest(range(0, w)) AS tx(x)),
+            bm AS (
+              SELECT media_id, bx, SUM(v) // COUNT(*) AS m
+              FROM px GROUP BY 1, 2),
+            thr AS (
+              SELECT media_id, (8 * SUM(m)) // 64 AS t FROM bm GROUP BY 1),
+            rowpat AS (
+              SELECT b.media_id,
+                SUM(CASE WHEN b.m > t.t THEN 1 ELSE 0 END * (1 << (7 - b.bx)))
+                  AS pat
+              FROM bm b JOIN thr t USING (media_id) GROUP BY 1),
+            hashes AS (
+              SELECT media_id,
+                CAST(pat * 16843009 AS BIGINT) AS hash_hi,
+                CAST(pat * 16843009 AS BIGINT) AS hash_lo
+              FROM rowpat)
+            SELECT hash_hi, hash_lo, count(*) AS n_images,
+              min(media_id) AS min_media_id
+            FROM hashes GROUP BY 1, 2"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4280,6 +4317,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
+    imageAHashDedupQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -555,4 +555,60 @@ object Multimodal {
       }
     }
   }
+
+  case class ImageAHash(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual average-hash (aHash) over one channel of the REAL
+    * decoded PPM pixels — the classic near-duplicate image fingerprint:
+    * 8×8 block integer means (pixel x maps to block `x·8 div w`, all
+    * arithmetic truncating 64-bit), thresholded at the integer mean of
+    * the 64 block means, packed row-major into two unsigned 32-bit
+    * halves (so neither engine touches the sign bit). Identical-content
+    * images collapse to one hash; visually-near images differ in few
+    * bits, so Hamming-radius grouping is a bucket join on the halves.
+    * The channel is selectable; hashing a deterministic channel keeps
+    * the fingerprint — like [[featureStats]]'s columns — clear of the
+    * generator's seeded-noise channel, which is what makes the oracle
+    * replay exact.
+    *
+    * Scale shape: one narrow decode pass (`mapPartitions`, the codec
+    * boundary Catalyst can't cross), 16 longs of state per image, then
+    * whatever bounded aggregation the caller groups the fingerprints
+    * with — dedup over 100 TB of images is a hash-keyed exchange of
+    * 24-byte rows, not pixels.
+    */
+  def imageAHash(media: Dataset[MediaRow], channel: Int = 0): Dataset[ImageAHash] = {
+    import media.sparkSession.implicits._
+    require(channel >= 0 && channel < 3, "channel must be 0, 1, or 2")
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = PpmCodec.decode(r.payload)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val b = by * 8 + x * 8 / w
+            sums(b) += rgb((y * w + x) * 3 + channel) & 0xff
+            counts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(b =>
+          if (counts(b) == 0) 0L else sums(b) / counts(b))
+        val thr = means.sum / 64
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          val bit = if (means(i) > thr) 1L else 0L
+          if (i < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+          i += 1
+        }
+        ImageAHash(r.media_id, hi, lo)
+      }
+    }
+  }
 }

@@ -187,4 +187,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(vid.vid_rgb_sum.contains(expected), vid.vid_rgb_sum)
     assert(vid.n_bytes == 8L + 6 * 159)
   }
+
+  test("imageAHash matches a by-hand block-mean replay; dups collide") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val hashes = Multimodal.imageAHash(media, channel = 0)
+      .collect().map(h => h.media_id -> (h.hash_hi, h.hash_lo)).toMap
+    // ids 0,3,6,9 are images; replay id=0 (w=16, h=16) by hand:
+    // R = x*255/16 independent of y, pixel x lands in block x*8/16
+    val w = 16
+    val mx = (0 until 8).map { bx =>
+      val xs = (0 until w).filter(x => x * 8 / w == bx)
+      xs.map(x => (x * 255 / w).toLong).sum / xs.length
+    }
+    val thr = mx.sum * 8 / 64
+    val pat = mx.zipWithIndex.map { case (m, bx) =>
+      if (m > thr) 1L << (7 - bx) else 0L
+    }.sum
+    val expect = pat * 0x01010101L
+    assert(hashes(0L) == (expect, expect), hashes(0L))
+    // every image row hashes; halves stay in unsigned-32 range
+    assert(hashes.keySet == Set(0L, 3L, 6L, 9L))
+    hashes.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
 }
