@@ -4276,6 +4276,51 @@ object Queries {
               min(media_id) AS min_media_id
             FROM hashes GROUP BY 1, 2"""))
 
+  // EXACT distinct via dense-bitmap aggregation: fixed words-per-group
+  // state on the exchange instead of shuffled ids — the groupBitmap
+  // rollup for dictionary-encoded id domains
+  private val bitmapDistinctQ = Q(
+    "bitmap_distinct_users",
+    (s, d) => events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        udaf(new graft.functions.Aggregators.BitmapDistinct(65535),
+          org.apache.spark.sql.Encoders.scalaLong)
+          .apply(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+              count(*) AS n_rows
+            FROM events GROUP BY 1"""))
+
+  // audience overlap by bitmap set algebra: one pass, two conditional
+  // bitmaps, popcounts of A/B/AND/OR — never a self-join of the log
+  private val audienceOverlapQ = Q(
+    "bitmap_audience_overlap",
+    (s, d) => events(s, d)
+      .select(col("user_id"),
+        (col("event_type") === "click").as("in_a"),
+        (col("event_type") === "purchase").as("in_b"))
+      .agg(
+        udaf(new graft.functions.Aggregators.AudienceOverlap(65535),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaBoolean,
+            org.apache.spark.sql.Encoders.scalaBoolean))
+          .apply(col("user_id"), col("in_a"), col("in_b")).as("o"))
+      .select(col("o._1").as("n_click_users"),
+        col("o._2").as("n_purchase_users"),
+        col("o._3").as("n_both"), col("o._4").as("n_either")),
+    Some("""WITH a AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+            b AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM a) AS n_click_users,
+              (SELECT count(*) FROM b) AS n_purchase_users,
+              (SELECT count(*) FROM a
+               WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
+              (SELECT count(*) FROM (
+                 SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_either"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4317,7 +4362,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
-    imageAHashDedupQ,
+    imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -238,4 +238,97 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** EXACT distinct count over a bounded non-negative id domain as a
+    * dense bitmap — the ClickHouse `groupBitmap` / Druid bitmap-rollup
+    * shape. State is `ceil((maxId+1)/64)` words per group regardless of
+    * row count; reduce sets a bit, merge ORs words, so Spark combines
+    * it map-side like any built-in and the exchange carries fixed-size
+    * state, not ids. For unbounded or sparse domains use [[HllDistinct]]
+    * (approximate) or a compressed bitmap — dense is the right call
+    * when the id space is a dictionary-encoded surrogate range, the
+    * standard warehouse layout. Out-of-range ids fail loudly: silently
+    * dropping them would fake exactness.
+    */
+  class BitmapDistinct(maxId: Int) extends Aggregator[Long, Array[Long], Long] {
+    require(maxId >= 0)
+    private val nWords = (maxId >>> 6) + 1
+
+    override def zero: Array[Long] = new Array[Long](nWords)
+
+    override def reduce(bm: Array[Long], id: Long): Array[Long] = {
+      require(id >= 0 && id <= maxId, s"id $id outside [0, $maxId]")
+      bm((id >>> 6).toInt) |= 1L << (id & 63)
+      bm
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < nWords) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(bm: Array[Long]): Long = {
+      var n = 0L; var i = 0
+      while (i < nWords) { n += java.lang.Long.bitCount(bm(i)); i += 1 }
+      n
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Audience overlap via TWO conditional bitmaps in one aggregate:
+    * input rows carry an id plus membership flags for cohorts A and B;
+    * the finish popcounts A, B, their intersection (word-wise AND) and
+    * union (word-wise OR) — all EXACT. This is the set-algebra rollup
+    * behind "users who did both / either" overlap matrices: one pass
+    * over the log, fixed state per group, no self-join of the event
+    * stream against itself.
+    */
+  class AudienceOverlap(maxId: Int)
+      extends Aggregator[(Long, Boolean, Boolean), (Array[Long], Array[Long]),
+                         (Long, Long, Long, Long)] {
+    require(maxId >= 0)
+    private val nWords = (maxId >>> 6) + 1
+
+    override def zero: (Array[Long], Array[Long]) =
+      (new Array[Long](nWords), new Array[Long](nWords))
+
+    override def reduce(s: (Array[Long], Array[Long]),
+                        x: (Long, Boolean, Boolean)): (Array[Long], Array[Long]) = {
+      val (id, inA, inB) = x
+      require(id >= 0 && id <= maxId, s"id $id outside [0, $maxId]")
+      val w = (id >>> 6).toInt; val bit = 1L << (id & 63)
+      if (inA) s._1(w) |= bit
+      if (inB) s._2(w) |= bit
+      s
+    }
+
+    override def merge(a: (Array[Long], Array[Long]),
+                       b: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
+      var i = 0
+      while (i < nWords) { a._1(i) |= b._1(i); a._2(i) |= b._2(i); i += 1 }
+      a
+    }
+
+    override def finish(s: (Array[Long], Array[Long])): (Long, Long, Long, Long) = {
+      var nA = 0L; var nB = 0L; var nBoth = 0L; var nEither = 0L
+      var i = 0
+      while (i < nWords) {
+        nA += java.lang.Long.bitCount(s._1(i))
+        nB += java.lang.Long.bitCount(s._2(i))
+        nBoth += java.lang.Long.bitCount(s._1(i) & s._2(i))
+        nEither += java.lang.Long.bitCount(s._1(i) | s._2(i))
+        i += 1
+      }
+      (nA, nB, nBoth, nEither)
+    }
+
+    override def bufferEncoder: Encoder[(Array[Long], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[(Long, Long, Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -156,4 +156,47 @@ class AggregatorsSpec extends SparkTestBase {
       assert(exact(t) - c <= floor, s"$t undercounted beyond the bound")
     }
   }
+
+  test("bitmap distinct is exact and matches countDistinct per group") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val ours = events.groupBy($"event_type")
+      .agg(udaf(new graft.functions.Aggregators.BitmapDistinct(65535),
+        org.apache.spark.sql.Encoders.scalaLong)
+        .apply($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ours == exact)
+  }
+
+  test("bitmap distinct rejects out-of-domain ids loudly") {
+    val ex = intercept[Exception] {
+      Seq(5L, 70L).toDF("id")
+        .agg(udaf(new graft.functions.Aggregators.BitmapDistinct(63),
+          org.apache.spark.sql.Encoders.scalaLong).apply($"id"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("audience overlap popcounts match hand-built sets, word edges included") {
+    // ids straddle the 64-bit word boundary on purpose
+    val rows = Seq(
+      (0L, true, false), (63L, true, true), (64L, false, true),
+      (64L, true, false), // same id joins A later — still one member
+      (127L, true, true), (128L, false, false))
+      .toDF("id", "in_a", "in_b")
+    val out = rows.agg(
+        udaf(new graft.functions.Aggregators.AudienceOverlap(191),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaBoolean,
+            org.apache.spark.sql.Encoders.scalaBoolean))
+          .apply($"id", $"in_a", $"in_b").as("o"))
+      .select($"o._1", $"o._2", $"o._3", $"o._4")
+      .as[(Long, Long, Long, Long)].head()
+    // A = {0,63,64,127}, B = {63,64,127}; both = {63,64,127}; either = A∪B
+    assert(out == ((4L, 3L, 3L, 4L)))
+  }
 }
