@@ -4321,6 +4321,49 @@ object Queries {
               (SELECT count(*) FROM (
                  SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_either"""))
 
+  // TPC-H Q7-shaped nation-pair trade volume: a five-way join where the
+  // two nation legs broadcast (dimension-sized), the lineitem-supplier/
+  // orders-customer legs shuffle on their keys, and the shipdate filter
+  // pushes to the fact scan. All cross-nation pairs, yearly revenue at
+  // the 4-decimal true precision of price*(1-discount).
+  private val q7NationVolume = Q(
+    "q7_nation_volume",
+    (s, d) => {
+      val n1 = broadcast(nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation")))
+      val n2 = broadcast(nation(s, d).select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation")))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4362,7 +4405,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
-    imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ,
+    imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -86,22 +86,23 @@ object EventAnalytics {
     *
     * Scale shape: one user-keyed sort-window produces the adjacent
     * pairs (the only full exchange), the pair count is map-side
-    * combinable, and context totals re-derive from the tiny transition
-    * table itself and broadcast back — event-type² rows, never a
-    * second pass over the log.
+    * combinable, and context totals are a WINDOW SUM over the already
+    * tiny transition table (event-type² rows) — deriving them as a
+    * second aggregation of the source would duplicate the whole
+    * log-scan-and-window subtree in the plan, the classic
+    * self-referencing-CTE recompute.
     */
   def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val trans = events
+    events
       .select(col(userCol), col(typeCol).as("from_type"),
         lead(col(typeCol), 1).over(w).as("to_type"))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val ctx = trans.groupBy(col("from_type"))
-      .agg(sum(col("n_trans")).as("n_from"))
-    trans.join(broadcast(ctx), "from_type")
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
       .withColumn("p_milli", expr("(n_trans * 1000) div n_from"))
       .select("from_type", "to_type", "n_trans", "n_from", "p_milli")
   }

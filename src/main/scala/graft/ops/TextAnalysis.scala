@@ -652,11 +652,14 @@ object TextAnalysis {
     * document heads nothing, the standard LM bookkeeping). Adjacent
     * pairs come from one narrow per-row transform — no positional
     * self-join, no shuffle of the corpus — feeding one
-    * map-side-combinable aggregation; context totals re-derive from the
-    * bigram table itself (vocabulary-scale, broadcast back).
+    * map-side-combinable aggregation; context totals are a WINDOW SUM
+    * over the aggregated bigram table (vocabulary-scale), not a second
+    * aggregation of the corpus subtree, which would duplicate the whole
+    * tokenize-and-explode scan in the plan.
     */
   def bigramLm(docs: DataFrame, textCol: String): DataFrame = {
-    val bigrams = docs
+    import org.apache.spark.sql.expressions.Window
+    docs
       .select(tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(explode(expr(
@@ -664,8 +667,8 @@ object TextAnalysis {
           " i -> struct(__t[i-1] as w1, __t[i] as w2))")).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_12"))
-    val ctx = bigrams.groupBy(col("w1")).agg(sum(col("n_12")).as("n_1ctx"))
-    bigrams.join(broadcast(ctx), "w1")
+      .withColumn("n_1ctx",
+        sum(col("n_12")).over(Window.partitionBy(col("w1"))))
       .withColumn("p_milli", expr("(n_12 * 1000) div n_1ctx"))
       .select("w1", "w2", "n_12", "n_1ctx", "p_milli")
   }

@@ -102,6 +102,36 @@ class ScaleSpec extends SparkTestBase {
       s"dims must broadcast; plan:\n$plan")
   }
 
+  test("q7 broadcasts the nation legs and pushes the shipdate range to the scan") {
+    val q = Queries.all.find(_.name == "q7_nation_volume").get
+    val exec = q.fn(spark, sf("sf0.001")).queryExecution
+    val plan = exec.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"nation legs must broadcast; plan:\n$plan")
+    val scan = exec.sparkPlan.collectLeaves().map(_.toString)
+      .find(_.contains("lineitem")).getOrElse("")
+    assert(scan.contains("l_shipdate"),
+      s"shipdate range must reach the lineitem scan; scan:\n$scan")
+  }
+
+  test("event transitions and bigram LM scan their source exactly once") {
+    // context totals must derive from the aggregated pair table (window
+    // sum), not from a second aggregation of the source — which would
+    // duplicate the whole scan+window subtree in the plan
+    val trans = graft.ops.EventAnalytics.eventTransitions(
+      Tables.events(spark, sf("sf0.001")), "user_id", "ts", "event_type", "event_id")
+    val tPlan = trans.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(tPlan).length == 1,
+      s"event log must scan once:\n$tPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(tPlan).length <= 3,
+      s"expected <=3 hash exchanges:\n$tPlan")
+    val lm = graft.ops.TextAnalysis.bigramLm(
+      Tables.documents(spark, sf("sf0.001")), "text")
+    val lmPlan = lm.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(lmPlan).length == 1,
+      s"corpus must scan once:\n$lmPlan")
+  }
+
   test("no query ever plans a cartesian product") {
     Queries.all.foreach { q =>
       val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
