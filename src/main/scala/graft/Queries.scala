@@ -4364,6 +4364,49 @@ object Queries {
               AND sn.n_name <> cn.n_name
             GROUP BY 1, 2, 3"""))
 
+  // multi-source BFS over the circulant graph: min hop distance from
+  // the 10 lowest seeds within 3 hops; the oracle unrolls the rounds
+  private val bfsHopsQ = Q(
+    "bfs_hops",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst")))
+      val seeds = base.select(col("n")).filter(col("n") < 10)
+      Graph.bfsHops(edges, "src", "dst", seeds, "n", maxHops = 3)
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes FROM base),
+            adj AS (
+              SELECT DISTINCT src AS a, dst AS b FROM (
+                SELECT src, dst FROM raw
+                UNION ALL SELECT dst, src FROM raw)
+              WHERE src <> dst),
+            f0 AS (SELECT DISTINCT n AS v FROM base WHERE n < 10),
+            f1 AS (SELECT DISTINCT b AS v FROM f0 JOIN adj ON adj.a = f0.v),
+            f2 AS (SELECT DISTINCT b AS v FROM f1 JOIN adj ON adj.a = f1.v),
+            f3 AS (SELECT DISTINCT b AS v FROM f2 JOIN adj ON adj.a = f2.v)
+            SELECT v AS vertex, CAST(min(hop) AS BIGINT) AS hop FROM (
+              SELECT v, 0 AS hop FROM f0
+              UNION ALL SELECT v, 1 FROM f1
+              UNION ALL SELECT v, 2 FROM f2
+              UNION ALL SELECT v, 3 FROM f3)
+            GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4406,6 +4449,7 @@ object Queries {
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
+    bfsHopsQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -756,6 +756,42 @@ object Graph {
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bounded multi-source BFS: label every vertex within `maxHops`
+    * undirected hops of a seed set with its minimum hop distance — the
+    * seed-expansion primitive behind "grow the trusted corpus from
+    * curated seeds" selection and k-hop neighborhood sampling. Output
+    * is (vertex, hop) with hop 0 for seeds themselves.
+    *
+    * Shape at 100 TB: per round one frontier-keyed equi-join against
+    * the adjacency plus a distinct — frontier-sized exchanges, never
+    * the whole graph; each frontier is materialized (eager
+    * localCheckpoint — a lost block fails the job and the caller
+    * retries) so round k's plan reads round k−1's blocks instead of
+    * replaying the whole prefix, keeping plans linear in depth. The
+    * final min-hop resolution is one map-side-combinable aggregate.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val adj = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var frontier = seeds.select(col(seedCol).as("vertex")).distinct()
+      .localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("hop", lit(0L)))
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(adj, col("vertex") === col("a"))
+        .select(col("b").as("vertex")).distinct()
+        .localCheckpoint(true)
+      layers += frontier.withColumn("hop", lit(h.toLong))
+    }
+    layers.reduce(_.union(_))
+      .groupBy(col("vertex")).agg(min(col("hop")).as("hop"))
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent canonical
     * pair (v1 < v2) sharing at least `minCommon` neighbors, the shared
     * count, both degrees, and the neighborhood-Jaccard score in exact

@@ -39,6 +39,24 @@ class GraphTextSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("bfsHops: min hop wins on a path; bound caps the frontier") {
+    // path 1-2-3-4-5, seed {1}: hops 0,1,2,3 reach 1..4; 5 is 4 away
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val out = Graph.bfsHops(edges, "src", "dst", seeds, "v", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-seed takes the nearest seed; hop 0 beats revisits") {
+    // triangle 1-2-3 plus pendant 4 on 3; seeds {1, 4}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("v")
+    val out = Graph.bfsHops(edges, "src", "dst", seeds, "v", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("commonNeighbors: square predicts its diagonals, excludes edges") {
     // 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) share both their
     // neighbors; adjacent pairs share none and edges are excluded anyway
