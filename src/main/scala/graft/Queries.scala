@@ -4407,6 +4407,56 @@ object Queries {
               UNION ALL SELECT v, 3 FROM f3)
             GROUP BY 1"""))
 
+  // point-in-time attribution: each purchase joins the SCD2 segment
+  // (built from the user's NON-purchase activity) valid at purchase
+  // time; purchases before a user's first touchpoint drop (inner PIT)
+  private val scd2PitJoinQ = Q(
+    "scd2_pit_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val hist = TimeSeries.scd2(
+          ev.filter(col("event_type") =!= "purchase")
+            .select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("segment"),
+          col("valid_from"), col("valid_to"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeSeries.pitJoin(facts, hist, "user_id", "ts")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""WITH np AS (
+              SELECT user_id, ts, event_id, event_type FROM events
+              WHERE event_type <> 'purchase'),
+            ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+              FROM np),
+            changes AS (
+              SELECT user_id, event_type AS segment, ts AS valid_from,
+                event_id
+              FROM ordered
+              WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type),
+            hist AS (
+              SELECT user_id, segment, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from, event_id) AS valid_to
+              FROM changes),
+            facts AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT h.segment, count(*) AS n_purchases,
+              round(sum(f.value), 2) AS sum_value
+            FROM facts f JOIN hist h ON h.user_id = f.user_id
+              AND f.ts >= h.valid_from
+              AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+            GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4449,7 +4499,7 @@ object Queries {
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
-    bfsHopsQ,
+    bfsHopsQ, scd2PitJoinQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -81,6 +81,29 @@ object TimeSeries {
       .drop("__tie")
   }
 
+  /** Point-in-time (PIT) join of a fact stream against an SCD2 interval
+    * dimension: each fact row picks up the dimension attributes that
+    * were valid AT ITS TIMESTAMP — `valid_from <= ts < valid_to`, with
+    * a null `valid_to` meaning still-current. Inner semantics: facts
+    * before the entity's first interval drop. This is the attribution
+    * read of [[scd2]]'s write side — "which segment was the user in
+    * when the purchase happened".
+    *
+    * Scale shape: an equi-join on the entity key (one co-partitioned
+    * exchange pair) with the interval predicate applied as a join
+    * residual — per-entity interval lists are version-count-sized, so
+    * the residual scan is bounded per key; never a time-range
+    * cross-join of fact × full history.
+    */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+              factTsCol: String, validFromCol: String = "valid_from",
+              validToCol: String = "valid_to"): DataFrame =
+    facts.join(dim,
+      facts(keyCol) === dim(keyCol) &&
+        facts(factTsCol) >= dim(validFromCol) &&
+        (dim(validToCol).isNull || facts(factTsCol) < dim(validToCol)))
+      .drop(dim(keyCol))
+
   /** CDC changelog apply — materialize the end state of an
     * insert/update/delete event stream: last writer per key wins (by
     * `seqCol`, with `seqCol` itself the total order so no tie column is

@@ -74,6 +74,22 @@ class TimeSeriesSpec extends SparkTestBase {
       (2L, "X", "2024-01-01", None, true)))
   }
 
+  test("pitJoin: facts pick the interval valid at their timestamp") {
+    val hist = TimeSeries.scd2(log, "user", "ts", "eid", Seq("state"))
+      .select(col("user"), col("state"), col("valid_from"), col("valid_to"))
+    val facts = Seq(
+      (1L, ts("2024-01-02 12:00:00"), 10.0), // inside u1's first A
+      (1L, ts("2024-01-03 00:00:00"), 20.0), // boundary: B starts HERE
+      (1L, ts("2024-01-09 00:00:00"), 30.0), // open interval (A again)
+      (2L, ts("2023-12-31 00:00:00"), 40.0), // before u2's history: drops
+      (3L, ts("2024-01-01 00:00:00"), 50.0)) // unknown entity: drops
+      .toDF("user", "fts", "v")
+    val out = TimeSeries.pitJoin(facts, hist, "user", "fts")
+      .select("user", "v", "state").as[(Long, Double, String)]
+      .collect().toSet
+    assert(out == Set((1L, 10.0, "A"), (1L, 20.0, "B"), (1L, 30.0, "A")))
+  }
+
   test("scd2: a null tie-breaker VALUE does not fake a segment start") {
     // eid null on the first row: with lag(eid).isNull first-row detection,
     // the SECOND row would read lag=null and open a spurious interval
