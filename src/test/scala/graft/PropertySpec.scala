@@ -355,6 +355,153 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------ session-3 operators
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n,
+      for {
+        u <- Gen.chooseNum(0L, 12L)
+        v <- Gen.chooseNum(0L, 12L)
+      } yield (u, v)))
+
+  private def canonSet(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
+    edges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+
+  private def neighbors(canon: Set[(Long, Long)]): Map[Long, Set[Long]] =
+    canon.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+
+  test("triangleCounts matches naive triple enumeration on random graphs") {
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { edges =>
+      val canon = canonSet(edges)
+      val verts = canon.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        Seq(a, b, c) <- verts.combinations(3)
+        if canon((a, b)) && canon((a, c)) && canon((b, c))
+        v <- Seq(a, b, c)
+      } naive(v) += 1L
+      val got = graft.operators.Graph.triangleCounts(
+          edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive.toMap, s"edges=$edges")
+    }
+  }
+
+  test("commonNeighbors matches naive neighborhood intersection") {
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { edges =>
+      val canon = canonSet(edges)
+      val nbr = neighbors(canon)
+      val verts = nbr.keys.toSeq.sorted
+      val naive = (for {
+        Seq(x, y) <- verts.combinations(2)
+        if !canon((x, y))
+        common = (nbr(x) & nbr(y)).size.toLong
+        if common >= 1L
+      } yield {
+        val dx = nbr(x).size.toLong; val dy = nbr(y).size.toLong
+        (x, y, common, dx, dy, common * 1000L / (dx + dy - common))
+      }).toSet
+      val got = graft.operators.Graph.commonNeighbors(
+          edges.toDF("src", "dst"), "src", "dst", minCommon = 1L)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == naive, s"edges=$edges")
+    }
+  }
+
+  test("bfsHops matches naive breadth-first search from arbitrary seeds") {
+    val caseGen = for {
+      edges <- edgeGen
+      seeds <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L))
+    } yield (edges, seeds.distinct)
+    samples(caseGen, 12).filter(_._1.nonEmpty).foreach { case (edges, seeds) =>
+      val nbr = neighbors(canonSet(edges)).withDefaultValue(Set.empty[Long])
+      val naive = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+      var frontier = seeds.toSet
+      for (h <- 1L to 3L) {
+        frontier = frontier.flatMap(nbr)
+        frontier.foreach(v => if (!naive.contains(v)) naive(v) = h)
+      }
+      val got = graft.operators.Graph.bfsHops(edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("v"), "v", maxHops = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive.toMap, s"edges=$edges seeds=$seeds")
+    }
+  }
+
+  test("funnelConversion matches a naive per-user ordered walk") {
+    val evGen = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n,
+      for {
+        u <- Gen.chooseNum(1L, 4L)
+        t <- Gen.oneOf("a", "b", "c")
+        s <- Gen.chooseNum(0L, 50L)
+      } yield (u, t, s)))
+    val steps = Seq("a", "b", "c")
+    samples(evGen, 12).foreach { raw =>
+      val ev = raw.zipWithIndex.map { case ((u, t, s), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L), u, t)
+      }
+      // naive: per user, first 'a'; first 'b' strictly after within 10 s;
+      // first 'c' strictly after that within 10 s
+      val byUser = ev.groupBy(_._3)
+      var frontier: Map[Long, Long] = byUser.flatMap { case (u, rows) =>
+        val hits = rows.filter(_._4 == steps.head).map(_._2.getTime / 1000)
+        if (hits.isEmpty) None else Some(u -> hits.min)
+      }
+      val expected = scala.collection.mutable.ArrayBuffer((1, "a", frontier.size.toLong))
+      steps.tail.zipWithIndex.foreach { case (st, i) =>
+        frontier = frontier.flatMap { case (u, prev) =>
+          val hits = byUser.getOrElse(u, Nil).filter(_._4 == st)
+            .map(_._2.getTime / 1000).filter(s => s > prev && s <= prev + 10)
+          if (hits.isEmpty) None else Some(u -> hits.min)
+        }
+        expected += ((i + 2, st, frontier.size.toLong))
+      }
+      val got = graft.ops.EventAnalytics.funnelConversion(
+          ev.toDF("event_id", "ts", "user_id", "event_type"),
+          "user_id", "ts", "event_type", steps, windowSec = Some(10L))
+        .as[(Int, String, Long)].collect().toSet
+      assert(got == expected.toSet, s"events=$ev")
+    }
+  }
+
+  test("bigram LM and transitions: conditionals partition their context") {
+    val docs = samples(textGen, 8).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val lm = TextAnalysis.bigramLm(docs.toDF("doc_id", "text"), "text")
+      .as[(String, String, Long, Long, Long)].collect()
+    lm.groupBy(_._1).foreach { case (w1, rows) =>
+      val ctx = rows.head._4
+      assert(rows.forall(_._4 == ctx), s"$w1: inconsistent context totals")
+      assert(rows.map(_._3).sum == ctx, s"$w1: counts must sum to context")
+      rows.foreach(r => assert(r._5 >= 0L && r._5 <= 1000L, s"$w1: $r"))
+    }
+  }
+
+  test("hoppingCounts: every event lands in exactly size/slide hops") {
+    val evGen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.oneOf("x", "y")
+        s <- Gen.chooseNum(0L, 10000L)
+        v <- Gen.chooseNum(-50, 50)
+      } yield (k, s, v.toDouble)))
+    samples(evGen, 10).foreach { raw =>
+      val ev = raw.map { case (k, s, v) =>
+        (k, new java.sql.Timestamp(s * 1000L), v) }
+      val out = graft.streaming.Incremental.hoppingCounts(
+          ev.toDF("event_type", "ts", "value"), "ts", "event_type",
+          sizeSec = 600L, slideSec = 150L)
+        .as[(Long, Long, String, Long, Double, Double)].collect()
+      assert(out.map(_._4).sum == raw.size.toLong * (600L / 150L),
+        s"each event must appear in exactly 4 hops: $raw")
+      out.foreach { case (s, e, _, _, mn, mx) =>
+        assert(e - s == 600L && s % 150L == 0L, s"bad hop [$s,$e)")
+        assert(mn <= mx)
+      }
+    }
+  }
+
   test("semanticDedup verdicts match a naive within-cell cosine check") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100))
     samples(Gen.listOfN(24, vecGen), 4).foreach { vecs =>
