@@ -4457,6 +4457,89 @@ object Queries {
               AND (h.valid_to IS NULL OR f.ts < h.valid_to)
             GROUP BY 1"""))
 
+  // the 1→N frame expansion through the gate: every 2nd frame of every
+  // GVID video decodes to real pixels and emits exact channel sums; the
+  // oracle rebuilds each row from the generator's closed form (the R
+  // gradient is a per-frame permutation of one column sum, G is fixed,
+  // B tracks the frame index byte-wrapped)
+  private val videoFrameStatsQ = Q(
+    "video_frame_stats",
+    (s, d) => Multimodal.frameDecodeStats(Multimodal.syntheticMedia(s, 200),
+      stride = 2).toDF(),
+    Some("""WITH ids AS (
+              SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 200) t(i)),
+            vid AS (
+              SELECT media_id, 4 + media_id % 6 AS nf
+              FROM ids WHERE media_id % 3 = 2),
+            rs AS (SELECT SUM((k * 255) // 8) AS sx FROM range(0, 8) t(k)),
+            gs AS (SELECT SUM((y * 255) // 6) AS sy FROM range(0, 6) t(y))
+            SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+              CAST(8 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
+              CAST(6 * sx AS BIGINT) AS px_r_sum,
+              CAST(8 * sy AS BIGINT) AS px_g_sum,
+              CAST(48 * ((f * 40) % 256) AS BIGINT) AS px_b_sum
+            FROM vid, unnest(range(0, nf)) t(f), rs, gs
+            WHERE f % 2 = 0"""))
+
+  // bounded weighted shortest paths on the circulant graph: chord type
+  // is the edge weight (+1 edges cost 1, +2 cost 2, the 7n+3 chord
+  // cost 3); min path cost from seeds {n < 5} within 3 relaxation
+  // rounds, oracle-unrolled
+  private val ssspBoundedQ = Q(
+    "sssp_bounded",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"), lit(1L).as("w"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst"), lit(2L).as("w")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst"), lit(3L).as("w")))
+      val seeds = base.select(col("n")).filter(col("n") < 5)
+      Graph.ssspBounded(edges, "src", "dst", "w", seeds, "n", maxHops = 3)
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst, 1 AS w FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes, 2 FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes, 3 FROM base),
+            adj AS (
+              SELECT a, b, min(w) AS w FROM (
+                SELECT src AS a, dst AS b, w FROM raw
+                UNION ALL SELECT dst, src, w FROM raw)
+              WHERE a <> b GROUP BY 1, 2),
+            l0 AS (
+              SELECT DISTINCT n AS v, 0 AS cost FROM base WHERE n < 5),
+            l1 AS (
+              SELECT v, min(cost) AS cost FROM (
+                SELECT v, cost FROM l0
+                UNION ALL
+                SELECT adj.b, l0.cost + adj.w FROM l0
+                JOIN adj ON adj.a = l0.v)
+              GROUP BY 1),
+            l2 AS (
+              SELECT v, min(cost) AS cost FROM (
+                SELECT v, cost FROM l1
+                UNION ALL
+                SELECT adj.b, l1.cost + adj.w FROM l1
+                JOIN adj ON adj.a = l1.v)
+              GROUP BY 1),
+            l3 AS (
+              SELECT v, min(cost) AS cost FROM (
+                SELECT v, cost FROM l2
+                UNION ALL
+                SELECT adj.b, l2.cost + adj.w FROM l2
+                JOIN adj ON adj.a = l2.v)
+              GROUP BY 1)
+            SELECT v AS vertex, CAST(cost AS BIGINT) AS cost FROM l3"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4499,7 +4582,7 @@ object Queries {
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
-    bfsHopsQ, scd2PitJoinQ,
+    bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -792,6 +792,44 @@ object Graph {
       .groupBy(col("vertex")).agg(min(col("hop")).as("hop"))
   }
 
+  /** Bounded single/multi-source shortest paths over an undirected
+    * weighted graph: minimum path cost from the seed set within
+    * `maxHops` edges — [[bfsHops]] lifted to the (min, +) semiring,
+    * the classic iterated relaxation (Bellman-Ford rounds). Integer
+    * weights keep every cost engine-exact; parallel edges collapse to
+    * their cheapest weight first.
+    *
+    * Shape at 100 TB: per round one label-keyed join against the
+    * adjacency plus a map-side-combinable min — label-set-sized
+    * exchanges; every round's labels are materialized (eager
+    * localCheckpoint — a lost block fails the job and the caller
+    * retries) because each round references them twice (relax + carry),
+    * which would otherwise double the plan per round.
+    */
+  def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val adj = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).as("w"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(weightCol).as("w")))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    var labels = seeds.select(col(seedCol).as("vertex")).distinct()
+      .withColumn("cost", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = labels.join(adj, col("vertex") === col("a"))
+        .select(col("b").as("vertex"), (col("cost") + col("w")).as("cost"))
+      labels = labels.union(relaxed)
+        .groupBy(col("vertex")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent canonical
     * pair (v1 < v2) sharing at least `minCommon` neighbors, the shared
     * count, both degrees, and the neighborhood-Jaccard score in exact

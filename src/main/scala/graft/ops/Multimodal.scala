@@ -556,6 +556,40 @@ object Multimodal {
     }
   }
 
+  case class FrameDecodeStats(media_id: Long, frame_idx: Long,
+                              frame_w: Long, frame_h: Long,
+                              px_r_sum: Long, px_g_sum: Long, px_b_sum: Long)
+
+  /** Per-frame decode statistics — [[sampleFrames]]'s 1→N expansion
+    * driven all the way to pixels: every `stride`-th frame decodes to
+    * REAL RGB and emits exact integer channel sums, the per-keyframe
+    * signal a video pipeline keys shot detection and frame-level dedup
+    * on. All-integer so a closed-form oracle rebuilds every row.
+    *
+    * Scale shape: the flatMap multiplies rows 1→frames/stride inside
+    * one narrow pass (the codec boundary); downstream grouping
+    * exchanges ~56-byte stat rows, never frames.
+    */
+  def frameDecodeStats(media: Dataset[MediaRow],
+                       stride: Int = 2): Dataset[FrameDecodeStats] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1, "stride must be positive")
+    media.filter(_.kind == "video").flatMap { r =>
+      VideoContainer.decode(r.payload).zipWithIndex.collect {
+        case (f, i) if i % stride == 0 =>
+          val (w, h, rgb) = PpmCodec.decode(f)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var p = 0
+          while (p < rgb.length) {
+            rs += rgb(p) & 0xff; gs += rgb(p + 1) & 0xff
+            bs += rgb(p + 2) & 0xff; p += 3
+          }
+          FrameDecodeStats(r.media_id, i.toLong, w.toLong, h.toLong,
+            rs, gs, bs)
+      }
+    }
+  }
+
   case class ImageAHash(media_id: Long, hash_hi: Long, hash_lo: Long)
 
   /** Perceptual average-hash (aHash) over one channel of the REAL

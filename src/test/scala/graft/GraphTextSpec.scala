@@ -57,6 +57,28 @@ class GraphTextSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("ssspBounded: cheap long route beats expensive direct edge") {
+    // 1-2-3 costs 1+1=2 over two hops; direct 1-3 costs 5
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("v")
+    val out = Graph.ssspBounded(edges, "src", "dst", "w", seeds, "v", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // with only ONE relaxation round the direct edge is the best known
+    val one = Graph.ssspBounded(edges, "src", "dst", "w", seeds, "v", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+  }
+
+  test("ssspBounded: parallel edges collapse to the cheapest; undirected") {
+    val edges = Seq((1L, 2L, 9L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    val out = Graph.ssspBounded(edges, "src", "dst", "w",
+        Seq(2L).toDF("v"), "v", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 0L, 1L -> 3L))
+  }
+
   test("commonNeighbors: square predicts its diagonals, excludes edges") {
     // 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) share both their
     // neighbors; adjacent pairs share none and edges are excluded anyway

@@ -188,6 +188,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(vid.n_bytes == 8L + 6 * 159)
   }
 
+  test("frameDecodeStats: channel sums match the generator per frame") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val rows = Multimodal.frameDecodeStats(media, stride = 2).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    // id=2 is video: nf=6 frames of 8x6 -> sampled frames 0, 2, 4
+    assert(rows.keySet.filter(_._1 == 2L) == Set((2L, 0L), (2L, 2L), (2L, 4L)))
+    val f2 = rows((2L, 2L))
+    // R row-sum is f-invariant (per-frame permutation of one column set)
+    val sx = (0 until 8).map(k => k * 255 / 8).sum.toLong
+    val sy = (0 until 6).map(y => y * 255 / 6).sum.toLong
+    assert(f2.frame_w == 8L && f2.frame_h == 6L)
+    assert(f2.px_r_sum == 6L * sx, f2)
+    assert(f2.px_g_sum == 8L * sy, f2)
+    assert(f2.px_b_sum == 48L * ((2 * 40) % 256), f2)
+  }
+
   test("imageAHash matches a by-hand block-mean replay; dups collide") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, 12)
