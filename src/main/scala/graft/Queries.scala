@@ -4540,6 +4540,49 @@ object Queries {
               GROUP BY 1)
             SELECT v AS vertex, CAST(cost AS BIGINT) AS cost FROM l3"""))
 
+  // exact discrete quantiles (type-1, rank ceil(q*n)) per event type —
+  // selection of stored doubles, engine-exact where the interpolating
+  // percentile_agg is not
+  private val quantileDiscQ = Q(
+    "quantile_disc_agg",
+    (s, d) => graft.ops.Features.quantilesDisc(events(s, d), "event_type",
+      "value", Seq(250, 500, 750, 950)),
+    Some("""WITH r AS (
+              SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_type,
+              max(CASE WHEN rn = (n * 250 + 999) // 1000 THEN value END)
+                AS p250,
+              max(CASE WHEN rn = (n * 500 + 999) // 1000 THEN value END)
+                AS p500,
+              max(CASE WHEN rn = (n * 750 + 999) // 1000 THEN value END)
+                AS p750,
+              max(CASE WHEN rn = (n * 950 + 999) // 1000 THEN value END)
+                AS p950
+            FROM r GROUP BY 1"""))
+
+  // 2-D Pareto front of lineitem maximizing (price, quantity): the
+  // non-dominated distinct pairs via max-per-x reduction + sorted sweep
+  private val paretoFrontQ = Q(
+    "pareto_front",
+    (s, d) => graft.ops.Features.paretoFront(lineitem(s, d),
+      "l_extendedprice", "l_quantity"),
+    Some("""WITH perx AS (
+              SELECT l_extendedprice AS x, max(l_quantity) AS y
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+              GROUP BY 1),
+            sw AS (
+              SELECT x, y, max(y) OVER (ORDER BY x DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+              FROM perx)
+            SELECT x AS l_extendedprice, y AS l_quantity FROM sw
+            WHERE mx IS NULL OR y > mx"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4583,6 +4626,7 @@ object Queries {
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
+    quantileDiscQ, paretoFrontQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,

@@ -79,4 +79,57 @@ object Features {
           .otherwise((col(valueCol) - col("__min")) / (col("__max") - col("__min"))))
       .drop("__min", "__max")
   }
+
+  /** Exact DISCRETE quantiles per group — the value at rank
+    * `ceil(q·n)` (1-indexed) for each requested permille, i.e. the
+    * classic type-1 / `quantile_disc` definition. Selection, not
+    * interpolation: the emitted values are stored doubles untouched by
+    * arithmetic, so they are engine-exact where interpolating
+    * percentiles are not. Null values are excluded up front (engines
+    * disagree on null sort placement). Equal values make the rank
+    * choice among them immaterial by construction.
+    *
+    * Scale shape: one group-keyed exchange; the rank window and the
+    * per-group count share its sort, and the final reduction is a
+    * map-side-combinable conditional max per quantile.
+    */
+  def quantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+                    permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000),
+      "permille targets must be in (0, 1000]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val picks = permille.map { p =>
+      max(when(col("__rn") === expr(s"(__n * $p + 999) div 1000"),
+        col(valueCol))).as(s"p$p")
+    }
+    ranked.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+  }
+
+  /** 2-D Pareto front (skyline), maximizing both axes: the
+    * non-dominated distinct (x, y) pairs via the classic sorted sweep —
+    * a pair survives iff its y strictly exceeds every y seen at a
+    * strictly better-or-equal x, computed as a running max over the
+    * (x desc, y desc) order. O(n log n) where the naive dominance test
+    * is an O(n²) self-join.
+    *
+    * Scale shape: the dominating reduction happens FIRST — one
+    * map-side-combinable max-y-per-x aggregation — so the global sweep
+    * window only sees distinct x values. The sweep itself is a global
+    * order (one partition); at extreme x-cardinality, pre-prune with
+    * per-partition local fronts (skylines compose: the global front is
+    * the front of the union of local fronts) before this pass.
+    */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x")).agg(max(col(yCol)).as("y"))
+    val sweep = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX.withColumn("__mx", max(col("y")).over(sweep))
+      .filter(col("__mx").isNull || col("y") > col("__mx"))
+      .select(col("x").as(xCol), col("y").as(yCol))
+  }
 }

@@ -66,4 +66,32 @@ class FeaturesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"per-group bounds must broadcast, not shuffle the fact side:\n$plan")
   }
+
+  test("quantilesDisc picks the ceil(q*n) rank; nulls excluded") {
+    // group a: 1..10 -> p250=3 (ceil 2.5), p500=5, p750=8 (ceil 7.5);
+    // group b: one value; null rows must not count toward n
+    val df = ((1 to 10).map(i => ("a", Some(i.toDouble))) ++
+        Seq(("b", Some(7.0)), ("a", Option.empty[Double])))
+      .toDF("g", "v")
+    val rows = Features.quantilesDisc(df, "g", "v", Seq(250, 500, 750))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows("a") == ((3.0, 5.0, 8.0)), rows("a"))
+    assert(rows("b") == ((7.0, 7.0, 7.0)), rows("b"))
+  }
+
+  test("paretoFront matches a naive dominance check and dedups per x") {
+    val pts = Seq((1.0, 9.0), (2.0, 7.0), (2.0, 8.0), (3.0, 8.0),
+      (4.0, 1.0), (0.5, 10.0), (3.0, 2.0))
+      .toDF("x", "y")
+    val out = Features.paretoFront(pts, "x", "y")
+      .as[(Double, Double)].collect().toSet
+    // naive: distinct max-y-per-x, drop dominated
+    val perX = Seq(1.0 -> 9.0, 2.0 -> 8.0, 3.0 -> 8.0, 4.0 -> 1.0, 0.5 -> 10.0)
+    val naive = perX.filter { case (x, y) =>
+      !perX.exists { case (x2, y2) =>
+        (x2 >= x && y2 >= y) && (x2 > x || y2 > y) }
+    }.toSet
+    assert(out == naive, s"got $out expected $naive")
+  }
 }
