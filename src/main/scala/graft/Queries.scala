@@ -4583,6 +4583,96 @@ object Queries {
             SELECT x AS l_extendedprice, y AS l_quantity FROM sw
             WHERE mx IS NULL OR y > mx"""))
 
+  // time-in-state utilization: total seconds each segment holds across
+  // users, from SCD2 intervals; open intervals close at the corpus max
+  // ts so the books balance to (max_ts - first_ts) per user exactly
+  private val segmentDwellQ = Q(
+    "segment_dwell_time",
+    (s, d) => {
+      val ev = events(s, d)
+      val hist = TimeSeries.scd2(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      val horizon = ev.agg(max(col("ts")).as("max_ts"))
+      hist.crossJoin(broadcast(horizon))
+        .withColumn("dwell_s",
+          unix_timestamp(coalesce(col("valid_to"), col("max_ts"))) -
+            unix_timestamp(col("valid_from")))
+        .groupBy(col("event_type").as("segment"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dwell_s")).as("total_dwell_s"))
+    },
+    Some("""WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+              FROM events),
+            changes AS (
+              SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM ordered
+              WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type),
+            hist AS (
+              SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from, event_id) AS valid_to
+              FROM changes),
+            hz AS (SELECT max(ts) AS max_ts FROM events)
+            SELECT event_type AS segment, count(*) AS n_intervals,
+              CAST(sum(epoch_us(coalesce(valid_to, max_ts)) // 1000000
+                - epoch_us(valid_from) // 1000000) AS BIGINT)
+                AS total_dwell_s
+            FROM hist CROSS JOIN hz GROUP BY 1"""))
+
+  // top user journeys: the first three event types of every gap-based
+  // session, concatenated in (ts, id) order — "what do sessions look
+  // like" path analysis; journeys count map-side-combinably
+  private val sessionJourneysQ = Q(
+    "session_journeys",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withSid = events(s, d)
+        .withColumn("new_s",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) < 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("sid", sum(col("new_s")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      withSid
+        .groupBy(col("user_id"), col("sid"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("seq"))
+        .select(expr(
+          "array_join(transform(slice(seq, 1, 3), x -> x.event_type), '>')")
+          .as("journey"))
+        .groupBy(col("journey"))
+        .agg(count(lit(1)).as("n_sessions"))
+    },
+    Some("""WITH t AS (
+              SELECT user_id, ts, event_id, event_type,
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    < 1800000000
+                  THEN 0 ELSE 1 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, event_id, event_type,
+                sum(new_s) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t),
+            j AS (
+              SELECT user_id, sid,
+                array_to_string(list_slice(
+                  array_agg(event_type ORDER BY ts, event_id), 1, 3), '>')
+                  AS journey
+              FROM s GROUP BY 1, 2)
+            SELECT journey, count(*) AS n_sessions FROM j GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4626,7 +4716,7 @@ object Queries {
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
-    quantileDiscQ, paretoFrontQ,
+    quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,
     corpusSample, corpusQualityFilter,
     splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,
