@@ -4673,6 +4673,180 @@ object Queries {
               FROM s GROUP BY 1, 2)
             SELECT journey, count(*) AS n_sessions FROM j GROUP BY 1"""))
 
+  // gaps-and-islands: consecutive-day activity streaks per user; the
+  // island key is epoch_day - row_number, constant exactly while days
+  // run consecutively; longest-streak start breaks ties to the earliest
+  private val activityStreaksQ = Q(
+    "activity_streaks",
+    (s, d) => EventAnalytics.activityStreaks(events(s, d), "user_id", "ts"),
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id,
+                datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+              FROM events),
+            isl AS (
+              SELECT user_id, day,
+                day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS island
+              FROM days),
+            st AS (
+              SELECT user_id, island, count(*) AS len, min(day) AS start_day
+              FROM isl GROUP BY 1, 2),
+            agg AS (
+              SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                count(*) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak
+              FROM st GROUP BY 1),
+            best AS (
+              SELECT user_id, start_day AS longest_start_day FROM (
+                SELECT user_id, start_day,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY len DESC, start_day) AS rk
+                FROM st) WHERE rk = 1)
+            SELECT user_id, n_active_days, n_streaks, longest_streak,
+              CAST(longest_start_day AS BIGINT) AS longest_start_day
+            FROM agg JOIN best USING (user_id)"""))
+
+  // last-touch attribution: purchases credit the user's most recent
+  // non-purchase event within 7 days; delays in exact integer micros
+  private val lastTouchQ = Q(
+    "attribution_last_touch",
+    (s, d) => EventAnalytics.lastTouchAttribution(events(s, d), "user_id",
+      "ts", "event_id", "event_type", "purchase", 7L * 86400L, "value"),
+    Some("""WITH t AS (
+              SELECT user_id, ts, event_type, value,
+                last_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS lt_type,
+                last_value(CASE WHEN event_type <> 'purchase'
+                    THEN ts END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS lt_ts
+              FROM events)
+            SELECT lt_type AS channel, count(*) AS n_conversions,
+              round(sum(value), 2) AS sum_value,
+              CAST(sum(epoch_us(ts) - epoch_us(lt_ts)) AS BIGINT)
+                AS total_delay_us
+            FROM t
+            WHERE event_type = 'purchase' AND lt_ts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000
+            GROUP BY 1"""))
+
+  // sweep-line peak concurrency per event_type over half-open synthetic
+  // intervals [ts, ts + (event_id%57+3) min); ends net against starts
+  // at the same instant, so the peak and its first instant are exact
+  private val maxConcurrencyQ = Q(
+    "max_concurrency",
+    (s, d) => TimeSeries.maxConcurrency(
+      events(s, d).select(col("event_type"), col("ts").as("start_ts"),
+        (col("ts") + expr("(event_id % 57 + 3) * INTERVAL '1' MINUTE"))
+          .as("end_ts")),
+      "event_type", "start_ts", "end_ts"),
+    Some("""WITH iv AS (
+              SELECT event_type, ts AS s,
+                ts + (event_id % 57 + 3) * INTERVAL 1 MINUTE AS e
+              FROM events),
+            d AS (
+              SELECT event_type, s AS t, 1 AS delta FROM iv
+              UNION ALL SELECT event_type, e, -1 FROM iv),
+            net AS (
+              SELECT event_type, t, sum(delta) AS net FROM d GROUP BY 1, 2),
+            run AS (
+              SELECT event_type, t,
+                sum(net) OVER (PARTITION BY event_type ORDER BY t) AS conc
+              FROM net),
+            best AS (
+              SELECT event_type, t, conc,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY conc DESC, t) AS rk
+              FROM run)
+            SELECT event_type, CAST(conc AS BIGINT) AS peak_concurrency,
+              t AS peak_ts
+            FROM best WHERE rk = 1"""))
+
+  // bounded k-core peeling (k=6, 3 synchronous rounds) over the
+  // circulant graph; the oracle unrolls the peels round by round
+  private val kCoreQ = Q(
+    "k_core",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst")))
+      Graph.kCore(edges, "src", "dst", k = 6L, rounds = 3)
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes FROM base),
+            e0 AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst),
+            d1 AS (SELECT x, count(*) AS d FROM (
+              SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+            k1 AS (SELECT x FROM d1 WHERE d >= 6),
+            e1 AS (SELECT u, v FROM e0
+              WHERE u IN (SELECT x FROM k1) AND v IN (SELECT x FROM k1)),
+            d2 AS (SELECT x, count(*) AS d FROM (
+              SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+            k2 AS (SELECT x FROM d2 WHERE d >= 6),
+            e2 AS (SELECT u, v FROM e1
+              WHERE u IN (SELECT x FROM k2) AND v IN (SELECT x FROM k2)),
+            d3 AS (SELECT x, count(*) AS d FROM (
+              SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+            k3 AS (SELECT x FROM d3 WHERE d >= 6),
+            e3 AS (SELECT u, v FROM e2
+              WHERE u IN (SELECT x FROM k3) AND v IN (SELECT x FROM k3))
+            SELECT x AS vertex, count(*) AS core_deg FROM (
+              SELECT u AS x FROM e3 UNION ALL SELECT v FROM e3)
+            GROUP BY 1"""))
+
+  // TPC-H Q17-shaped correlated-aggregate filter: lineitems below a
+  // fifth of their part's average quantity, rolled up per brand. The
+  // avg comparison is cross-multiplied (5·qty·cnt < sum) so quantities
+  // — integral-valued doubles — compare exactly; the per-part aggregate
+  // joins back on the SAME partkey, so both exchanges share one
+  // partitioning (and at 100 TB AQE turns the tiny filtered agg side
+  // into a broadcast)
+  private val q17SmallQtyQ = Q(
+    "q17_small_qty",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") * col("cq") * lit(5) < col("sq"))
+        .join(part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+    Some("""WITH a AS (
+              SELECT l_partkey AS pk, sum(l_quantity) AS sq,
+                count(*) AS cq
+              FROM lineitem GROUP BY 1)
+            SELECT p_brand, count(*) AS n_lines,
+              round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            JOIN a ON l_partkey = pk
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity * cq * 5 < sq
+            GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4726,5 +4900,6 @@ object Queries {
     partitionPrunedScan, mergeUpsertPartitionedQ, compactRoundtrip,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
-    multimodalFeatures, multimodalDecodeStats)
+    multimodalFeatures, multimodalDecodeStats,
+    activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ)
 }

@@ -873,4 +873,48 @@ object Graph {
         expr("(n_common * 1000) div (deg1 + deg2 - n_common)"))
       .select("v1", "v2", "n_common", "deg1", "deg2", "jaccard_milli")
   }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * vertex whose degree in the surviving subgraph is < k", over the
+    * undirected simple graph of `edges`. Emits each surviving vertex
+    * with its degree inside the surviving subgraph. The bounded round
+    * count is the CONTRACT (like [[bfsHops]]'s `maxHops`): both engines
+    * run exactly `rounds` peels, so results are deterministic without a
+    * data-dependent fixpoint test; at the fixpoint the output is the
+    * true k-core (Seidman 1983, the dense-subgraph / spam-farm /
+    * community seed extractor; Batagelj-Zaveršnik is the sequential
+    * algorithm, this is its synchronous distributed form).
+    *
+    * Shape at 100 TB: each round is one map-side-combinable degree
+    * count over surviving edges plus two vertex-keyed semi-joins to
+    * drop edges with a peeled endpoint — edge-linear per round, the
+    * standard Pregel-style peel. Survivor edge sets are materialized
+    * per round (eager localCheckpoint — a lost block fails the job and
+    * the caller retries) so round r's plan reads round r−1's blocks
+    * instead of replaying the whole prefix.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    var live = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = live.select(col("u").as("x"))
+        .union(live.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("x"))
+      live = live
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    live.select(col("u").as("x"))
+      .union(live.select(col("v").as("x")))
+      .groupBy(col("x").as("vertex")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -106,4 +106,74 @@ object EventAnalytics {
       .withColumn("p_milli", expr("(n_trans * 1000) div n_from"))
       .select("from_type", "to_type", "n_trans", "n_from", "p_milli")
   }
+
+  /** Gaps-and-islands activity streaks: per user, consecutive-day runs
+    * of activity (any event counts), summarized as total active days,
+    * number of streaks, and the longest streak with its deterministic
+    * start day (earliest start among equal-length maxima). The island
+    * key is the classic `epoch_day − row_number` difference — constant
+    * exactly while days are consecutive — so every value is an exact
+    * integer / date.
+    *
+    * Scale shape: the 100 TB log collapses to DISTINCT (user, day)
+    * FIRST (at most users × days rows); both windows and both
+    * aggregations then key on the same user partitioning, so the whole
+    * chain after the distinct is one exchange reused three times. No
+    * self-joins, no inequality joins.
+    */
+  def activityStreaks(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol), datediff(to_date(col(tsCol)),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    val streaks = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col(userCol), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    streaks
+      .groupBy(col(userCol))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min_by(col("start_day"), struct((-col("len")).as("neg_len"),
+          col("start_day").as("sd"))).as("longest_start_day"))
+  }
+
+  /** Last-touch attribution: each conversion event credits the user's
+    * most recent NON-conversion event (the "touchpoint") strictly
+    * before it and within `windowSec`, then rolls up per channel:
+    * conversion count, converted value, and total touch→conversion
+    * delay in exact integer microseconds. The carry is a single
+    * ignore-nulls `last` over the user's (ts, id)-ordered stream —
+    * type and timestamp null out together on conversion rows, so both
+    * carries always come from the same touch row.
+    *
+    * Scale shape: one user-keyed sort-window over the log (the only
+    * full exchange) followed by a map-side-combinable channel rollup —
+    * the same cost envelope as [[eventTransitions]]; never an
+    * inequality self-join between touches and conversions, which is
+    * the quadratic formulation this window shape replaces.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           idCol: String, typeCol: String, convType: String,
+                           windowSec: Long, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol) =!= convType
+    events
+      .withColumn("lt_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("lt_ts",
+        last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType && col("lt_ts").isNotNull &&
+        unix_micros(col(tsCol)) - unix_micros(col("lt_ts")) <=
+          windowSec * 1000000L)
+      .groupBy(col("lt_type").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol)), 2).as("sum_value"),
+        sum(unix_micros(col(tsCol)) - unix_micros(col("lt_ts")))
+          .as("total_delay_us"))
+  }
 }

@@ -86,4 +86,59 @@ class EventAnalyticsSpec extends SparkTestBase {
       .select("from_type", "to_type").as[(String, String)].collect().toSet
     assert(out == Set(("x", "y"), ("y", "z")))
   }
+
+  test("activityStreaks: islands split on gaps; longest ties to earliest") {
+    val ev = Seq(
+      // u1: days 1-3 (streak 3), day 6 (streak 1), days 10-12 (streak 3)
+      // → longest=3, tie between start day 1 and start day 10 → day 1
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-02 23:00:00")),
+      (1L, ts("2024-01-03 00:30:00")), (1L, ts("2024-01-06 12:00:00")),
+      (1L, ts("2024-01-10 01:00:00")), (1L, ts("2024-01-11 01:00:00")),
+      (1L, ts("2024-01-12 01:00:00")),
+      // duplicate events within a day collapse to one active day
+      (1L, ts("2024-01-01 10:00:00")),
+      // u2: one day only
+      (2L, ts("2024-01-05 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.activityStreaks(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val d = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+      .toLocalDateTime.toLocalDate.toEpochDay
+    assert(out == Set(
+      (1L, 7L, 3L, 3L, d("2024-01-01")),
+      (2L, 1L, 1L, 1L, d("2024-01-05"))))
+  }
+
+  test("lastTouchAttribution: window gates, conversions never self-credit") {
+    val ev = Seq(
+      // u1: view then purchase 1h later → credited to view
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 10.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "purchase", 100.0),
+      // second purchase right after: still credits the view (purchases
+      // are never touchpoints), delay measured from the view
+      (3L, ts("2024-01-01 02:00:00"), 1L, "purchase", 50.0),
+      // u2: touch 8 days before purchase → outside the 7-day window
+      (4L, ts("2024-01-01 00:00:00"), 2L, "click", 1.0),
+      (5L, ts("2024-01-09 00:00:00"), 2L, "purchase", 70.0),
+      // u3: purchase with no prior event at all → unattributed
+      (6L, ts("2024-01-05 00:00:00"), 3L, "purchase", 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", 7L * 86400L, "value")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(out == Set(("view", 2L, 150.0, 3600000000L + 7200000000L)))
+  }
+
+  test("lastTouchAttribution: type and ts carry from the SAME touch row") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-02 06:00:00"), 1L, "purchase", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", 7L * 86400L, "value")
+      .as[(String, Long, Double, Long)].collect().toSet
+    // credited to the LATEST touch (view), delay 6h from IT, not click
+    assert(out == Set(("view", 1L, 10.0, 21600000000L)))
+  }
 }

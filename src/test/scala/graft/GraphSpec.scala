@@ -216,4 +216,30 @@ class GraphSpec extends SparkTestBase {
     val victims = Seq(Tuple1(2L)).toDF("movie_id")
     assert(Graph.deleteByKey(t, victims, "movie_id").count() == 2)
   }
+
+  test("kCore: peeling cascades along a tail; the clique survives") {
+    // 4-clique {1,2,3,4} with a path tail 4-5-6: k=2 peels 6 (deg 1)
+    // in round 1, which drops 5 to deg 1 and peels it round 2
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r1 = Graph.kCore(edges, "src", "dst", k = 2L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // after one round only 6 is gone; 5 still holds its 4-edge
+    assert(r1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    val r2 = Graph.kCore(edges, "src", "dst", k = 2L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixpoint: further rounds change nothing
+    val r3 = Graph.kCore(edges, "src", "dst", k = 2L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == r2)
+  }
+
+  test("kCore: duplicate and reversed edges collapse before peeling") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.kCore(edges, "src", "dst", k = 2L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

@@ -143,4 +143,33 @@ class TimeSeriesSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected a single entity-hash exchange, got $exchanges:\n$plan")
   }
+
+  test("maxConcurrency: half-open intervals — an end nets a same-instant start") {
+    val iv = Seq(
+      // k1: [0,2), [1,3), [2,4) — the [0,2) end meets the [2,4) start at
+      // t=2, so concurrency there stays 2; peak 2 first reached at t=1
+      ("k1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:02:00")),
+      ("k1", ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00")),
+      ("k1", ts("2024-01-01 00:02:00"), ts("2024-01-01 00:04:00")),
+      // k2: three intervals all open at t=1
+      ("k2", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      ("k2", ts("2024-01-01 00:01:00"), ts("2024-01-01 00:10:00")),
+      ("k2", ts("2024-01-01 00:01:00"), ts("2024-01-01 00:05:00")))
+      .toDF("k", "s", "e")
+    val out = TimeSeries.maxConcurrency(iv, "k", "s", "e")
+      .as[(String, Long, Timestamp)].collect().toSet
+    assert(out == Set(
+      ("k1", 2L, ts("2024-01-01 00:01:00")),
+      ("k2", 3L, ts("2024-01-01 00:01:00"))))
+  }
+
+  test("maxConcurrency: disjoint intervals peak at 1, earliest start wins") {
+    val iv = Seq(
+      ("k", ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00")),
+      ("k", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("k", "s", "e")
+    val out = TimeSeries.maxConcurrency(iv, "k", "s", "e")
+      .as[(String, Long, Timestamp)].collect().toSet
+    assert(out == Set(("k", 1L, ts("2024-01-01 01:00:00"))))
+  }
 }
