@@ -4847,6 +4847,136 @@ object Queries {
             WHERE l_quantity * cq * 5 < sq
             GROUP BY 1"""))
 
+  // Hampel robust outliers: discrete median + MAD are rank SELECTIONS
+  // of stored values, the deviation/threshold math is row-level IEEE —
+  // nothing order-dependent, so doubles hash-match exactly
+  private val robustOutliersMadQ = Q(
+    "robust_outliers_mad",
+    (s, d) => graft.ops.Features.robustOutliersMad(events(s, d),
+      "event_type", "value", k = 3),
+    Some("""WITH v AS (
+              SELECT event_type, value AS v FROM events
+              WHERE value IS NOT NULL),
+            r1 AS (
+              SELECT event_type, v,
+                row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM v),
+            med AS (
+              SELECT event_type,
+                max(CASE WHEN rn = (n * 500 + 999) // 1000 THEN v END)
+                  AS median
+              FROM r1 GROUP BY 1),
+            d AS (
+              SELECT v.event_type, v.v, m.median,
+                abs(v.v - m.median) AS dd
+              FROM v JOIN med m USING (event_type)),
+            r2 AS (
+              SELECT event_type, median, dd,
+                row_number() OVER (PARTITION BY event_type ORDER BY dd) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM d),
+            mad AS (
+              SELECT event_type, max(median) AS median,
+                max(CASE WHEN rn = (n * 500 + 999) // 1000 THEN dd END)
+                  AS mad,
+                count(*) AS n
+              FROM r2 GROUP BY 1)
+            SELECT d.event_type, CAST(max(mad.n) AS BIGINT) AS n,
+              max(mad.median) AS median, max(mad.mad) AS mad,
+              CAST(sum(CASE WHEN d.dd > mad.mad * 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+            FROM d JOIN mad USING (event_type) GROUP BY 1"""))
+
+  // interval-union coverage: total covered micros + disjoint components
+  // per event_type over the same synthetic half-open intervals as
+  // max_concurrency; the sweep reads "time where the count is positive"
+  private val intervalCoverageQ = Q(
+    "interval_coverage",
+    (s, d) => TimeSeries.intervalCoverage(
+      events(s, d).select(col("event_type"), col("ts").as("start_ts"),
+        (col("ts") + expr("(event_id % 57 + 3) * INTERVAL '1' MINUTE"))
+          .as("end_ts")),
+      "event_type", "start_ts", "end_ts"),
+    Some("""WITH iv AS (
+              SELECT event_type, ts AS s,
+                ts + (event_id % 57 + 3) * INTERVAL 1 MINUTE AS e
+              FROM events),
+            d AS (
+              SELECT event_type, s AS t, 1 AS delta FROM iv
+              UNION ALL SELECT event_type, e, -1 FROM iv),
+            net AS (
+              SELECT event_type, t, sum(delta) AS net FROM d GROUP BY 1, 2),
+            run0 AS (
+              SELECT event_type, t,
+                sum(net) OVER (PARTITION BY event_type ORDER BY t) AS conc
+              FROM net),
+            run AS (
+              SELECT event_type, t, conc,
+                lead(t) OVER (PARTITION BY event_type ORDER BY t) AS next_t,
+                coalesce(lag(conc) OVER (PARTITION BY event_type
+                  ORDER BY t), 0) AS prev_conc
+              FROM run0)
+            SELECT event_type,
+              CAST(sum(CASE WHEN conc > 0 AND next_t IS NOT NULL
+                THEN epoch_us(next_t) - epoch_us(t) ELSE 0 END) AS BIGINT)
+                AS covered_us,
+              CAST(sum(CASE WHEN conc > 0 AND prev_conc <= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_components
+            FROM run GROUP BY 1"""))
+
+  // trailing 7-day exact distinct actives per (event_type, day): the
+  // rolling set union becomes an offset-explode EQUI-join (range
+  // windows cannot host COUNT(DISTINCT)); anchors keep observed days
+  private val rollingDistinctQ = Q(
+    "rolling_distinct_users",
+    (s, d) => EventAnalytics.rollingDistinct(events(s, d), "event_type",
+      "ts", "user_id", windowDays = 7),
+    Some("""WITH act AS (
+              SELECT DISTINCT event_type,
+                datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                user_id
+              FROM events),
+            anchors AS (SELECT DISTINCT event_type, day FROM act),
+            contrib AS (
+              SELECT event_type, day + off AS day, user_id
+              FROM act, unnest(range(0, 7)) AS t(off))
+            SELECT c.event_type, CAST(c.day AS BIGINT) AS day,
+              count(DISTINCT c.user_id) AS n_users
+            FROM contrib c
+            JOIN anchors a ON a.event_type = c.event_type AND a.day = c.day
+            GROUP BY 1, 2"""))
+
+  // time-to-convert: first signup -> first later purchase per user;
+  // totals/max/median delay in exact integer micros (median is a rank
+  // selection over the bounded converted-user table)
+  private val funnelTimeStatsQ = Q(
+    "funnel_time_stats",
+    (s, d) => EventAnalytics.funnelTimeStats(events(s, d), "user_id",
+      "ts", "event_type", "signup", "purchase"),
+    Some("""WITH f AS (
+              SELECT user_id, min(ts) AS t_from FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, f.t_from, min(e.ts) AS t_to
+              FROM events e JOIN f USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > f.t_from
+              GROUP BY 1, 2),
+            dl AS (
+              SELECT user_id,
+                epoch_us(t_to) - epoch_us(t_from) AS delay_us
+              FROM c),
+            r AS (
+              SELECT delay_us, row_number() OVER (ORDER BY delay_us) AS rn,
+                count(*) OVER () AS n
+              FROM dl)
+            SELECT count(*) AS n_converted,
+              CAST(sum(delay_us) AS BIGINT) AS total_delay_us,
+              max(delay_us) AS max_delay_us,
+              max(CASE WHEN rn = (n * 500 + 999) // 1000 THEN delay_us END)
+                AS p500_delay_us
+            FROM r"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -4901,5 +5031,7 @@ object Queries {
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
-    activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ)
+    activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
+    robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
+    funnelTimeStatsQ)
 }

@@ -176,4 +176,73 @@ object EventAnalytics {
         sum(unix_micros(col(tsCol)) - unix_micros(col("lt_ts")))
           .as("total_delay_us"))
   }
+
+  /** Trailing `windowDays`-day exact distinct actives per (key, day):
+    * for every day a key has activity, the count of distinct users seen
+    * in the `windowDays` days ending that day — the rolling-DAU/WAU
+    * surface. A range window cannot host COUNT(DISTINCT), so the
+    * rolling set union is expressed as an offset explode: each active
+    * (key, day, user) fact contributes itself to the `windowDays`
+    * window anchors it falls into, turning the range predicate into an
+    * EQUI-join the engine can hash-partition.
+    *
+    * Scale shape: the log collapses to DISTINCT (key, day, user) FIRST;
+    * the explode multiplies that bounded table by the constant
+    * `windowDays`, the anchor semi-join keeps only days that really had
+    * activity, and the final distinct count is the standard two-phase
+    * expansion. Everything keys on (key, day) — no range joins, no
+    * windowed distincts, no per-user state.
+    */
+  def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      userCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val act = events
+      .select(col(keyCol), datediff(to_date(col(tsCol)),
+        lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col(userCol))
+      .distinct()
+    val anchors = act.select(col(keyCol), col("day")).distinct()
+    val contrib = act
+      .withColumn("off", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(col(keyCol), (col("day") + col("off")).as("day"),
+        col(userCol))
+    contrib.join(anchors, Seq(keyCol, "day"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Time-to-convert profile: each user's delay from their FIRST
+    * `fromType` event to their first `toType` event strictly after it,
+    * profiled per cohort-free total: converted-user count, total / max
+    * delay in exact integer microseconds, and the discrete-median delay
+    * (a rank selection of a stored delay, never interpolation). The
+    * latency companion to [[funnelConversion]]'s who-converts counts.
+    *
+    * Scale shape: two map-side-combinable per-user mins joined on the
+    * user key, then a single global rollup over one row per converted
+    * user — the global median window sorts only that bounded table.
+    */
+  def funnelTimeStats(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, fromType: String,
+                      toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_from"))
+    val conv = events.filter(col(typeCol) === toType)
+      .join(first, userCol)
+      .filter(col(tsCol) > col("t_from"))
+      .groupBy(col(userCol), col("t_from"))
+      .agg(min(col(tsCol)).as("t_to"))
+      .withColumn("delay_us",
+        unix_micros(col("t_to")) - unix_micros(col("t_from")))
+    val wRank = Window.orderBy(col("delay_us"), col(userCol))
+    conv
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .agg(count(lit(1)).as("n_converted"),
+        sum(col("delay_us")).as("total_delay_us"),
+        max(col("delay_us")).as("max_delay_us"),
+        max(when(col("__rn") === expr("(__n * 500 + 999) div 1000"),
+          col("delay_us"))).as("p500_delay_us"))
+  }
 }

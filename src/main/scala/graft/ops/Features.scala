@@ -132,4 +132,48 @@ object Features {
       .filter(col("__mx").isNull || col("y") > col("__mx"))
       .select(col("x").as(xCol), col("y").as(yCol))
   }
+
+  /** Robust per-group outlier profile via median absolute deviation:
+    * the discrete median (the [[quantilesDisc]] rank selection, never
+    * interpolation), the discrete median of |x − median|, and the count
+    * of values with |x − median| > `k`·MAD — Hampel's robust outlier
+    * identifier, the filter that survives the very outliers a
+    * mean/stddev z-score is corrupted by. Both medians are SELECTIONS
+    * of stored values and the deviation/threshold arithmetic is
+    * row-level IEEE (subtract, abs, one multiply), so every engine
+    * agrees bit-for-bit — no order-dependent accumulation anywhere.
+    *
+    * Scale shape: two rank windows and a final count, all keyed on the
+    * same group column — one exchange reused three times. The group-max
+    * broadcast-back is a join against a groups-sized (tiny) aggregate;
+    * AQE turns it into a broadcast automatically.
+    */
+  def robustOutliersMad(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int = 3): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("v"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val wGrp = Window.partitionBy(col(groupCol))
+    val med = vals
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wGrp))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("__rn") === expr("(__n * 500 + 999) div 1000"),
+        col("v"))).as("median"))
+    val dev = vals.join(med, groupCol)
+      .withColumn("__d", abs(col("v") - col("median")))
+    val wDev = Window.partitionBy(col(groupCol)).orderBy(col("__d"))
+    dev
+      .withColumn("__rn", row_number().over(wDev))
+      .withColumn("__n", count(lit(1)).over(wGrp))
+      .withColumn("mad", max(when(
+        col("__rn") === expr("(__n * 500 + 999) div 1000"),
+        col("__d"))).over(wGrp))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__d") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

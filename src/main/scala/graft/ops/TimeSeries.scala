@@ -186,4 +186,40 @@ object TimeSeries {
         min_by(col("t"), struct((-col("conc")).as("neg_conc"),
           col("t").as("t"))).as("peak_ts"))
   }
+
+  /** Interval-union coverage per key over half-open `[start, end)`
+    * intervals: total covered time in exact integer microseconds and
+    * the number of disjoint covered components — [[maxConcurrency]]'s
+    * sweep-line read out a different way (time where the running count
+    * is positive, components where it rises from zero). The classic
+    * "total uptime / total on-air time from overlapping spans" reducer;
+    * merging overlaps by self-joining every interval to every overlap
+    * is the quadratic formulation this replaces.
+    *
+    * Scale shape: identical to [[maxConcurrency]] — map-side-combinable
+    * netting down to unique (key, t) change points, then one key-sorted
+    * window pass (the running sum, the lead, and the rises-from-zero
+    * lag all share one sort) and a map-side-combinable rollup.
+    */
+  def intervalCoverage(intervals: DataFrame, keyCol: String,
+                       startCol: String, endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(keyCol), col(startCol).as("t"), lit(1L).as("delta"))
+      .union(intervals
+        .select(col(keyCol), col(endCol).as("t"), lit(-1L).as("delta")))
+    val net = deltas.groupBy(col(keyCol), col("t"))
+      .agg(sum(col("delta")).as("net"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+    net
+      .withColumn("conc", sum(col("net")).over(wRun))
+      .withColumn("next_t", lead(col("t"), 1).over(wRun))
+      .withColumn("prev_conc", lag(col("conc"), 1, 0L).over(wRun))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("conc") > 0 && col("next_t").isNotNull,
+          unix_micros(col("next_t")) - unix_micros(col("t")))
+          .otherwise(0L)).as("covered_us"),
+        sum(when(col("conc") > 0 && col("prev_conc") <= 0, 1L)
+          .otherwise(0L)).as("n_components"))
+  }
 }

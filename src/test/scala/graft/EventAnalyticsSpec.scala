@@ -141,4 +141,44 @@ class EventAnalyticsSpec extends SparkTestBase {
     // credited to the LATEST touch (view), delay 6h from IT, not click
     assert(out == Set(("view", 1L, 10.0, 21600000000L)))
   }
+
+  test("rollingDistinct: the trailing window unions users across days") {
+    val ev = Seq(
+      // k: u1 on day 0, u2 on day 3, u1 again on day 9
+      ("k", ts("2024-01-01 05:00:00"), 1L),
+      ("k", ts("2024-01-04 05:00:00"), 2L),
+      ("k", ts("2024-01-10 05:00:00"), 1L))
+      .toDF("event_type", "ts", "user_id")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+      .toLocalDateTime.toLocalDate.toEpochDay
+    val out = EventAnalytics.rollingDistinct(ev, "event_type", "ts",
+        "user_id", windowDays = 7)
+      .as[(String, Long, Long)].collect().toSet
+    // day 0: {u1}; day 3: {u1,u2} (day 0 is within the trailing 7);
+    // day 9: {u1,u2} — day 3 is 6 days back, still inside [3..9]
+    assert(out == Set(
+      ("k", base, 1L), ("k", base + 3, 2L), ("k", base + 9, 2L)))
+  }
+
+  test("funnelTimeStats: first-from to first-later-to, exact micros") {
+    val ev = Seq(
+      // u1: signup at 0, purchases at 2h and 5h -> delay 2h
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 05:00:00"), 1L, "purchase"),
+      // u2: purchase BEFORE signup only -> not converted
+      (4L, ts("2024-01-01 00:00:00"), 2L, "purchase"),
+      (5L, ts("2024-01-01 01:00:00"), 2L, "signup"),
+      // u3: signup twice, purchase after the first -> delay from FIRST
+      (6L, ts("2024-01-01 00:00:00"), 3L, "signup"),
+      (7L, ts("2024-01-01 03:00:00"), 3L, "signup"),
+      (8L, ts("2024-01-01 06:00:00"), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnelTimeStats(ev, "user_id", "ts",
+        "event_type", "signup", "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val h = 3600000000L
+    // delays: u1 = 2h, u3 = 6h; median (n=2 -> rank 1) = 2h
+    assert(out == Seq((2L, 8L * h, 6L * h, 2L * h)))
+  }
 }

@@ -94,4 +94,20 @@ class FeaturesSpec extends SparkTestBase {
     }.toSet
     assert(out == naive, s"got $out expected $naive")
   }
+
+  test("robustOutliersMad: selection medians, Hampel threshold") {
+    val df = Seq(
+      // g: values 1..5 plus a wild 100 -> n=6, median = rank 3 = 3.0,
+      // devs |v-3| = {2,1,0,1,2,97} sorted {0,1,1,2,2,97} -> mad rank 3
+      // = 1.0; outliers where dev > 3*1 -> only 100
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+      ("g", 100.0),
+      // h: constant values -> mad 0, everything above 0 deviation is an
+      // outlier; here all devs are 0 so none
+      ("h", 7.0), ("h", 7.0), ("h", 7.0))
+      .toDF("g", "v")
+    val out = graft.ops.Features.robustOutliersMad(df, "g", "v", k = 3)
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    assert(out == Set(("g", 6L, 3.0, 1.0, 1L), ("h", 3L, 7.0, 0.0, 0L)))
+  }
 }

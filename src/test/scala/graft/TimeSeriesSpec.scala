@@ -172,4 +172,19 @@ class TimeSeriesSpec extends SparkTestBase {
       .as[(String, Long, Timestamp)].collect().toSet
     assert(out == Set(("k", 1L, ts("2024-01-01 01:00:00"))))
   }
+
+  test("intervalCoverage: overlaps merge, gaps split components") {
+    val iv = Seq(
+      // [0,2) and [1,3) merge -> [0,3); [5,6) is its own component
+      ("k", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:02:00")),
+      ("k", ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00")),
+      ("k", ts("2024-01-01 00:05:00"), ts("2024-01-01 00:06:00")),
+      // adjacent half-open [10,11) + [11,12) merge (end meets start)
+      ("m", ts("2024-01-01 00:10:00"), ts("2024-01-01 00:11:00")),
+      ("m", ts("2024-01-01 00:11:00"), ts("2024-01-01 00:12:00")))
+      .toDF("k", "s", "e")
+    val out = TimeSeries.intervalCoverage(iv, "k", "s", "e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("k", 240000000L, 2L), ("m", 120000000L, 1L)))
+  }
 }
