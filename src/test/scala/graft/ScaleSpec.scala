@@ -299,4 +299,24 @@ class ScaleSpec extends SparkTestBase {
       s"expected codegen span; plan:\n$plan")
     assert(df.filter(col("d") === 11.0).count() == 1) // id=1: 1*3 + 2*4
   }
+
+  test("sweep-line and streak operators keep bounded exchange counts") {
+    // sweep-line pair: netting agg on (key, t) + key window = 2 exchanges,
+    // and the final rollup reuses the window's key partitioning
+    def exchanges(name: String): Int =
+      SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+        .executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+    assert(exchanges("max_concurrency") <= 2,
+      "max_concurrency must net map-side then window once")
+    assert(exchanges("interval_coverage") <= 2,
+      "interval_coverage must net map-side then window once")
+    // streaks: distinct + user window; islands/rollup reuse the user hash
+    assert(exchanges("activity_streaks") <= 2,
+      "activity_streaks must reuse the user partitioning after the window")
+    // attribution: one user window + one channel rollup
+    assert(exchanges("attribution_last_touch") <= 2,
+      "attribution_last_touch is one window plus one rollup exchange")
+  }
 }
