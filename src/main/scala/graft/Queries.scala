@@ -4977,6 +4977,80 @@ object Queries {
                 AS p500_delay_us
             FROM r"""))
 
+  // BPE merge-table APPLY: the ordered replace-chain over double-space
+  // symbol separators (collision-free, so both engines' replace agree),
+  // emitting the resulting subword vocabulary stats; the merge list is
+  // a static config like the funnel step list
+  private val bpeEncodeQ = Q(
+    "bpe_encode_stats",
+    (s, d) => TextAnalysis.bpeEncode(documents(s, d), "text",
+      Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "i" -> "n",
+        "e" -> "r", "o" -> "n", "r" -> "e")),
+    Some("""WITH words AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                AS w
+              FROM documents),
+            wf AS (SELECT w FROM words WHERE length(w) >= 1),
+            sym AS (
+              SELECT w,
+                replace(replace(replace(replace(replace(replace(replace(
+                  replace(
+                    '  ' || regexp_replace(w, '(.)', '\1  ', 'g'),
+                  ' t  h ', ' th '),
+                  ' th  e ', ' the '),
+                  ' a  n ', ' an '),
+                  ' an  d ', ' and '),
+                  ' i  n ', ' in '),
+                  ' e  r ', ' er '),
+                  ' o  n ', ' on '),
+                  ' r  e ', ' re ') AS m
+              FROM wf),
+            toks AS (
+              SELECT w,
+                unnest(string_split_regex(trim(m), '\s+')) AS token
+              FROM sym)
+            SELECT token, count(*) AS n_occ,
+              count(DISTINCT w) AS n_words
+            FROM toks GROUP BY 1"""))
+
+  // TPC-H Q15-shaped argmax with ties: top supplier(s) by quarterly
+  // revenue in EXACT integer units (cents x (100 - discount cents), the
+  // half-up integerization both engines compute identically), so the
+  // max selection and any ties are engine-exact rather than
+  // FP-accumulation-ordered
+  private val q15TopSupplierQ = Q(
+    "q15_top_supplier",
+    (s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("total_revenue_unit"))
+      val mx = rev.agg(max(col("total_revenue_unit")).as("m"))
+      val winners = rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue_unit") === col("m"))
+      broadcast(winners)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_unit"))
+    },
+    Some("""WITH rev AS (
+              SELECT l_suppkey,
+                sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS total_revenue_unit
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+              GROUP BY 1),
+            mx AS (SELECT max(total_revenue_unit) AS m FROM rev)
+            SELECT s_suppkey, s_name,
+              CAST(total_revenue_unit AS BIGINT) AS total_revenue_unit
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            CROSS JOIN mx
+            WHERE total_revenue_unit = m"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -5033,5 +5107,5 @@ object Queries {
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
     robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
-    funnelTimeStatsQ)
+    funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ)
 }

@@ -604,6 +604,48 @@ object TextAnalysis {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Tokenizer APPLY: run an ordered BPE merge table over the corpus
+    * and emit the resulting subword vocabulary statistics (token,
+    * occurrence count, distinct-word support) — the inference half of
+    * [[bpeMergeRounds]]'s training loop, the pass that prices "how does
+    * this merge table tokenize my corpus".
+    *
+    * Words are segmented to characters with DOUBLE-space separators and
+    * each merge `(l, r)` is one literal `replace(" l  r " → " lr ")`:
+    * every match consumes one space from each flanking pair, so matches
+    * can never overlap and any engine's scan-original, non-overlapping
+    * replace semantics produce the identical greedy left-to-right merge
+    * — the property that makes the whole chain a deterministic,
+    * codegen'd column expression both engines agree on bit-for-bit
+    * (single-space separators would make consecutive matches share a
+    * boundary space, where engines' restart positions diverge).
+    *
+    * Shape at 100 TB: the merge chain is a per-row expression — the
+    * scan stays narrow and shuffle-free; the only exchange is the final
+    * map-side-combinable vocabulary aggregate, bounded by subword
+    * vocabulary (Zipf) scale, with the distinct-word support a bounded
+    * two-level aggregate.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && !l.contains(' ') && !r.contains(' ') },
+      "merge symbols must be non-empty and space-free")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val charSep = concat(lit("  "),
+      regexp_replace(col("w"), "(.)", "$1  "))
+    val merged = merges.foldLeft(charSep) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    words
+      .select(col("w"), explode(split(trim(merged), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("w")).as("n_words"))
+  }
+
   /** Document-level token co-occurrence with PMI-style lift, in exact
     * integer-rational milli units — the collocation/association pass
     * (pointwise mutual information's monotone log-free core):

@@ -141,4 +141,26 @@ class MiningSpec extends SparkTestBase {
     def toMap2: Map[String, (Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  test("bpeEncode: ordered merge chain builds compound subwords") {
+    val docs = Seq((1L, "the then x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "text",
+        Seq("t" -> "h", "th" -> "e"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // "the" -> [the]; "then" -> [the, n]; "x" -> [x]
+    assert(out == Map("the" -> ((2L, 2L)), "n" -> ((1L, 1L)),
+      "x" -> ((1L, 1L))))
+  }
+
+  test("bpeEncode: consecutive pair occurrences both merge (no overlap loss)") {
+    // "abab" with merge (a,b): both pairs merge -> [ab, ab]; the doubled
+    // separators mean the second match cannot be lost to a shared space
+    val docs = Seq((1L, "abab aab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "text", Seq("a" -> "b"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // "aab" -> greedy left-to-right: 'a' then (a,b) merges -> [a, ab]
+    assert(out == Map("ab" -> ((3L, 2L)), "a" -> ((1L, 1L))))
+  }
 }
