@@ -5051,6 +5051,56 @@ object Queries {
             CROSS JOIN mx
             WHERE total_revenue_unit = m"""))
 
+  // watermark-tuning histogram: per-stream lateness vs the running
+  // event-time high-water mark in ARRIVAL order, bucketed to 10 min —
+  // the loss-vs-latency curve withWatermark(X) prices; exact micros.
+  // The harness stream is perfectly ordered, so arrival is modeled as
+  // deterministic ingest jitter (event_id + (event_id % 7) * 6 — events
+  // jump ahead by up to 36 sequence slots), which spreads real mass
+  // across ~17 buckets at sf0.01
+  private val latenessProfileQ = Q(
+    "event_lateness_profile",
+    (s, d) => EventAnalytics.latenessProfile(
+      events(s, d).withColumn("arrival_seq",
+        col("event_id") + (col("event_id") % 7) * 6),
+      "user_id", "ts", "arrival_seq", bucketMinutes = 10L),
+    Some("""WITH t AS (
+              SELECT epoch_us(ts) AS tu,
+                max(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY (event_id + (event_id % 7) * 6)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+              FROM events),
+            l AS (SELECT greatest(0, hwm - tu) AS lateness_us FROM t)
+            SELECT lateness_us // 600000000 AS lateness_bucket,
+              count(*) AS n_events, max(lateness_us) AS max_lateness_us
+            FROM l GROUP BY 1"""))
+
+  // nucleus top-p curation: keep the highest-scoring head carrying 90%
+  // of each type's integerized score mass; the keep test is the
+  // cross-multiplied fraction (1000*prefix < 900*total), so membership
+  // and the boundary-straddling row are engine-exact
+  private val nucleusTopPQ = Q(
+    "nucleus_topp_filter",
+    (s, d) => graft.ops.Splits.nucleusTopP(
+      events(s, d).select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("score_cents")),
+      "event_id", "score_cents", "event_type", permille = 900),
+    Some("""WITH sc AS (
+              SELECT event_id, event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS score_cents
+              FROM events),
+            wn AS (
+              SELECT event_id, event_type, score_cents,
+                coalesce(sum(score_cents) OVER (PARTITION BY event_type
+                  ORDER BY score_cents DESC, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS pre,
+                sum(score_cents) OVER (PARTITION BY event_type) AS total
+              FROM sc)
+            SELECT event_id, event_type, score_cents,
+              CAST(pre AS BIGINT) AS pre, CAST(total AS BIGINT) AS total
+            FROM wn WHERE pre * 1000 < total * 900"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -5107,5 +5157,6 @@ object Queries {
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
     robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
-    funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ)
+    funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
+    latenessProfileQ, nucleusTopPQ)
 }

@@ -211,6 +211,35 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Out-of-orderness (lateness) profile: for every event, how far its
+    * event time lags the maximum event time already seen in its key's
+    * ARRIVAL order (`idCol` — the ingest sequence), bucketed to
+    * `bucketMinutes` and rolled up to (bucket, count, max lateness) —
+    * exactly the histogram that prices a Structured Streaming
+    * watermark: `withWatermark(X)` drops every event in buckets above
+    * X, so this profile IS the loss-vs-latency curve. All integer
+    * microseconds, engine-exact.
+    *
+    * Scale shape: one key-partitioned sort-window (running max over
+    * arrival order, per-stream like the watermark itself — never a
+    * global order) and a map-side-combinable rollup over a
+    * buckets-sized result.
+    */
+  def latenessProfile(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, bucketMinutes: Long = 10L): DataFrame = {
+    require(bucketMinutes >= 1, "bucketMinutes must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketUs = bucketMinutes * 60000000L
+    events
+      .withColumn("__hwm", max(unix_micros(col(tsCol))).over(w))
+      .withColumn("lateness_us", greatest(lit(0L),
+        col("__hwm") - unix_micros(col(tsCol))))
+      .groupBy(expr(s"lateness_us div ${bucketUs}L").as("lateness_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("lateness_us")).as("max_lateness_us"))
+  }
+
   /** Time-to-convert profile: each user's delay from their FIRST
     * `fromType` event to their first `toType` event strictly after it,
     * profiled per cohort-free total: converted-user count, total / max

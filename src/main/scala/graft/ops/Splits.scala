@@ -230,4 +230,38 @@ object Splits {
       .withColumn("batch_max", max(col("n_tokens")).over(wBatch))
       .withColumn("pad_waste", col("batch_max") - col("n_tokens"))
   }
+
+  /** Nucleus (top-p) mass filter: per group, keep the highest-scoring
+    * rows whose cumulative score mass stays under `permille`/1000 of
+    * the group total — the data-curation analogue of nucleus sampling
+    * ("keep the head that carries 90% of the quality mass"), and the
+    * budgeted cousin of [[tokenBudgetCap]] where the budget is a
+    * FRACTION of group mass rather than an absolute count. Scores must
+    * be non-negative integers (integerize upstream: cents, milli
+    * units); the keep test cross-multiplies (1000·prefix <
+    * permille·total), so membership is engine-exact. A row straddling
+    * the boundary is kept (its prefix-before is under budget) — the
+    * same convention as tokenBudgetCap; ties order by (score desc, id).
+    *
+    * Scale shape: one group-keyed sort-window; the prefix sum and the
+    * group total share its exchange, and no second pass re-reads the
+    * source. Payloads should be projected out before this and joined
+    * back by id after.
+    */
+  def nucleusTopP(docs: DataFrame, idCol: String, scoreCol: String,
+                  groupCol: String, permille: Int): DataFrame = {
+    require(permille > 0 && permille <= 1000,
+      "permille must be in (0, 1000]")
+    val wPre = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    docs.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("pre", coalesce(sum(col(scoreCol)).over(wPre), lit(0L)))
+      .withColumn("total", sum(col(scoreCol)).over(wAll))
+      .filter(col("pre") * 1000 < col("total") * permille)
+      .select(col(idCol), col(groupCol), col(scoreCol), col("pre"),
+        col("total"))
+  }
 }
+

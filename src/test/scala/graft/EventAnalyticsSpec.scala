@@ -181,4 +181,28 @@ class EventAnalyticsSpec extends SparkTestBase {
     // delays: u1 = 2h, u3 = 6h; median (n=2 -> rank 1) = 2h
     assert(out == Seq((2L, 8L * h, 6L * h, 2L * h)))
   }
+
+  test("latenessProfile: lateness is against the running high-water mark") {
+    val ev = Seq(
+      // arrival order by id: t=0, t=30min, t=10min (20 min late),
+      // t=40min, t=5min (35 min late)
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-01 00:30:00"), 1L),
+      (3L, ts("2024-01-01 00:10:00"), 1L),
+      (4L, ts("2024-01-01 00:40:00"), 1L),
+      (5L, ts("2024-01-01 00:05:00"), 1L),
+      // second user: in order -> all lateness 0
+      (6L, ts("2024-01-01 00:00:00"), 2L),
+      (7L, ts("2024-01-01 01:00:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = EventAnalytics.latenessProfile(ev, "user_id", "ts",
+        "event_id", bucketMinutes = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    // buckets: 0 min x4 (ids 1,2,4,6,7 minus... ids 1,2,4 on-time for
+    // u1; u2 both on-time) -> bucket 0 has 5 events; 20 min late ->
+    // bucket 2; 35 min late -> bucket 3
+    assert(out == Set((0L, 5L, 0L), (2L, 1L, 1200000000L),
+      (3L, 1L, 2100000000L)))
+  }
 }
+

@@ -159,4 +159,19 @@ class SplitsSpec extends SparkTestBase {
     assert(out(4L) == (1L, 0L, 6L, 0L))
     assert(out(5L) == (1L, 1L, 7L, 0L))
   }
+
+  test("nucleusTopP: the boundary-straddling row is kept, ties by id") {
+    val df = Seq(
+      // g: scores 50, 30, 20 (total 100), p=600: prefix 0 < 60 keep;
+      // prefix 50 < 60 keep (straddles); prefix 80 >= 60 drop
+      (1L, "g", 50L), (2L, "g", 30L), (3L, "g", 20L),
+      // h: equal scores tie-break by id: p=500 keeps ids 4 and 5
+      // (prefix 0, 10) but not 6 (prefix 20 >= 15... 1000*20 >= 500*30)
+      (4L, "h", 10L), (5L, "h", 10L), (6L, "h", 10L))
+      .toDF("id", "grp", "score")
+    val out = graft.ops.Splits.nucleusTopP(df, "id", "score", "grp", 600)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L, 5L))
+  }
 }
+
