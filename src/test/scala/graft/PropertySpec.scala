@@ -529,4 +529,184 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ------------------------------------------------ session-4 operators
+
+  test("kCore matches a naive synchronous peel on random graphs") {
+    samples(edgeGen, 10).filter(e => canonSet(e).nonEmpty).foreach { edges =>
+      val canon = canonSet(edges)
+      var live = canon
+      for (_ <- 1 to 3) {
+        val deg = live.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val keep = deg.filter(_._2 >= 2L).keySet
+        live = live.filter(e => keep(e._1) && keep(e._2))
+      }
+      val naive = live.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = graft.operators.Graph.kCore(edges.toDF("src", "dst"),
+          "src", "dst", k = 2L, rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive, s"edges=$edges")
+    }
+  }
+
+  private val intervalGen: Gen[List[(String, Long, Long)]] =
+    Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.oneOf("a", "b")
+        s <- Gen.chooseNum(0L, 50L)
+        len <- Gen.chooseNum(1L, 20L)
+      } yield (k, s * 60000L, (s + len) * 60000L))) // epoch millis
+
+  private def toTs(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("maxConcurrency matches a naive boundary-point count") {
+    samples(intervalGen, 10).foreach { iv =>
+      val df = iv.map { case (k, s, e) => (k, toTs(s), toTs(e)) }
+        .toDF("k", "s", "e")
+      val naive = iv.groupBy(_._1).map { case (k, is) =>
+        val points = is.flatMap(i => Seq(i._2, i._3)).distinct.sorted
+        val conc = points.map(t => t -> is.count(i => i._2 <= t && t < i._3))
+        val peak = conc.map(_._2).max
+        k -> ((peak.toLong, toTs(conc.find(_._2 == peak).get._1)))
+      }
+      val got = graft.ops.TimeSeries.maxConcurrency(df, "k", "s", "e")
+        .as[(String, Long, java.sql.Timestamp)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == naive, s"intervals=$iv")
+    }
+  }
+
+  test("intervalCoverage matches naive interval merging") {
+    samples(intervalGen, 10).foreach { iv =>
+      val df = iv.map { case (k, s, e) => (k, toTs(s), toTs(e)) }
+        .toDF("k", "s", "e")
+      val naive = iv.groupBy(_._1).map { case (k, is) =>
+        val sorted = is.map(i => (i._2, i._3)).sortBy(identity)
+        val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+            case _ => (s, e) :: acc
+          }
+        }
+        val covered = merged.map { case (s, e) => e - s }.sum * 1000L
+        k -> ((covered, merged.size.toLong))
+      }
+      val got = graft.ops.TimeSeries.intervalCoverage(df, "k", "s", "e")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == naive, s"intervals=$iv")
+    }
+  }
+
+  test("nucleusTopP matches the naive prefix-mass rule") {
+    val scoreGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0L, 30L)))
+    samples(scoreGen, 10).foreach { scores =>
+      val rows = scores.zipWithIndex.map { case (sc, i) => (i.toLong, "g", sc) }
+      val df = rows.toDF("id", "grp", "score")
+      val total = scores.sum
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val naive = ordered.zip(ordered.scanLeft(0L)(_ + _._3))
+        .collect { case ((id, _, _), pre) if pre * 1000 < total * 700 => id }
+        .toSet
+      val got = graft.ops.Splits.nucleusTopP(df, "id", "score", "grp", 700)
+        .select("id").as[Long].collect().toSet
+      assert(got == naive, s"scores=$scores")
+    }
+  }
+
+  test("activityStreaks matches a naive run-length scan") {
+    val dayGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0L, 25L)))
+    samples(dayGen, 10).foreach { days =>
+      val df = days.map(d => (1L, toTs(d * 86400000L))).toDF("user_id", "ts")
+      val ds = days.distinct.sorted
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case ((st, len) :: rest, d) if d == st + len => (st, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.reverse
+      val longest = runs.map(_._2).max
+      val naive = (1L, ds.size.toLong, runs.size.toLong, longest,
+        runs.find(_._2 == longest).get._1)
+      val got = graft.ops.EventAnalytics.activityStreaks(df, "user_id", "ts")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(got.toSeq == Seq(naive), s"days=$days")
+    }
+  }
+
+  test("rollingDistinct matches a naive trailing-window recount") {
+    val actGen = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n,
+      for {
+        d <- Gen.chooseNum(0L, 15L)
+        u <- Gen.chooseNum(1L, 5L)
+      } yield (d, u)))
+    samples(actGen, 10).foreach { acts =>
+      val df = acts.map { case (d, u) => ("k", toTs(d * 86400000L), u) }
+        .toDF("event_type", "ts", "user_id")
+      val days = acts.map(_._1).distinct
+      val naive = days.map { d =>
+        d -> acts.filter(a => a._1 <= d && a._1 > d - 7)
+          .map(_._2).distinct.size.toLong
+      }.toMap
+      val got = graft.ops.EventAnalytics.rollingDistinct(df, "event_type",
+          "ts", "user_id", windowDays = 7)
+        .select("day", "n_users").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"acts=$acts")
+    }
+  }
+
+  test("latenessProfile matches a naive high-water-mark walk") {
+    val evGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0L, 2000L))) // event-time seconds, arrival = list order
+    samples(evGen, 10).foreach { times =>
+      val df = times.zipWithIndex.map { case (t, i) =>
+        (i.toLong, toTs(t * 1000L), 1L) }.toDF("event_id", "ts", "user_id")
+      val late = times.zip(times.scanLeft(Long.MinValue)(math.max))
+        .map { case (t, hwm) => math.max(0L, (hwm - t) * 1000000L) }
+      val naive = late.groupBy(_ / 600000000L).map { case (b, ls) =>
+        b -> ((ls.size.toLong, ls.max)) }
+      val got = graft.ops.EventAnalytics.latenessProfile(df, "user_id",
+          "ts", "event_id", bucketMinutes = 10L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == naive, s"times=$times")
+    }
+  }
+
+  test("bpeEncode matches a naive greedy single-pass merge walk") {
+    val wordGen2 = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val caseGen = for {
+      words <- Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, wordGen2))
+      merges <- Gen.listOfN(3, for {
+        l <- Gen.oneOf("a", "b", "c", "ab", "bc")
+        r <- Gen.oneOf("a", "b", "c")
+      } yield (l, r))
+    } yield (words, merges)
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    samples(caseGen, 10).foreach { case (words, merges) =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val naiveToks = words.flatMap { w =>
+        merges.foldLeft(w.split("").toList) { case (syms, (l, r)) =>
+          applyMerge(syms, l, r) }
+      }
+      val naive = naiveToks.groupBy(identity).map { case (t, os) =>
+        t -> os.size.toLong }
+      val got = graft.ops.TextAnalysis.bpeEncode(docs, "text", merges)
+        .select("token", "n_occ").as[(String, Long)].collect().toMap
+      assert(got == naive, s"words=$words merges=$merges")
+    }
+  }
 }
+
