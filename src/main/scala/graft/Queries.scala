@@ -5101,6 +5101,91 @@ object Queries {
               CAST(pre AS BIGINT) AS pre, CAST(total AS BIGINT) AS total
             FROM wn WHERE pre * 1000 < total * 900"""))
 
+  // bounded synchronous label propagation over the circulant graph
+  // (3 rounds, mode label with smallest-label ties); the oracle unrolls
+  // the rounds with a row_number argmax per vertex
+  private val labelPropagationQ = Q(
+    "label_propagation",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes FROM base),
+            e0 AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst),
+            adj AS (
+              SELECT u AS a, v AS b FROM e0
+              UNION ALL SELECT v, u FROM e0),
+            l0 AS (SELECT DISTINCT a AS vertex, a AS label FROM adj),
+            r1 AS (
+              SELECT adj.b AS vx, l0.label, count(*) AS n
+              FROM l0 JOIN adj ON adj.a = l0.vertex GROUP BY 1, 2),
+            l1 AS (
+              SELECT vx AS vertex, label FROM (
+                SELECT vx, label, row_number() OVER (PARTITION BY vx
+                  ORDER BY n DESC, label) AS rk FROM r1)
+              WHERE rk = 1),
+            r2 AS (
+              SELECT adj.b AS vx, l1.label, count(*) AS n
+              FROM l1 JOIN adj ON adj.a = l1.vertex GROUP BY 1, 2),
+            l2 AS (
+              SELECT vx AS vertex, label FROM (
+                SELECT vx, label, row_number() OVER (PARTITION BY vx
+                  ORDER BY n DESC, label) AS rk FROM r2)
+              WHERE rk = 1),
+            r3 AS (
+              SELECT adj.b AS vx, l2.label, count(*) AS n
+              FROM l2 JOIN adj ON adj.a = l2.vertex GROUP BY 1, 2),
+            l3 AS (
+              SELECT vx AS vertex, label FROM (
+                SELECT vx, label, row_number() OVER (PARTITION BY vx
+                  ORDER BY n DESC, label) AS rk FROM r3)
+              WHERE rk = 1)
+            SELECT vertex, label FROM l3"""))
+
+  // seasonal-naive baseline error (the MASE denominator): day-over-
+  // 7-days-ago absolute error of daily cent totals per event_type;
+  // unmatched lag periods are unscored (inner season join)
+  private val seasonalNaiveErrorQ = Q(
+    "seasonal_naive_error",
+    (s, d) => TimeSeries.seasonalNaiveError(events(s, d), "event_type",
+      "ts", floor(col("value") * 100 + 0.5).cast("long"), seasonDays = 7),
+    Some("""WITH daily AS (
+              SELECT event_type,
+                datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS actual
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, day + 7 AS day, actual AS forecast
+              FROM daily)
+            SELECT d.event_type, count(*) AS n_scored,
+              CAST(sum(abs(d.actual - l.forecast)) AS BIGINT)
+                AS total_abs_err,
+              CAST(max(abs(d.actual - l.forecast)) AS BIGINT)
+                AS max_abs_err,
+              CAST(sum(d.actual) AS BIGINT) AS total_actual
+            FROM daily d
+            JOIN lagged l ON l.event_type = d.event_type AND l.day = d.day
+            GROUP BY 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -5158,5 +5243,6 @@ object Queries {
     activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
     robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
-    latenessProfileQ, nucleusTopPQ)
+    latenessProfileQ, nucleusTopPQ, labelPropagationQ,
+    seasonalNaiveErrorQ)
 }

@@ -893,6 +893,49 @@ object Graph {
     * the caller retries) so round r's plan reads round r−1's blocks
     * instead of replaying the whole prefix.
     */
+  /** Bounded synchronous label propagation (Raghavan et al. 2007):
+    * every vertex starts as its own label; each round it adopts the
+    * MODE label among its neighbors, ties to the smallest label —
+    * fully deterministic, no random visit order. `rounds` is the
+    * CONTRACT (the [[bfsHops]]/[[kCore]] convention): both engines run
+    * the identical computation; at convergence labels are community
+    * assignments — the cheap community detector that separates locally
+    * dense regions connected components cannot (CC merges everything
+    * reachable).
+    *
+    * Shape at 100 TB: per round one adjacency join (message = the
+    * neighbor's current label), a map-side-combinable (vertex, label)
+    * count, and a sort-free `min_by` argmax per vertex — edge-linear,
+    * the Pregel message shape. Labels materialize per round (eager
+    * localCheckpoint — a lost block fails the job and the caller
+    * retries) so round r's plan reads round r−1's blocks.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .union(canon.select(col("v").as("a"), col("u").as("b")))
+    var labels = adj.select(col("a").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = labels
+        .join(adj, col("vertex") === col("a"))
+        .groupBy(col("b").as("vx"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("vx").as("vertex"))
+        .agg(min_by(col("label"), struct((-col("n")).as("neg_n"),
+          col("label").as("l"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be positive")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -221,5 +221,39 @@ object TimeSeries {
           .otherwise(0L)).as("covered_us"),
         sum(when(col("conc") > 0 && col("prev_conc") <= 0, 1L)
           .otherwise(0L)).as("n_components"))
+  }
+
+  /** Seasonal-naive forecast error: score each (key, period) value
+    * against the value one season earlier — forecastᵗ = valueᵗ⁻ˢ, the
+    * baseline every real forecaster must beat (the denominator of the
+    * MASE metric). Emits per key the scored-period count, total/max
+    * absolute error, and total actual, all in the caller's integer
+    * units so every number is engine-exact. Periods whose season-lag
+    * period is absent are not scored (no forecast exists), which is
+    * why the lag is an inner self-join on (key, period − season)
+    * rather than a window lag over PRESENT periods only.
+    *
+    * Scale shape: the log collapses to one row per (key, period)
+    * first (map-side combinable); the season lag is then an equi-join
+    * of that bounded table with itself on the same key partitioning,
+    * and the rollup reuses it. No windows, no densification.
+    */
+  def seasonalNaiveError(events: DataFrame, keyCol: String, tsCol: String,
+                         valueUnitCol: Column,
+                         seasonDays: Int = 7): DataFrame = {
+    require(seasonDays >= 1, "seasonDays must be positive")
+    val daily = events
+      .groupBy(col(keyCol), datediff(to_date(col(tsCol)),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(valueUnitCol).as("actual"))
+    val lagged = daily.select(col(keyCol),
+      (col("day") + seasonDays).as("day"), col("actual").as("forecast"))
+    daily.join(lagged, Seq(keyCol, "day"))
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("abs_err")).as("total_abs_err"),
+        max(col("abs_err")).as("max_abs_err"),
+        sum(col("actual")).as("total_actual"))
   }
 }

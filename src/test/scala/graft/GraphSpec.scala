@@ -242,4 +242,28 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("labelPropagation: mode label with smallest-label ties, per round") {
+    // path 1-2-3: round 1: v1<-{2}, v2<-{1,3}->1 (tie->smallest),
+    // v3<-{2}; round 2: v1<-{1}? no: v1's neighbor is v2 with label 1
+    // -> v1=1; v2 neighbors {2,2}... labels(1)=2, labels(3)=2 -> v2=2;
+    // v3 neighbor v2 label 1 -> 1
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges, "src", "dst", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val r2 = Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("labelPropagation: a clique collapses to its smallest label") {
+    val edges = Seq((5L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: 5<-{6,7}->6; 6<-{5,7}->5; 7<-{5,6}->5
+    // round 2: 5<-{5,5}->5; 6<-{6,5}->5 (tie smallest); 7<-{6,5}->5
+    assert(out == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
 }
+

@@ -708,5 +708,23 @@ class PropertySpec extends SparkTestBase {
       assert(got == naive, s"words=$words merges=$merges")
     }
   }
+
+  test("labelPropagation matches a naive synchronous mode-label walk") {
+    samples(edgeGen, 8).filter(e => canonSet(e).nonEmpty).foreach { edges =>
+      val nbr = neighbors(canonSet(edges))
+      var labels = nbr.keys.map(v => v -> v).toMap
+      for (_ <- 1 to 3) {
+        labels = nbr.map { case (v, ns) =>
+          val counts = ns.toSeq.map(labels).groupBy(identity)
+            .map { case (l, os) => (l, os.size) }
+          v -> counts.minBy { case (l, n) => (-n, l) }._1
+        }
+      }
+      val got = graft.operators.Graph.labelPropagation(
+          edges.toDF("src", "dst"), "src", "dst", rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == labels, s"edges=$edges")
+    }
+  }
 }
 

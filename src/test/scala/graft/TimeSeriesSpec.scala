@@ -187,4 +187,21 @@ class TimeSeriesSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSet
     assert(out == Set(("k", 240000000L, 2L), ("m", 120000000L, 1L)))
   }
+
+  test("seasonalNaiveError: only lag-matched periods score, exact units") {
+    val ev = Seq(
+      // k: day 0 -> 100, day 7 -> 130 (err 30), day 14 -> 100 (err 30),
+      // day 3 -> 50 (no day -4: unscored), day 10 -> 70 (vs day 3: 20)
+      ("k", toTsDay(0), 100L), ("k", toTsDay(7), 130L),
+      ("k", toTsDay(14), 100L), ("k", toTsDay(3), 50L),
+      ("k", toTsDay(10), 70L))
+      .toDF("k", "ts", "cents")
+    val out = TimeSeries.seasonalNaiveError(ev, "k", "ts", col("cents"), 7)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // scored: days 7, 10, 14 -> errors 30, 20, 30; actual sum 300
+    assert(out == Set(("k", 3L, 80L, 30L, 300L)))
+  }
+
+  private def toTsDay(d: Long) = new java.sql.Timestamp(d * 86400000L)
 }
+
