@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,19 +117,30 @@ object Features {
     * is an O(n²) self-join.
     *
     * Scale shape: the dominating reduction happens FIRST — one
-    * map-side-combinable max-y-per-x aggregation — so the global sweep
-    * window only sees distinct x values. The sweep itself is a global
-    * order (one partition); at extreme x-cardinality, pre-prune with
-    * per-partition local fronts (skylines compose: the global front is
-    * the front of the union of local fronts) before this pass.
+    * map-side-combinable max-y-per-x aggregation — then LOCAL fronts
+    * prune per partition before anything goes global: skylines compose
+    * (the global front is the front of the union of local fronts), so
+    * the single-partition sweep only ever sees Σ local-front sizes —
+    * bounded by partitions × |front|, not by x-cardinality. Without
+    * the pre-prune, every distinct x lands on ONE partition — the
+    * classic global-window scale cliff (600 k rows at sf0.1; fatal at
+    * 100 TB). The per-partition window keys on `spark_partition_id()`,
+    * keeping the whole prune declarative.
     */
   def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x")).agg(max(col(yCol)).as("y"))
-    val sweep = Window.orderBy(col("x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perX.withColumn("__mx", max(col("y")).over(sweep))
-      .filter(col("__mx").isNull || col("y") > col("__mx"))
+    def sweepFront(in: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = (if (part.isEmpty) Window.orderBy(col("x").desc)
+               else Window.partitionBy(part: _*).orderBy(col("x").desc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("__mx", max(col("y")).over(w))
+        .filter(col("__mx").isNull || col("y") > col("__mx"))
+        .drop("__mx")
+    }
+    val local = sweepFront(perX.withColumn("__pid", spark_partition_id()),
+      Seq(col("__pid"))).drop("__pid")
+    sweepFront(local, Seq.empty)
       .select(col("x").as(xCol), col("y").as(yCol))
   }
 
