@@ -5186,6 +5186,49 @@ object Queries {
             JOIN lagged l ON l.event_type = d.event_type AND l.day = d.day
             GROUP BY 1"""))
 
+  // interpolated (type-7) quantiles made engine-exact: the rank/frac
+  // formula is spelled out identically on both sides instead of
+  // trusting either builtin's variant — IEEE ops on selected values
+  private val quantileContQ = Q(
+    "quantile_cont_agg",
+    (s, d) => graft.ops.Features.quantilesCont(events(s, d), "event_type",
+      "value", Seq(250, 500, 750)),
+    Some("""WITH r AS (
+              SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL),
+            a AS (
+              SELECT event_type,
+                max(CASE WHEN rn = ((n - 1) * 250) // 1000 + 1
+                  THEN value END) AS lo250,
+                max(CASE WHEN rn = ((n - 1) * 250) // 1000 + 2
+                  THEN value END) AS hi250,
+                max(((n - 1) * 250) % 1000) AS f250,
+                max(CASE WHEN rn = ((n - 1) * 500) // 1000 + 1
+                  THEN value END) AS lo500,
+                max(CASE WHEN rn = ((n - 1) * 500) // 1000 + 2
+                  THEN value END) AS hi500,
+                max(((n - 1) * 500) % 1000) AS f500,
+                max(CASE WHEN rn = ((n - 1) * 750) // 1000 + 1
+                  THEN value END) AS lo750,
+                max(CASE WHEN rn = ((n - 1) * 750) // 1000 + 2
+                  THEN value END) AS hi750,
+                max(((n - 1) * 750) % 1000) AS f750
+              FROM r GROUP BY 1)
+            SELECT event_type,
+              CASE WHEN f250 = 0 THEN lo250
+                ELSE lo250 + (hi250 - lo250) * (f250 / 1000.0) END
+                AS p250_cont,
+              CASE WHEN f500 = 0 THEN lo500
+                ELSE lo500 + (hi500 - lo500) * (f500 / 1000.0) END
+                AS p500_cont,
+              CASE WHEN f750 = 0 THEN lo750
+                ELSE lo750 + (hi750 - lo750) * (f750 / 1000.0) END
+                AS p750_cont
+            FROM a"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -5244,5 +5287,5 @@ object Queries {
     robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
-    seasonalNaiveErrorQ)
+    seasonalNaiveErrorQ, quantileContQ)
 }

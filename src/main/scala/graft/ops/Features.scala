@@ -109,6 +109,48 @@ object Features {
     ranked.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 
+  /** Exact INTERPOLATED quantiles per group — the linear (type-7 /
+    * `percentile_cont`) definition, made engine-exact by spelling the
+    * formula out instead of calling either engine's builtin: with
+    * 1-indexed ascending ranks, position `(n−1)·p` (in milli units)
+    * selects `lo` at rank `pos div 1000 + 1`, `hi` at the next rank,
+    * and emits `lo + (hi − lo) · (frac / 1000.0)` where
+    * `frac = pos mod 1000`. Both sides run the IDENTICAL IEEE ops on
+    * the identical selected values, so results are bit-equal — the
+    * builtins are not comparable across engines because each picks its
+    * own formula variant and evaluation order ([[quantilesDisc]] exists
+    * because of exactly that; this closes the interpolated half).
+    *
+    * Scale shape: identical to [[quantilesDisc]] — one group-keyed
+    * exchange shared by the rank window, the count, and the final
+    * map-side-combinable conditional-max reduction.
+    */
+  def quantilesCont(df: DataFrame, groupCol: String, valueCol: String,
+                    permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 0 && p <= 1000),
+      "permille targets must be in [0, 1000]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val picks = permille.flatMap { p =>
+      val lo = expr(s"((__n - 1) * $p) div 1000 + 1")
+      Seq(
+        max(when(col("__rn") === lo, col(valueCol))).as(s"__lo$p"),
+        max(when(col("__rn") === lo + 1, col(valueCol))).as(s"__hi$p"),
+        max(expr(s"((__n - 1) * $p) % 1000")).as(s"__f$p"))
+    }
+    val agg = ranked.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+    val outs = permille.map { p =>
+      when(col(s"__f$p") === 0, col(s"__lo$p"))
+        .otherwise(col(s"__lo$p") +
+          (col(s"__hi$p") - col(s"__lo$p")) * (col(s"__f$p") / 1000.0))
+        .as(s"p${p}_cont")
+    }
+    agg.select(col(groupCol) +: outs: _*)
+  }
+
   /** 2-D Pareto front (skyline), maximizing both axes: the
     * non-dominated distinct (x, y) pairs via the classic sorted sweep —
     * a pair survives iff its y strictly exceeds every y seen at a

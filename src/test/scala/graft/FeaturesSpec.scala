@@ -110,4 +110,19 @@ class FeaturesSpec extends SparkTestBase {
       .as[(String, Long, Double, Double, Long)].collect().toSet
     assert(out == Set(("g", 6L, 3.0, 1.0, 1L), ("h", 3L, 7.0, 0.0, 0L)))
   }
+
+  test("quantilesCont: the spelled-out type-7 interpolation, exact") {
+    // g: values 10,20,30,40 (n=4): p500 -> pos=1500, lo=rank 2 (20),
+    // hi=rank 3 (30), frac 500 -> 25.0; p250 -> pos=750, lo=rank 1,
+    // frac 750 -> 10 + 10*0.75 = 17.5; p1000 -> pos=3000, lo=rank 4,
+    // frac 0 -> exact max, no hi needed
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0),
+      ("h", 5.0)) // single value: every quantile is that value
+      .toDF("g", "v")
+    val out = graft.ops.Features.quantilesCont(df, "g", "v",
+        Seq(250, 500, 1000))
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(out == Set(("g", 17.5, 25.0, 40.0), ("h", 5.0, 5.0, 5.0)))
+  }
 }
+
