@@ -5229,6 +5229,31 @@ object Queries {
                 AS p750_cont
             FROM a"""))
 
+  // exact per-group mode with deterministic ties (smallest key wins):
+  // the modal weekday (Sunday-based 1..7) per type — peak-traffic; a
+  // sort-free min_by argmax over the tiny (type, dow) count table
+  private val modalDowQ = Q(
+    "modal_day_of_week",
+    (s, d) => events(s, d)
+      .groupBy(col("event_type"),
+        dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min_by(col("dow"), struct((-col("n")).as("neg_n"),
+        col("dow").as("d"))).as("modal_dow"),
+        max(col("n")).as("n_events")),
+    Some("""WITH c AS (
+              SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT event_type, dow, n,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY n DESC, dow) AS rk
+              FROM c)
+            SELECT event_type, CAST(dow AS BIGINT) AS modal_dow,
+              CAST(n AS BIGINT) AS n_events
+            FROM r WHERE rk = 1"""))
+
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
     s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
@@ -5287,5 +5312,5 @@ object Queries {
     robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
-    seasonalNaiveErrorQ, quantileContQ)
+    seasonalNaiveErrorQ, quantileContQ, modalDowQ)
 }
