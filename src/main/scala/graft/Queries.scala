@@ -4324,8 +4324,10 @@ object Queries {
   // TPC-H Q7-shaped nation-pair trade volume: a five-way join where the
   // two nation legs broadcast (dimension-sized), the lineitem-supplier/
   // orders-customer legs shuffle on their keys, and the shipdate filter
-  // pushes to the fact scan. All cross-nation pairs, yearly revenue at
-  // the 4-decimal true precision of price*(1-discount).
+  // pushes to the fact scan. All cross-nation pairs, yearly revenue in
+  // EXACT integer units (cents x (100 - discount cents), the q15
+  // idiom) so the sum is order-independent at any scale instead of
+  // relying on both engines agreeing on FP accumulation order.
   private val q7NationVolume = Q(
     "q7_nation_volume",
     (s, d) => {
@@ -4345,13 +4347,16 @@ object Queries {
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-            .as("revenue"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+            .as("revenue_unit"),
           count(lit(1)).as("n_lines"))
     },
     Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
               CAST(year(l_shipdate) AS BIGINT) AS l_year,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_unit,
               count(*) AS n_lines
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey

@@ -874,25 +874,6 @@ object Graph {
       .select("v1", "v2", "n_common", "deg1", "deg2", "jaccard_milli")
   }
 
-  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
-    * vertex whose degree in the surviving subgraph is < k", over the
-    * undirected simple graph of `edges`. Emits each surviving vertex
-    * with its degree inside the surviving subgraph. The bounded round
-    * count is the CONTRACT (like [[bfsHops]]'s `maxHops`): both engines
-    * run exactly `rounds` peels, so results are deterministic without a
-    * data-dependent fixpoint test; at the fixpoint the output is the
-    * true k-core (Seidman 1983, the dense-subgraph / spam-farm /
-    * community seed extractor; Batagelj-Zaveršnik is the sequential
-    * algorithm, this is its synchronous distributed form).
-    *
-    * Shape at 100 TB: each round is one map-side-combinable degree
-    * count over surviving edges plus two vertex-keyed semi-joins to
-    * drop edges with a peeled endpoint — edge-linear per round, the
-    * standard Pregel-style peel. Survivor edge sets are materialized
-    * per round (eager localCheckpoint — a lost block fails the job and
-    * the caller retries) so round r's plan reads round r−1's blocks
-    * instead of replaying the whole prefix.
-    */
   /** Bounded synchronous label propagation (Raghavan et al. 2007):
     * every vertex starts as its own label; each round it adopts the
     * MODE label among its neighbors, ties to the smallest label —
@@ -936,6 +917,25 @@ object Graph {
     labels
   }
 
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * vertex whose degree in the surviving subgraph is < k", over the
+    * undirected simple graph of `edges`. Emits each surviving vertex
+    * with its degree inside the surviving subgraph. The bounded round
+    * count is the CONTRACT (like [[bfsHops]]'s `maxHops`): both engines
+    * run exactly `rounds` peels, so results are deterministic without a
+    * data-dependent fixpoint test; at the fixpoint the output is the
+    * true k-core (Seidman 1983, the dense-subgraph / spam-farm /
+    * community seed extractor; Batagelj-Zaveršnik is the sequential
+    * algorithm, this is its synchronous distributed form).
+    *
+    * Shape at 100 TB: each round is one map-side-combinable degree
+    * count over surviving edges plus two vertex-keyed semi-joins to
+    * drop edges with a peeled endpoint — edge-linear per round, the
+    * standard Pregel-style peel. Survivor edge sets are materialized
+    * per round (eager localCheckpoint — a lost block fails the job and
+    * the caller retries) so round r's plan reads round r−1's blocks
+    * instead of replaying the whole prefix.
+    */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be positive")

@@ -239,9 +239,14 @@ object Splits {
     * FRACTION of group mass rather than an absolute count. Scores must
     * be non-negative integers (integerize upstream: cents, milli
     * units); the keep test cross-multiplies (1000·prefix <
-    * permille·total), so membership is engine-exact. A row straddling
-    * the boundary is kept (its prefix-before is under budget) — the
-    * same convention as tokenBudgetCap; ties order by (score desc, id).
+    * permille·total), so membership is engine-exact. The caller owns
+    * the overflow bound: a group's total score mass must stay ≤
+    * Long.MaxValue/1000 ≈ 9.2·10^15 so the ×1000 cross-multiply cannot
+    * wrap (the [[graft.functions]] convention of documented
+    * caller-owned bounds); at larger masses integerize coarser
+    * upstream. A row straddling the boundary is kept (its prefix-before
+    * is under budget) — the same convention as tokenBudgetCap; ties
+    * order by (score desc, id).
     *
     * Scale shape: one group-keyed sort-window; the prefix sum and the
     * group total share its exchange, and no second pass re-reads the

@@ -118,9 +118,12 @@ object Urls {
   def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
                       blocklist: DataFrame): DataFrame = {
     val h = host(col(urlCol))
+    // explode_outer: a NULL/unparseable url has a NULL host and a NULL
+    // suffix array — the row must still surface with blocked=false
+    // rather than vanish from the annotation output.
     val sufs = df.select(col(idCol), h.as("host"))
       .select(col(idCol), col("host"),
-        explode(domainSuffixes(col("host"))).as("suffix"))
+        explode_outer(domainSuffixes(col("host"))).as("suffix"))
     sufs.join(broadcast(blocklist.withColumnRenamed("domain", "suffix")
         .withColumn("__hit", lit(1))), Seq("suffix"), "left")
       .groupBy(col(idCol), col("host"))

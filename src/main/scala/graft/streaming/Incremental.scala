@@ -46,7 +46,9 @@ object Incremental {
     * plan. Never a self-join on time ranges.
     */
   def hoppingCounts(events: DataFrame, tsCol: String, keyCol: String,
-                    sizeSec: Long, slideSec: Long): DataFrame =
+                    sizeSec: Long, slideSec: Long): DataFrame = {
+    require(sizeSec > 0 && slideSec > 0, "size and slide must be positive")
+    require(sizeSec % slideSec == 0, "size must be a multiple of slide")
     events
       .groupBy(window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds"),
         col(keyCol))
@@ -56,6 +58,7 @@ object Incremental {
       .select(col("window.start").cast("long").as("hop_start"),
         col("window.end").cast("long").as("hop_end"),
         col(keyCol), col("n_events"), col("min_value"), col("max_value"))
+  }
 
   /** Streaming variant with event-time watermark: late rows beyond the
     * watermark are dropped, matching the reference's "window closed, rerun

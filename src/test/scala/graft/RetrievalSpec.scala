@@ -95,6 +95,17 @@ class RetrievalSpec extends SparkTestBase {
     assert(out(3) == ((4L, "sub.bad.org", true, Some("bad.org"))))
   }
 
+  test("blocklistFilter: NULL urls surface as blocked=false instead of vanishing") {
+    val rules = Seq("bad.org").toDF("domain")
+    val urls = Seq((1L, Option("https://bad.org/x")), (2L, Option.empty[String]))
+      .toDF("doc_id", "url")
+    val out = Urls.blocklistFilter(urls, "doc_id", "url", rules)
+      .select("doc_id", "blocked", "matched_rule")
+      .as[(Long, Boolean, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(out.length == 2, "the NULL-url row must not be dropped")
+    assert(out(1) == ((2L, false, None)))
+  }
+
   test("blocklistFilter: the bare TLD never matches") {
     val rules = Seq("com").toDF("domain")
     val urls = Seq((1L, "https://a.example.com/x")).toDF("doc_id", "url")
