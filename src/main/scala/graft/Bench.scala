@@ -99,12 +99,15 @@ object Bench {
     // keeps the full per-query vector readable from the repo. Lands in
     // the CWD (the repo root under sbt); a failed write warns instead of
     // silently leaving a stale committed file behind.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"WARN: BENCH_LAST.json not written: $e")
-    }
+    // Subset runs (SPARK_GRAFT_QUERIES set) are local iteration — they
+    // must not clobber the committed full-surface vector.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"WARN: BENCH_LAST.json not written: $e")
+      }
     // The driver's artifact keeps only a bounded LOG TAIL: at 184
     // queries the full line is ~5 KB, so the tail held a front-truncated
     // (unparseable) fragment and BENCH_r10.json recorded "parsed": null.

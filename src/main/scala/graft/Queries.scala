@@ -66,6 +66,47 @@ object Queries {
     dir.toString
   }
 
+  /** Run a streaming job under state-sized confs, restoring the session
+    * confs afterwards. Two knobs, both provisioning decisions the batch
+    * defaults get wrong for stateful streams:
+    *
+    * `statePartitions` — a stateful operator opens one state store per
+    * shuffle partition per internal store (a stream-stream join keeps
+    * FOUR per side-pair), and each HDFSBackedStateStore instance pays a
+    * fixed load/commit file round trip per micro-batch regardless of
+    * row volume. The count is pinned into the CHECKPOINT at first start,
+    * so it must be sized to expected state volume up front: the round-11
+    * diagnosis (tools/StreamDiag) measured the 40k-row interval join at
+    * 9.9 s under the inherited 32-partition default (128 instances × 3
+    * batches of pure per-instance overhead) vs 3.9 s at 4 partitions.
+    * At 100 TB/day the same knob is sized UP (state volume / a few
+    * hundred MB per store), independent of the batch shuffle width.
+    *
+    * `noDataBatch` — AvailableNow appends a trailing zero-input
+    * micro-batch whose only job is watermark-driven state eviction and
+    * late window emission. Operators that emit EAGERLY (stream-stream
+    * inner join, dropDuplicates* — rows surface in the batch they
+    * arrive; complete-mode sinks — every batch re-emits the full table)
+    * produce identical results without it, so those queries skip its
+    * full state load/commit cycle.
+    *
+    * Conf set/restore is safe here: the streaming job runs to completion
+    * (AvailableNow + awaitTermination) inside `body`, and the queries'
+    * downstream BATCH plans execute after restore, at `.count()` time.
+    */
+  private def withStreamingConfs[A](s: org.apache.spark.sql.SparkSession,
+      statePartitions: Int, noDataBatch: Boolean)(body: => A): A = {
+    val conf = s.conf
+    val prevP = conf.get("spark.sql.shuffle.partitions")
+    val prevN = conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
+    try body finally {
+      conf.set("spark.sql.shuffle.partitions", prevP)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevN)
+    }
+  }
+
   // ---------------------------------------------------------------- S1
   private val s1DiscoverScan = Q(
     "s1_discover_scan",
@@ -1130,11 +1171,16 @@ object Queries {
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val qname = "graft_sess_stream_out"
       s.catalog.dropTempView(qname)
-      graft.streaming.Sessionize.streamingSessions(stream, "ts", "user_id")
-        .writeStream.outputMode("complete").format("memory").queryName(qname)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start().awaitTermination()
+      // complete mode re-emits the whole session table every batch, so
+      // the trailing no-data batch is a pure re-emit — skip it; state is
+      // session-count-sized, so 4 partitions (see withStreamingConfs).
+      withStreamingConfs(s, statePartitions = 4, noDataBatch = false) {
+        graft.streaming.Sessionize.streamingSessions(stream, "ts", "user_id")
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start().awaitTermination()
+      }
       s.table(qname).select(col("user_id"), col("session_start"),
         col("session_end"), col("n_events"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -1255,11 +1301,18 @@ object Queries {
         .write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      Incremental.foreachBatchMergePartitioned(stream, table,
-          keys = Seq("event_id"), partCol = "event_type")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start().awaitTermination()
+      // stateless foreachBatch (no state stores, no no-data batch), but
+      // the per-micro-batch merge's shuffle width should match batch
+      // volume, not the session-wide batch default: 8 keeps the anti-join
+      // and the partitioned rewrite at a few MB per task without a
+      // 32-way fan-out of near-empty files per batch.
+      withStreamingConfs(s, statePartitions = 8, noDataBatch = true) {
+        Incremental.foreachBatchMergePartitioned(stream, table,
+            keys = Seq("event_id"), partCol = "event_type")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start().awaitTermination()
+      }
       Incremental.weeklyCounts(s.read.parquet(table), "ts", "event_type")
     },
     Some("""SELECT date_trunc('week', ts) AS week_start, event_type,
@@ -1317,15 +1370,20 @@ object Queries {
         .write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      streaming.Incremental.bloomDedupStream(
-          stream.select(col("event_id")).as[Long],
-          shards = 8, numWords = 131072, numHashes = 5)
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("append")
-        .start().awaitTermination()
+      // only 8 shard keys exist, so >8 state partitions are pure empty
+      // store overhead; NoTimeout state means the no-data batch does
+      // nothing (no timeouts to fire) — skip it (see withStreamingConfs).
+      withStreamingConfs(s, statePartitions = 8, noDataBatch = false) {
+        streaming.Incremental.bloomDedupStream(
+            stream.select(col("event_id")).as[Long],
+            shards = 8, numWords = 131072, numHashes = 5)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .start().awaitTermination()
+      }
       s.read.parquet(outDir).select(col("value").as("event_id"))
     },
     Some("SELECT DISTINCT event_id FROM events"))
@@ -4158,14 +4216,19 @@ object Queries {
         .write.mode("append").parquet(inDir)
       ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
         .write.mode("append").parquet(inDir)
-      s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .withWatermark("ts", "90 days")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("parquet").option("path", table)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // dedup emits first-seen rows in their arrival batch; the no-data
+      // batch only evicts expired keys — skip it, size state partitions
+      // to the ~60k-key state (see withStreamingConfs).
+      withStreamingConfs(s, statePartitions = 4, noDataBatch = false) {
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.format("parquet").option("path", table)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(table)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -4204,21 +4267,28 @@ object Queries {
         .write.mode("append").parquet(s"$base/purch")
       purch.filter(col("purchase_id") % 2 =!= 0).coalesce(1)
         .write.mode("append").parquet(s"$base/purch")
-      val cs = s.readStream.schema(clicks.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
-        .withWatermark("click_ts", "90 days")
-      val ps = s.readStream.schema(purch.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/purch")
-        .withWatermark("purchase_ts", "90 days")
-      ps.join(cs,
-          ps("p_user_id") === cs("user_id") &&
-            cs("click_ts") <= ps("purchase_ts") &&
-            cs("click_ts") >= ps("purchase_ts") - expr("INTERVAL 3600 SECOND"))
-        .select(col("p_user_id"), col("purchase_id"), col("click_id"))
-        .writeStream.format("parquet").option("path", s"$base/table")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // state-sized confs (see withStreamingConfs): the join keeps ~40k
+      // rows of state, so 4 state partitions (16 store instances, not
+      // 128); the inner join emits matches in the arrival batch, so the
+      // trailing no-data eviction batch is skipped — result-identical,
+      // measured 9.9 s -> 3.9 s (tools/StreamDiag, round 11).
+      withStreamingConfs(s, statePartitions = 4, noDataBatch = false) {
+        val cs = s.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+          .withWatermark("click_ts", "90 days")
+        val ps = s.readStream.schema(purch.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/purch")
+          .withWatermark("purchase_ts", "90 days")
+        ps.join(cs,
+            ps("p_user_id") === cs("user_id") &&
+              cs("click_ts") <= ps("purchase_ts") &&
+              cs("click_ts") >= ps("purchase_ts") - expr("INTERVAL 3600 SECOND"))
+          .select(col("p_user_id"), col("purchase_id"), col("click_id"))
+          .writeStream.format("parquet").option("path", s"$base/table")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$base/table")
         .groupBy(col("p_user_id").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
