@@ -283,6 +283,118 @@ object Sinks {
     df.select(cols.map(col): _*).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
+  /** A node table staged for KG export: Neo4j label, rows, and the key
+    * property the MERGE de-duplicates on (K3's first-write-wins key).
+    */
+  final case class KgNodeExport(label: String, df: DataFrame, key: String)
+
+  /** An edge table staged for KG export: relationship type, rows (the
+    * [[Graph.buildEdges]] shape — endpoint keys + `relationship_id`),
+    * and the endpoint labels/keys the MATCH clauses bind.
+    */
+  final case class KgEdgeExport(relType: String, df: DataFrame,
+                                headLabel: String, headKey: String,
+                                tailLabel: String, tailKey: String)
+
+  private val cypherIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def requireIdent(s: String, what: String): Unit =
+    require(cypherIdent.matches(s),
+      s"$what '$s' is not a plain Cypher identifier; refusing to " +
+        "interpolate it into a generated script")
+
+  /** Export the KG tables as Neo4j-loadable artifacts: one headers CSV
+    * per node/edge table under `baseDir` plus a generated
+    * `load_kg.cypher` MERGE script (returned, and written next to the
+    * CSVs). This is the sink-parity twin of the reference's LOAD CSV
+    * path (`kg_task.py:85-128`, `kg_flow.py:18-31`) with its two bugs
+    * fixed to the INTENDED semantics (the same reading
+    * [[bulkEdgesFromCsv]] implements):
+    *
+    *   - nodes: the reference MERGEs on EVERY property column, so two
+    *     rows differing in any attribute become distinct nodes; here the
+    *     MERGE pattern carries only the key and `ON CREATE SET` fills
+    *     the rest — first-write-wins, the K3 contract, so replaying the
+    *     script converges.
+    *   - edges: the reference's `MERGE (r:RelLabel {...})` creates a
+    *     NODE wearing the relationship label, and both MATCHes bind
+    *     `row.id`; here the MATCHes bind head/tail keys and the MERGE
+    *     is a real relationship keyed on `relationship_id` (the
+    *     (rel_type, relationship_id) appendEdges key), so rows with
+    *     missing endpoints drop exactly like buildEdges' semi-joins.
+    *
+    * Each CSV lands as ONE file (`nodes_<label>.csv` /
+    * `edges_<relType>.csv`): LOAD CSV reads a single file from the
+    * import dir. That single-file coalesce makes this the
+    * dimension-scale interchange path by design — fact-scale graphs go
+    * through `neo4j-admin database import` from the sharded
+    * [[writeCsv]] output instead, and node/edge tables of a KG are
+    * dimension-sized here (the reference's whole graph is a few
+    * hundred k rows). Labels/keys/columns are validated as plain
+    * identifiers before interpolation.
+    */
+  def exportKgCsv(spark: SparkSession, nodes: Seq[KgNodeExport],
+                  edges: Seq[KgEdgeExport], baseDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def writeSingleCsv(df: DataFrame, fileName: String): Unit = {
+      val tmp = new Path(baseDir, s".$fileName.tmp")
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"csv write produced no part file under $tmp"))
+      val dest = new Path(baseDir, fileName)
+      fs.delete(dest, false)
+      if (!fs.rename(part, dest))
+        throw new IllegalStateException(s"could not move $part to $dest")
+      fs.delete(tmp, true)
+    }
+
+    val script = new StringBuilder
+    nodes.foreach { n =>
+      requireIdent(n.label, "node label"); requireIdent(n.key, "node key")
+      n.df.columns.foreach(requireIdent(_, "node property"))
+      require(n.df.columns.contains(n.key),
+        s"node table ${n.label} is missing its key column ${n.key}")
+      val file = s"nodes_${n.label}.csv"
+      writeSingleCsv(n.df, file)
+      val props = n.df.columns.filterNot(_ == n.key)
+      script ++= s"LOAD CSV WITH HEADERS FROM 'file:///$file' AS row\n"
+      script ++= s"MERGE (n:${n.label} {${n.key}: row.${n.key}})\n"
+      if (props.nonEmpty)
+        script ++= props.map(p => s"n.$p = row.$p")
+          .mkString("ON CREATE SET ", ", ", "\n")
+      script ++= ";\n\n"
+    }
+    edges.foreach { e =>
+      requireIdent(e.relType, "relationship type")
+      requireIdent(e.headLabel, "head label"); requireIdent(e.headKey, "head key")
+      requireIdent(e.tailLabel, "tail label"); requireIdent(e.tailKey, "tail key")
+      e.df.columns.foreach(requireIdent(_, "edge property"))
+      Seq(e.headKey, e.tailKey, "relationship_id").foreach { c =>
+        require(e.df.columns.contains(c),
+          s"edge table ${e.relType} is missing column $c")
+      }
+      val file = s"edges_${e.relType}.csv"
+      writeSingleCsv(e.df, file)
+      script ++= s"LOAD CSV WITH HEADERS FROM 'file:///$file' AS row\n"
+      script ++= s"MATCH (h:${e.headLabel} {${e.headKey}: row.${e.headKey}})\n"
+      script ++= s"MATCH (t:${e.tailLabel} {${e.tailKey}: row.${e.tailKey}})\n"
+      script ++= s"MERGE (h)-[r:${e.relType} " +
+        "{relationship_id: row.relationship_id}]->(t);\n\n"
+    }
+    val out = script.result()
+    val scriptPath = new Path(baseDir, "load_kg.cypher")
+    val os = fs.create(scriptPath, true)
+    try os.write(out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    out
+  }
+
   /** Write a whole graph build (node + edge tables) idempotently. */
   def writeGraph(tables: graft.pipeline.MovieGraph.GraphTables, baseDir: String,
                  nodeKeys: Map[String, String]): Unit = {

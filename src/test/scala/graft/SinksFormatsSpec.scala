@@ -247,6 +247,60 @@ class SinksFormatsSpec extends SparkTestBase {
       Seq("ACTED_IN"))
   }
 
+  test("exportKgCsv: headers + MERGE script round-trip against bulkEdgesFromCsv") {
+    val base = Files.createTempDirectory("graft_kgexp_").toString
+    val movies = Seq((10L, "A"), (20L, "B")).toDF("movie_id", "title")
+    val persons = Seq((1L, "P1"), (2L, "P2")).toDF("person_id", "name")
+    val edges = graft.operators.Graph.buildEdges(
+      Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("movie_id", "person_id"),
+      movies, persons, "movie_id", "person_id", "ACTED_IN")
+    val script = Sinks.exportKgCsv(spark,
+      Seq(Sinks.KgNodeExport("Movie", movies, "movie_id"),
+        Sinks.KgNodeExport("Person", persons, "person_id")),
+      Seq(Sinks.KgEdgeExport("ACTED_IN", edges,
+        "Movie", "movie_id", "Person", "person_id")),
+      base)
+    // the script on disk is the returned script, with the fixed Cypher:
+    // key-only node MERGE + real relationship MERGE on relationship_id
+    val onDisk = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(base, "load_kg.cypher")), "UTF-8")
+    assert(onDisk == script)
+    assert(script.contains("MERGE (n:Movie {movie_id: row.movie_id})"))
+    assert(script.contains("ON CREATE SET n.title = row.title"))
+    assert(script.contains("MATCH (h:Movie {movie_id: row.movie_id})"))
+    assert(script.contains("MATCH (t:Person {person_id: row.person_id})"))
+    assert(script.contains(
+      "MERGE (h)-[r:ACTED_IN {relationship_id: row.relationship_id}]->(t);"))
+    // single-file CSVs with headers, loadable straight back:
+    // node CSVs re-seed through seedFromCsv (K5)…
+    val movieSchema = StructType(Seq(StructField("movie_id", LongType),
+      StructField("title", StringType)))
+    val seeded = Sinks.seedFromCsv(spark, s"$base/nodes_Movie.csv",
+      movieSchema, Seq("movie_id"))
+    assert(seeded.orderBy("movie_id").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "A"), (20L, "B")))
+    // …and the edge CSV replays through bulkEdgesFromCsv (K6) to the
+    // exact exported edge set — the round trip the script encodes.
+    // schema in FILE order (explicit-schema CSV reads match by position,
+    // and buildEdges' using-column joins front the join keys):
+    val edgeSchema = StructType(Seq(
+      StructField("person_id", LongType), StructField("movie_id", LongType),
+      StructField("relationship_id", StringType),
+      StructField("rel_type", StringType)))
+    val sink = base + "/rels"
+    Sinks.bulkEdgesFromCsv(spark, s"$base/edges_ACTED_IN.csv", edgeSchema,
+      movies, persons, "movie_id", "person_id", "ACTED_IN", sink)
+    val ids = spark.read.parquet(sink)
+      .select("relationship_id").as[String].collect().toSet
+    assert(ids == Set("10-1", "10-2", "20-1"))
+    // injection guard: a non-identifier label must refuse to emit
+    intercept[IllegalArgumentException] {
+      Sinks.exportKgCsv(spark,
+        Seq(Sinks.KgNodeExport("Movie) DETACH DELETE n; //", movies,
+          "movie_id")), Nil, base + "/evil")
+    }
+  }
+
   test("K1/K2 JDBC sink: dup-tolerant insert converges under replay (Derby)") {
     val dbDir = Files.createTempDirectory("graft_derby_").resolve("db")
     val url = s"jdbc:derby:$dbDir;create=true"
