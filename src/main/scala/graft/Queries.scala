@@ -657,6 +657,40 @@ object Queries {
                   ORDER BY price_cents DESC, l_orderkey) AS rn
               FROM b) WHERE rn <= 5"""))
 
+  // The rank() leg of the TopKRewrite through the correctness gate:
+  // top-5 users by event count per event type, written with rank()
+  // over the aggregate. The groupBy(event_type, user_id) below the
+  // window PROVES the ordering tie-free (grouping keys ⊆ partition ∪
+  // tie-break), so rank == row_number and the rule may run the
+  // bounded-heap operator; the oracle states the identical rank()
+  // formulation. coalesce() pins both columns non-nullable (parquet
+  // reads are nullable by default, and the rewrite's guards demand a
+  // non-nullable score and tie-break).
+  private val topkRankAgg = Q(
+    "topk_rank_agg",
+    (s, d) => {
+      graft.plans.TopKRewrite.install(s)
+      val base = events(s, d).select(
+        coalesce(col("event_type"), lit("")).as("event_type"),
+        coalesce(col("user_id"), lit(0L)).as("user_id"))
+      val agg = base.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n_events").desc, col("user_id").asc)
+      agg.withColumn("r", rank().over(w)).filter(col("r") <= 5)
+        .select("event_type", "user_id", "n_events")
+    },
+    Some("""WITH a AS (
+              SELECT coalesce(event_type, '') AS event_type,
+                coalesce(user_id, 0) AS user_id, count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, user_id, n_events FROM (
+              SELECT event_type, user_id, n_events,
+                rank() OVER (PARTITION BY event_type
+                  ORDER BY n_events DESC, user_id) AS r
+              FROM a) WHERE r <= 5"""))
+
   // Misra-Gries heavy hitters through the driver gate: with distinct
   // keys <= k the summary provably takes no decrement step in reduce OR
   // merge, so the sketch is EXACT and order-independent — the oracle is
@@ -5340,7 +5374,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
-    sketchMgTopk, topkRankRewrite,
+    sketchMgTopk, topkRankRewrite, topkRankAgg,
     momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,

@@ -77,6 +77,59 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** `rank()` over the same frame. rank == row_number exactly when the
+    * ORDER BY is tie-free within every partition, so the rewrite may
+    * treat a provably tie-free rank like row_number; with a possible
+    * tie, `rank <= k` keeps MORE than k rows at the boundary and the
+    * heap operator (exactly k) would drop rows.
+    */
+  private def isRankOverRowFrame(e: Expression): Boolean = e match {
+    case WindowExpression(Rank(_),
+        WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))) => true
+    case _ => false
+  }
+
+  /** True when `plan`'s output rows are PROVABLY distinct on `cols`,
+    * i.e. no two output rows agree on all of them — the tie-freeness
+    * witness for the rank() rewrite (cols = partition keys + tie-break).
+    * Conservative structural walk:
+    *  - Aggregate: rows are unique on the grouping keys, hence on any
+    *    superset; require every grouping expression to surface in the
+    *    output as one of `cols` (a global aggregate is a single row —
+    *    trivially distinct);
+    *  - Project: map `cols` through pass-through attributes / direct
+    *    aliases and recurse (any computed column breaks the proof);
+    *  - Filter / WindowGroupLimit: row subsets preserve distinctness.
+    * Anything else returns false — the rule then leaves rank() on the
+    * window path, which is always sound.
+    */
+  private def provablyDistinctOn(plan: LogicalPlan, cols: AttributeSet): Boolean =
+    plan match {
+      case Filter(_, child) => provablyDistinctOn(child, cols)
+      case WindowGroupLimit(_, _, _, _, child) => provablyDistinctOn(child, cols)
+      case Project(pl, child) =>
+        val mapped = cols.toSeq.map { a =>
+          pl.collectFirst {
+            case al @ Alias(ref: Attribute, _)
+              if al.toAttribute.semanticEquals(a) => ref
+            case ref: Attribute if ref.semanticEquals(a) => ref
+          }
+        }
+        mapped.forall(_.isDefined) &&
+          provablyDistinctOn(child, AttributeSet(mapped.flatten))
+      case Aggregate(groupingExprs, aggExprs, _, _) =>
+        groupingExprs.forall { g =>
+          aggExprs.exists {
+            case al @ Alias(ac, _) =>
+              ac.semanticEquals(g) && cols.contains(al.toAttribute)
+            case ref: Attribute => ref.semanticEquals(g) && cols.contains(ref)
+            case _ => false
+          }
+        }
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!java.lang.Boolean.parseBoolean(
         spark.conf.get("spark.graft.topkRewrite.enabled", "true"))) return plan
@@ -84,7 +137,10 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Project(projectList,
           Filter(cond,
             Window(Seq(alias @ Alias(we, _)), partitionSpec, orderSpec, wchild0, _)))
-          if isRowNumberOverRowFrame(we) &&
+          if (isRowNumberOverRowFrame(we) ||
+              (isRankOverRowFrame(we) && provablyDistinctOn(wchild0,
+                AttributeSet(partitionSpec.flatMap(_.references) ++
+                  orderSpec.last.child.references)))) &&
             // score [desc|asc] + integral ascending tie-break = total order
             orderSpec.length == 2 &&
             orderSpec.last.direction == Ascending &&
