@@ -72,6 +72,67 @@ class SkewExtensionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("adaptive salted join x AQE skew split: no double mitigation, equal results") {
+    // AQE's own skew-join split and the planner-side salt must compose:
+    // salting spreads the hot key over (key, salt) partitions BEFORE the
+    // exchange, so AQE should find nothing left to split — and the
+    // result must equal the plain join with AQE on or off.
+    // Threshold calibration, MEASURED via tools/SkewProbe (map-output
+    // bytesByPartitionId on this exact fixture): the hot key carries 90%
+    // of 200k rows -> the unsalted join's hot post-shuffle partition is
+    // ~962KB; after 16 salts the largest partition (3 colliding salts)
+    // is ~279KB. 512KB sits in that gap with ~1.9x margin on both sides
+    // (the toy analogue of the 256MB production default).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val large = (1 to 200000)
+        .map(i => (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+      val medium = (1L to 500L).map(k => (k, s"m$k")).toDF("k", "name")
+      val plain = large.join(medium, "k").select("k", "v", "name")
+        .as[(Long, Int, String)].collect().toSet
+
+      // positive control: the UNSALTED shuffle join on this fixture does
+      // trip AQE's skew split under these thresholds (key 7 carries 180k
+      // rows in one post-shuffle partition), proving the thresholds bite
+      // NOTE: inspect the SAME Dataset that executed — .as/.select build
+      // a fresh QueryExecution whose AQE plan is never finalized
+      val unsalted = large.join(medium, Seq("k")).select("k", "v", "name")
+        .as[(Long, Int, String)]
+      assert(unsalted.collect().toSet == plain)
+      val unsaltedPlan = unsalted.queryExecution.executedPlan.toString
+      assert(unsaltedPlan.contains("skew=true"),
+        s"control must show AQE's skew split; plan:\n$unsaltedPlan")
+
+      // the salted join: equal rows, and NO AQE skew split on top of the
+      // salt (the hot key's rows are already spread over `salts` keys)
+      val adaptive = Skew.saltedJoinAdaptive(large, medium, "k", col("v"),
+        salts = 16, hotKeyMinRows = 100, sampleFraction = 0.5)
+        .select("k", "v", "name").as[(Long, Int, String)]
+      assert(adaptive.collect().toSet == plain)
+      val saltedPlan = adaptive.queryExecution.executedPlan.toString
+      assert(!saltedPlan.contains("skew=true"),
+        s"salting already spread the hot key — AQE must find nothing to " +
+          s"split (no double mitigation); plan:\n$saltedPlan")
+
+      // AQE off: same operator, same rows
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val aqeOff = Skew.saltedJoinAdaptive(large, medium, "k", col("v"),
+        salts = 16, hotKeyMinRows = 100, sampleFraction = 0.5)
+        .select("k", "v", "name").as[(Long, Int, String)]
+      assert(aqeOff.collect().toSet == plain)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("extensions register SQL functions with tight-loop implementations") {
     // getOrCreate returns the suite session, so use runtime registration
     // (the builder-extensions path is exercised at session construction)
