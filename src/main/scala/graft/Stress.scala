@@ -45,6 +45,18 @@ object Stress {
           concat(lit(" uniq"), col("id"))).otherwise(lit(""))).as("text"))
   }
 
+  /** Fixed-degree circulant graph on n vertices (the bench graph
+    * family's shape): edges i->i+1, i->i+2, i->7i+3 (mod n), so degree
+    * stays ~6 and triangle/wedge volume is edge-linear at every scale.
+    */
+  private def circulantEdges(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("src"),
+        pmod(col("id") + 1, lit(n)).as("dst"))
+      .union(spark.range(n).select(col("id").as("src"),
+        pmod(col("id") + 2, lit(n)).as("dst")))
+      .union(spark.range(n).select(col("id").as("src"),
+        pmod(col("id") * 7 + 3, lit(n)).as("dst")))
+
   private def customersAt(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       col("id").as("c_custkey"),
@@ -218,7 +230,83 @@ object Stress {
       // bucket key, two window passes — token counting dominates
       ("length_bucket_batches", n =>
         graft.ops.Splits.lengthBucketBatches(docsAt(spark, n * 8),
-          "doc_id", "text", bucketWidth = 16, batchSize = 32)))
+          "doc_id", "text", bucketWidth = 16, batchSize = 32)),
+
+      // ---- round-11 additions: the heaviest BENCH queries' cores ----
+      // (streaming entries are excluded by design: their cost is state
+      //  store/checkpoint I/O per micro-batch, priced in BASELINE.md's
+      //  round-11 note, not row-scaling behavior)
+
+      // bounded SSSP over a fixed-degree circulant graph: 3 relaxation
+      // rounds of one frontier join + min-aggregate each — edge-linear
+      // per round, round count the contract (bench: sssp_bounded)
+      ("sssp_bounded", n => {
+        val e = circulantEdges(spark, n * 2)
+        val seeds = spark.range(10L).select(col("id").as("n"))
+        graft.operators.Graph.ssspBounded(
+          e.withColumn("w", pmod(col("src") + col("dst"), lit(9)) + 1),
+          "src", "dst", "w", seeds, "n", maxHops = 3)
+      }),
+      // bounded synchronous LPA, 3 rounds: adjacency join + mode
+      // argmax per vertex per round (bench: label_propagation)
+      ("label_propagation", n =>
+        graft.operators.Graph.labelPropagation(
+          circulantEdges(spark, n * 2), "src", "dst", rounds = 3)),
+      // degree-oriented triangle counting on a fixed-degree graph:
+      // wedge volume is sum(d^2) = edge-linear at constant degree
+      // (bench: triangle_count)
+      ("triangle_count", n =>
+        graft.operators.Graph.triangleCounts(
+          circulantEdges(spark, n * 2), "src", "dst")),
+      // multi-source BFS, 3 hops (bench: bfs_hops)
+      ("bfs_hops", n => {
+        val e = circulantEdges(spark, n * 2)
+        val seeds = spark.range(10L).select(col("id").as("n"))
+        graft.operators.Graph.bfsHops(e, "src", "dst", seeds, "n", maxHops = 3)
+      }),
+      // PPJoin-family exact set-similarity join: prefix filtering keeps
+      // candidate volume df-bounded, so runtime must track shingle
+      // volume at the saturation-controlled vocabulary
+      // (bench: setsim_prefix_join)
+      ("setsim_prefix_join", n =>
+        graft.ops.Dedup.prefixFilteredJaccardPairs(docsAt(spark, n), "doc_id",
+          "text", 3, 0.5)),
+      // margin-based bitext mining against a FIXED candidate pool: the
+      // pair table is |src| x |pool| with the pool held at 200, so the
+      // quadratic factor is constant and runtime must track src rows —
+      // the operator's 100 TB contract (ANN prunes the pool upstream)
+      // (bench: margin_mine_bitext)
+      ("margin_mine_bitext", n => {
+        def vecs(m: Long, tag: String) = spark.range(m).select(
+          concat(lit(tag), col("id")).as("vec_id"),
+          expr("transform(sequence(1, 16), " +
+            "p -> CAST(pmod(hash(id, p), 97) AS FLOAT))").as("embedding"))
+        graft.ops.Similarity.marginMine(vecs(n, "s"), vecs(200L, "t"),
+          "vec_id", "embedding", k = 4)
+      }),
+      // Pareto front: per-x max (map-side combinable) + composed local
+      // fronts before the global sweep — distinct-x volume dominates
+      // (bench: pareto_front)
+      ("pareto_front", n =>
+        graft.ops.Features.paretoFront(
+          spark.range(n * 40).select(
+            pmod(col("id"), lit(n * 10)).as("x0"),
+            pmod(hash(col("id")), lit(100000)).as("y0")),
+          "x0", "y0")),
+      // bigram LM counts: explode to bigrams (token-linear), aggregate,
+      // window over the AGGREGATED vocab-sized table (bench: bigram_lm)
+      ("bigram_lm", n =>
+        graft.ops.TextAnalysis.bigramLm(docsAt(spark, n * 8), "text")),
+      // cluster representatives: near-dup pairs -> min-label components
+      // -> sort-free per-cluster argmax; pair volume is LSH-bounded and
+      // component diameter is fixed by the every-50th-dup shape
+      // (bench: dedup_cluster_reps)
+      ("dedup_cluster_reps", n =>
+        graft.ops.Dedup.clusterRepresentatives(
+          graft.ops.Dedup.ngramJaccardPairs(docsAt(spark, n), "doc_id",
+            "text", 3, 0.1, maxDf = 10),
+          docsAt(spark, n).withColumn("q", length(col("text"))),
+          "doc_id", "q")))
 
     var failures = 0
     val results = cases.map { case (name, mk) =>
@@ -231,8 +319,11 @@ object Stress {
         (if (plan10.contains("SortAggregate")) Seq("SortAggregate") else Nil)
       val ok = ratio <= maxRatio && degenerate.isEmpty
       if (!ok) failures += 1
+      // scaling exponent e in t ~ rows^e over the 10x step: log10 of the
+      // time ratio. e <= 1 is sub/linear; the 12x cap equals e <= 1.08.
+      val exponent = math.log10(ratio)
       println(f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,""" +
-        f""""ratio":$ratio%.2f,"rows_1x":$r1,"rows_10x":$r10,""" +
+        f""""ratio":$ratio%.2f,"exp":$exponent%.2f,"rows_1x":$r1,"rows_10x":$r10,""" +
         s""""degenerate":[${degenerate.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""ok":$ok}""")
       (name, ok)
