@@ -4343,6 +4343,92 @@ object Queries {
               AND c.ts >= p.ts - INTERVAL 3600 SECOND
             GROUP BY 1"""))
 
+  // stream-stream LEFT OUTER interval join as a REAL streaming job —
+  // the WATERMARK-FINALIZATION path the inner join never exercises:
+  // matched (purchase, click) pairs emit in their arrival batch, but a
+  // purchase with NO click in its trailing hour can only emit its
+  // null-extended row once the watermark PROVES no matching click can
+  // still arrive. Batches split by TIME (not id parity) so no row is
+  // ever late, and each side's final drop carries a far-future sentinel
+  // (user_id -1, filtered from the result) that pushes the watermark —
+  // min across both sources — past every real join window, so ALL
+  // unmatched purchases finalize before AvailableNow terminates. Unlike
+  // incr_stream_join, this query KEEPS the trailing no-data batch: it
+  // is the batch that sees the sentinel-advanced watermark and flushes
+  // the outer rows. The batch oracle is the plain LEFT JOIN.
+  private val incrStreamOuterJoin = Q(
+    "incr_stream_outer_join",
+    (s, d) => {
+      val base = scratchDir("graft_sojoin_")
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("user_id").as("p_user_id"))
+      val Array(mid, hi) = ev.agg(
+          expr("unix_micros(min(ts)) div 2 + unix_micros(max(ts)) div 2")
+            .as("mid"),
+          unix_micros(max(col("ts"))).as("hi"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val sentinelTs = hi + 365L * 86400L * 1000000L // one year past max
+      def sentinel(idCol: String, tsCol: String, userCol: String) =
+        s.range(1).select(lit(-1L).as(idCol),
+          timestamp_micros(lit(sentinelTs)).as(tsCol), lit(-1L).as(userCol))
+      clicks.filter(unix_micros(col("click_ts")) < mid).coalesce(1)
+        .write.mode("append").parquet(s"$base/clicks")
+      clicks.filter(unix_micros(col("click_ts")) >= mid)
+        .unionByName(sentinel("click_id", "click_ts", "user_id")).coalesce(1)
+        .write.mode("append").parquet(s"$base/clicks")
+      purch.filter(unix_micros(col("purchase_ts")) < mid).coalesce(1)
+        .write.mode("append").parquet(s"$base/purch")
+      purch.filter(unix_micros(col("purchase_ts")) >= mid)
+        .unionByName(sentinel("purchase_id", "purchase_ts", "p_user_id"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$base/purch")
+      withStreamingConfs(s, statePartitions = 4, noDataBatch = true) {
+        val cs = s.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+          .withWatermark("click_ts", "1 minute")
+        val ps = s.readStream.schema(purch.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/purch")
+          .withWatermark("purchase_ts", "1 minute")
+        ps.join(cs,
+            ps("p_user_id") === cs("user_id") &&
+              cs("click_ts") <= ps("purchase_ts") &&
+              cs("click_ts") >= ps("purchase_ts") - expr("INTERVAL 3600 SECOND"),
+            "leftOuter")
+          .select(col("p_user_id"), col("purchase_id"), col("click_id"))
+          .writeStream.format("parquet").option("path", s"$base/table")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(s"$base/table")
+        .filter(col("p_user_id") =!= -1)
+        .groupBy(col("p_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    },
+    Some("""WITH c AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase')
+            SELECT p.user_id, count(*) AS n_rows,
+              count(DISTINCT p.event_id) AS n_purchases,
+              count(DISTINCT c.event_id) AS n_clicks,
+              CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched
+            FROM p LEFT JOIN c ON c.user_id = p.user_id
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 3600 SECOND
+            GROUP BY 1"""))
+
   // perceptual near-dup image grouping: red-channel average-hash over
   // the REAL decoded PPM pixels, grouped into duplicate clusters. The
   // oracle replays the generator's closed-form gradient through the
@@ -5404,6 +5490,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
+    incrStreamOuterJoin,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,
