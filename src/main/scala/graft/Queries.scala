@@ -3384,6 +3384,38 @@ object Queries {
                 AS value_cents
             FROM events WHERE event_type = 'click' GROUP BY 1"""))
 
+  // Zone-map file skipping driven end to end: events range-sorted by ts
+  // into 16 files, a min/max manifest built per file (Layout.writeZoneMap
+  // — the Delta/Iceberg data-skipping idea on plain parquet), and a
+  // 3-day probe answered by reading ONLY the overlapping files (the
+  // manifest collect is file-count-scale metadata). The oracle computes
+  // the same aggregate from the raw table — any file the pruning wrongly
+  // skips breaks the hash. Bounds derive from min(ts) so the query is
+  // corpus-relative, not calendar-pinned.
+  private val zonemapPrunedScan = Q(
+    "zonemap_pruned_scan",
+    (s, d) => {
+      val dir = scratchDir("graft_zm_") + "/events"
+      val ev = events(s, d).select(col("event_id"), col("ts"), col("value"))
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(dir)
+      operators.Layout.writeZoneMap(s, dir, Seq("ts"))
+      val t0 = ev.agg(unix_micros(min(col("ts"))).as("t0")).head().getLong(0)
+      val lo = timestamp_micros(lit(t0 + 5L * 86400L * 1000000L))
+      val hi = timestamp_micros(lit(t0 + 8L * 86400L * 1000000L))
+      operators.Layout.readZoneMapped(s, dir, "ts", lo, hi)
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+          countDistinct(col("event_id")).as("n_distinct"))
+    },
+    Some("""WITH t0 AS (SELECT min(ts) AS t0 FROM events)
+            SELECT count(*) AS n_events,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS value_cents,
+              count(DISTINCT event_id) AS n_distinct
+            FROM events, t0
+            WHERE ts >= t0 + INTERVAL 5 DAY AND ts <= t0 + INTERVAL 8 DAY"""))
+
   // partition-scoped MERGE: the 100 TB merge shape — the batch touches
   // one partition ('click'), only that directory is read and
   // dynamically overwritten (matched keys take the batch row, unmatched
@@ -5500,7 +5532,8 @@ object Queries {
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     mergeUpsertQ, bucketedJoinColocated, crawlFrontier,
-    partitionPrunedScan, mergeUpsertPartitionedQ, compactRoundtrip,
+    partitionPrunedScan, zonemapPrunedScan, mergeUpsertPartitionedQ,
+    compactRoundtrip,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,

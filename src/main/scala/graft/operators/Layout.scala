@@ -65,4 +65,52 @@ object Layout {
     }.reduce(_ * _)
     perFile.agg(sum(spanProduct)).head().getDouble(0)
   }
+
+  /** Zone-map manifest: one row per data file with min/max for each
+    * tracked column, stored as a PARQUET sidecar (`<path>.zonemap`) so
+    * the stats keep their exact types — the Delta/Iceberg file-skipping
+    * idea on a plain parquet directory. Built with one metadata-shaped
+    * aggregation over `input_file_name()`; rebuild after any rewrite
+    * (compact/merge), exactly like the formats recompute their
+    * manifests on commit.
+    */
+  def writeZoneMap(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cols: Seq[String]): Unit = {
+    val read = spark.read.parquet(path)
+    val aggs = cols.flatMap(n =>
+      Seq(min(col(n)).as(s"mn_$n"), max(col(n)).as(s"mx_$n")))
+    read.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path.zonemap")
+  }
+
+  /** Files whose [min, max] zone for `colName` OVERLAPS [lo, hi] — the
+    * candidate set for a range predicate; always a SUPERSET of the
+    * matching files, so the caller re-applies the row-level predicate.
+    * The collect is manifest-scale (one row per FILE — metadata, not
+    * data; the bounded-driver-artifact convention of the IVF/PQ
+    * codebooks). Files with an all-null zone (mn/mx null) are skipped:
+    * a range predicate matches no null rows.
+    */
+  def zoneMapFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   colName: String, lo: Column, hi: Column): Seq[String] =
+    spark.read.parquet(s"$path.zonemap")
+      .filter(col(s"mx_$colName") >= lo && col(s"mn_$colName") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Zone-map-pruned range scan: reads ONLY the overlapping files and
+    * re-applies the row-level predicate (the zone test is per-file, not
+    * per-row). An empty candidate set still returns the correctly-typed
+    * empty frame via a never-true filter on the full table — reading no
+    * files would lose the schema.
+    */
+  def readZoneMapped(spark: org.apache.spark.sql.SparkSession, path: String,
+                     colName: String, lo: Column, hi: Column): DataFrame = {
+    val files = zoneMapFiles(spark, path, colName, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
 }

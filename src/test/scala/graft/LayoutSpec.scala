@@ -74,6 +74,35 @@ class LayoutSpec extends SparkTestBase {
       s"y-only predicate should touch a minority of the 8 z-files, read $filesRead")
   }
 
+  test("zone-map manifest skips non-overlapping files; pruned read equals full scan") {
+    import graft.operators.Layout
+    val dir = Files.createTempDirectory("graft_zm").toString + "/t"
+    // range-sorted by id into 8 files -> disjoint id zones per file
+    spark.range(0, 8000).select(col("id"), (col("id") % 97L).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    Layout.writeZoneMap(spark, dir, Seq("id", "v"))
+    // manifest has one row per data file, typed stats
+    val mf = spark.read.parquet(s"$dir.zonemap")
+    assert(mf.count() == 8)
+    assert(mf.schema.fieldNames.toSet ==
+      Set("file", "mn_id", "mx_id", "mn_v", "mx_v"))
+    // a narrow id range overlaps ~1-2 of the 8 zones
+    val files = Layout.zoneMapFiles(spark, dir, "id", lit(2000L), lit(2400L))
+    assert(files.nonEmpty && files.size <= 2,
+      s"8 disjoint zones, 400-wide probe -> at most 2 files, got ${files.size}")
+    // pruned read == unpruned filter, rows and sum
+    val pruned = Layout.readZoneMapped(spark, dir, "id", lit(2000L), lit(2400L))
+    val full = spark.read.parquet(dir)
+      .filter(col("id") >= 2000L && col("id") <= 2400L)
+    assert(pruned.count() == 401 && full.count() == 401)
+    assert(pruned.agg(sum("v")).head().getLong(0) ==
+      full.agg(sum("v")).head().getLong(0))
+    // empty candidate set keeps the schema and returns zero rows
+    val none = Layout.readZoneMapped(spark, dir, "id", lit(50000L), lit(60000L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+  }
+
   test("hive-partitioned write prunes at planning time (PartitionFilters)") {
     import graft.operators.Sinks
     val df = spark.range(0, 1000).select(col("id"),
