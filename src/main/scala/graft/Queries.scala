@@ -95,15 +95,21 @@ object Queries {
     * downstream BATCH plans execute after restore, at `.count()` time.
     */
   private def withStreamingConfs[A](s: org.apache.spark.sql.SparkSession,
-      statePartitions: Int, noDataBatch: Boolean)(body: => A): A = {
+      statePartitions: Int, noDataBatch: Boolean,
+      providerClass: Option[String] = None)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val conf = s.conf
     val prevP = conf.get("spark.sql.shuffle.partitions")
     val prevN = conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val prevS = conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
+    providerClass.foreach(conf.set(providerKey, _))
     try body finally {
       conf.set("spark.sql.shuffle.partitions", prevP)
       conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevN)
+      conf.set(providerKey, prevS)
     }
   }
 
@@ -4375,6 +4381,53 @@ object Queries {
               AND c.ts >= p.ts - INTERVAL 3600 SECOND
             GROUP BY 1"""))
 
+  // Spark 4's transformWithState run as a REAL streaming job: per-user
+  // running (count, cents) totals carried across two micro-batches in a
+  // named ValueState (streaming/Stateful.RunningTotals — the arbitrary-
+  // state API successor of flatMapGroupsWithState). Batches split by
+  // EVENT id parity so most users genuinely span both batches and the
+  // final row can only be right if batch 2 read batch 1's state. The
+  // processor emits a key's updated totals per batch; counts are
+  // strictly monotone per key, so max/max_by selects the converged row,
+  // and the oracle is the plain batch aggregate. RocksDB state store
+  // scoped via withStreamingConfs (a transformWithState contract).
+  private val incrRunningTotals = Q(
+    "incr_running_totals",
+    (s, d) => {
+      import s.implicits._
+      val base = scratchDir("graft_tws_")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      ev.filter(col("event_id") % 2 === 0).select("user_id", "cents")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      ev.filter(col("event_id") % 2 =!= 0).select("user_id", "cents")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      withStreamingConfs(s, statePartitions = 4, noDataBatch = false,
+        providerClass = Some("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")) {
+        val stream = s.readStream
+          .schema("user_id LONG, cents LONG")
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .as[(Long, Long)]
+        streaming.Stateful.runningTotals(stream)
+          .toDF("user_id", "n_events", "value_cents")
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .start().awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("value_cents"), col("n_events")).as("value_cents"))
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS value_cents
+            FROM events GROUP BY 1"""))
+
   // stream-stream LEFT OUTER interval join as a REAL streaming job —
   // the WATERMARK-FINALIZATION path the inner join never exercises:
   // matched (purchase, click) pairs emit in their arrival batch, but a
@@ -5522,7 +5575,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
-    incrStreamOuterJoin,
+    incrStreamOuterJoin, incrRunningTotals,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,
