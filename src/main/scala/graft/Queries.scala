@@ -4381,6 +4381,39 @@ object Queries {
               AND c.ts >= p.ts - INTERVAL 3600 SECOND
             GROUP BY 1"""))
 
+  // Incremental view maintenance driven end to end: a per-customer
+  // (count, cents) materialization built from 2/3 of orders, then kept
+  // current by ONE changelog application (inserts of the remaining
+  // third, deletes of the base's %5==0 rows) — work O(|delta| +
+  // |touched keys|), never a base re-scan (IvmSpec pins the plan). The
+  // oracle aggregates the FINAL state from scratch: any drift in the
+  // signed-weight merge (or a zero-count group failing to vanish)
+  // breaks the hash. At 100 TB this replaces the reference's
+  // weekly from-scratch re-aggregation with delta-sized work.
+  private val ivmAggMaintain = Q(
+    "ivm_agg_maintain",
+    (s, d) => {
+      val ord = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val base = ord.filter(col("o_orderkey") % 3 =!= 0)
+      val view0 = ops.Ivm.aggView(base.select(col("o_custkey"), col("cents")),
+        Seq("o_custkey"), Seq("cents"))
+      val changelog =
+        ord.filter(col("o_orderkey") % 3 === 0)
+          .select(lit("I").as("op"), col("o_custkey"), col("cents"))
+          .unionByName(
+            base.filter(col("o_orderkey") % 5 === 0)
+              .select(lit("D").as("op"), col("o_custkey"), col("cents")))
+      ops.Ivm.applyAggDelta(view0, changelog, Seq("o_custkey"), "op",
+        Seq("cents"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n,
+              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+            GROUP BY 1"""))
+
   // Spark 4's transformWithState run as a REAL streaming job: per-user
   // running (count, cents) totals carried across two micro-batches in a
   // named ValueState (streaming/Stateful.RunningTotals — the arbitrary-
@@ -5575,7 +5608,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
-    incrStreamOuterJoin, incrRunningTotals,
+    incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,
