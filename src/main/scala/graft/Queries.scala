@@ -4414,6 +4414,40 @@ object Queries {
             WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
             GROUP BY 1"""))
 
+  // Maintained JOIN view — the DBSP bilinear delta rule driven end to
+  // end: the (priority, segment) join multiset of orders x customer is
+  // materialized from 2/3 of orders, then kept current through ONE
+  // two-sided changelog application (order inserts+deletes AND customer
+  // deletes), i.e. dA⋈B0 ∪ A0⋈dB ∪ dA⋈dB with multiplicities
+  // multiplying — the base join never recomputes. Oracle: from-scratch
+  // join of the final state; any cross-term the rule misses (the
+  // dA⋈dB corner) or a zero-multiplicity row that fails to vanish
+  // breaks the hash.
+  private val ivmJoinMaintain = Q(
+    "ivm_join_maintain",
+    (s, d) => {
+      val a = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority"))
+      val a0rows = a.filter(col("o_orderkey") % 3 =!= 0)
+      val a0 = a0rows.select(col("o_custkey"), col("o_orderpriority"))
+      val b0 = customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))
+      val view0 = ops.Ivm.joinView(a0, b0, Seq("o_custkey"))
+      val aLog = a.filter(col("o_orderkey") % 3 === 0)
+        .select(lit("I").as("op"), col("o_custkey"), col("o_orderpriority"))
+        .unionByName(a0rows.filter(col("o_orderkey") % 5 === 0)
+          .select(lit("D").as("op"), col("o_custkey"), col("o_orderpriority")))
+      val bLog = b0.filter(col("o_custkey") % 7 === 0)
+        .select(lit("D").as("op"), col("o_custkey"), col("c_mktsegment"))
+      ops.Ivm.applyJoinDelta(view0, a0, aLog, b0, bLog,
+        Seq("o_custkey"), "op")
+    },
+    Some("""SELECT o_custkey, o_orderpriority, c_mktsegment, count(*) AS m
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+              AND c_custkey % 7 <> 0
+            GROUP BY 1, 2, 3"""))
+
   // Spark 4's transformWithState run as a REAL streaming job: per-user
   // running (count, cents) totals carried across two micro-batches in a
   // named ValueState (streaming/Stateful.RunningTotals — the arbitrary-
@@ -5608,7 +5642,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
-    incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain,
+    incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain, ivmJoinMaintain,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,

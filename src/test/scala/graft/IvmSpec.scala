@@ -54,6 +54,47 @@ class IvmSpec extends SparkTestBase {
     }
   }
 
+  test("applyJoinDelta: bilinear rule equals the from-scratch final join") {
+    val a0 = Seq((1L, "p1"), (1L, "p2"), (2L, "p1"), (3L, "p3"))
+      .toDF("k", "pa")
+    val b0 = Seq((1L, "s1"), (2L, "s2"), (2L, "s3"), (4L, "s4"))
+      .toDF("k", "sb")
+    val v0 = Ivm.joinView(a0, b0, Seq("k"))
+    // ΔA: delete (1,p2), insert (4,p9); ΔB: delete (2,s3), insert (3,s5)
+    val aLog = Seq(("D", 1L, "p2"), ("I", 4L, "p9")).toDF("op", "k", "pa")
+    val bLog = Seq(("D", 2L, "s3"), ("I", 3L, "s5")).toDF("op", "k", "sb")
+    val v1 = Ivm.applyJoinDelta(v0, a0, aLog, b0, bLog, Seq("k"), "op")
+    val aFinal = Seq((1L, "p1"), (2L, "p1"), (3L, "p3"), (4L, "p9"))
+      .toDF("k", "pa")
+    val bFinal = Seq((1L, "s1"), (2L, "s2"), (3L, "s5"), (4L, "s4"))
+      .toDF("k", "sb")
+    val expect = Ivm.joinView(aFinal, bFinal, Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "pa", "sb", "m").as[(Long, String, String, Long)]
+        .collect().toSet
+    assert(rows(v1) == rows(expect))
+    // the ΔA⋈ΔB cross term matters: (3,p3)⋈(3,s5) came from A₀⋈ΔB while
+    // (4,p9)⋈(4,s4) came from ΔA⋈B₀ — both present
+    assert(rows(v1).contains((3L, "p3", "s5", 1L)))
+    assert(rows(v1).contains((4L, "p9", "s4", 1L)))
+    // and the deleted pairs vanished
+    assert(!rows(v1).exists(r => r._2 == "p2" || r._3 == "s3"))
+  }
+
+  test("applyJoinDelta: multiplicities multiply (duplicate tuples)") {
+    val a0 = Seq((1L, "x"), (1L, "x")).toDF("k", "pa") // m=2
+    val b0 = Seq((1L, "y")).toDF("k", "sb")
+    val v0 = Ivm.joinView(a0, b0, Seq("k"))
+    assert(v0.select("m").as[Long].head() == 2L)
+    // inserting another copy of (1,y) doubles every joined multiplicity
+    val bLog = Seq(("I", 1L, "y")).toDF("op", "k", "sb")
+    val v1 = Ivm.applyJoinDelta(v0, a0, spark.emptyDataset[(String, Long, String)]
+        .toDF("op", "k", "pa"),
+      b0, bLog, Seq("k"), "op")
+    assert(v1.select("m").as[Long].head() == 4L,
+      "2 copies of (1,x) x 2 copies of (1,y) = multiplicity 4")
+  }
+
   test("applyAggDelta is delta-sized: no re-scan of the base relation") {
     val base = (1 to 10000).map(i => (i % 100L, i.toLong)).toDF("k", "v")
     val v0 = Ivm.aggView(base, Seq("k"), Seq("v")).localCheckpoint(true)
