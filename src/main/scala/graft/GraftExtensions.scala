@@ -81,6 +81,7 @@ object GraftExtensions {
           Seq(("v", args(1).eval().toString, Some(args(2).eval().toString)))), 0, Some("v")))
     registerFunction(spark, "html_to_text", args => HtmlToText(args(0)))
     registerFunction(spark, "html_links", args => HtmlLinks(args(0)))
+    registerFunction(spark, "nfc_normalize", args => NfcNormalize(args(0)))
   }
 }
 

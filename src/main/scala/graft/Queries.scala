@@ -4381,6 +4381,46 @@ object Queries {
               AND c.ts >= p.ts - INTERVAL 3600 SECOND
             GROUP BY 1"""))
 
+  // Unicode NFC normalization through the correctness gate: synthesized
+  // decomposed sequences (combining acute/ring/circumflex+diaeresis,
+  // plus precomposed and plain-ASCII controls) composed by the codegen'd
+  // NfcNormalize expression, hash-matched against DuckDB's
+  // nfc_normalize (utf8proc) — two independent UAX #15 implementations
+  // agreeing byte-for-byte, safe because NFC is stable for assigned
+  // codepoints. Char counts before/after pin that composition actually
+  // shortened the decomposed rows.
+  private val textNfcNormalize = Q(
+    "text_nfc_normalize",
+    (s, d) => {
+      // explicit escapes: variants 0/1/3 are DECOMPOSED combining
+      // sequences, variant 2 precomposed - typed-out literals could
+      // silently arrive pre-composed from the editor
+      val variants = array(lit("e\u0301clair"), lit("A\u030Angstro\u0308m"),
+        lit("\u00e9clair"), lit("o\u0302u\u0308"), lit("plain"))
+      val raw = concat(lit("w"),
+        element_at(variants, (col("doc_id") % 5 + 1).cast("int")),
+        col("doc_id").cast("string"))
+      documents(s, d).select(
+        col("doc_id"),
+        length(raw).as("n_chars_raw"),
+        graft.functions.Expressions.nfc_normalize(raw).as("nfc"))
+        .withColumn("n_chars_nfc", length(col("nfc")))
+    },
+    Some("""SELECT doc_id,
+              length(raw) AS n_chars_raw,
+              nfc_normalize(raw) AS nfc,
+              length(nfc_normalize(raw)) AS n_chars_nfc
+            FROM (
+              SELECT doc_id, 'w' ||
+                CASE CAST(doc_id % 5 AS INTEGER)
+                  WHEN 0 THEN 'e' || chr(769) || 'clair'
+                  WHEN 1 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                  WHEN 2 THEN chr(233) || 'clair'
+                  WHEN 3 THEN 'o' || chr(770) || 'u' || chr(776)
+                  ELSE 'plain'
+                END || doc_id AS raw
+              FROM documents)"""))
+
   // Incremental view maintenance driven end to end: a per-customer
   // (count, cents) materialization built from 2/3 of orders, then kept
   // current by ONE changelog application (inserts of the remaining
@@ -5643,6 +5683,7 @@ object Queries {
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain, ivmJoinMaintain,
+    textNfcNormalize,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,

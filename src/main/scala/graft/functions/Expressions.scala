@@ -880,6 +880,47 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * first pass of every LLM text-cleaning pipeline: combining
+    * sequences compose ("e" + U+0301 -> "é"), singleton canonical
+    * equivalents unify, so exact-dedup hashes and tokenizers see ONE
+    * byte form per canonically-equal string. Pure per-row compute in
+    * whole-stage codegen via the compute/addReferenceObj pattern; NFC
+    * is stable across Unicode versions for assigned codepoints, which
+    * is what lets a DuckDB (utf8proc) oracle hash-match the JDK
+    * implementation. Fast path: `Normalizer.isNormalized` skips the
+    * rebuild for already-NFC text (nearly all real corpora).
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nfc_normalize requires a string input, got ${other.sql}")
+      }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    def compute(s: UTF8String): UTF8String = {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Outlink extraction: every non-empty `<a href>` value in document
     * order — the per-page edge list a crawl-frontier or link-graph
     * (domain-quality, PageRank-ish) step consumes after an `explode`.
@@ -1275,6 +1316,8 @@ object Expressions {
     html_extract(html, Seq(("v", selector, Some(attr)))).getField("v")
   /** Whole-page visible text (script/style excluded), whitespace-collapsed. */
   def html_to_text(html: Column): Column = column(HtmlToText(expression(html)))
+  /** Unicode NFC canonical composition (UAX #15). */
+  def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
   /** Non-empty anchor hrefs in document order. */
   def html_links(html: Column): Column = column(HtmlLinks(expression(html)))
 }

@@ -300,6 +300,22 @@ class ScaleSpec extends SparkTestBase {
     assert(df.filter(col("d") === 11.0).count() == 1) // id=1: 1*3 + 2*4
   }
 
+  test("nfc_normalize composes combining sequences inside codegen") {
+    import graft.functions.Expressions.nfc_normalize
+    val df = spark.range(3).select(
+      concat(lit("éclair"), col("id").cast("string")).as("raw"))
+      .select(col("raw"), nfc_normalize(col("raw")).as("nfc"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"expected codegen span; plan:\n$plan")
+    val row = df.filter(col("nfc") === "\u00e9clair0").head()
+    assert(row.getString(0).length == 8 && row.getString(1).length == 7,
+      "combining pair composed to one precomposed codepoint")
+    // already-NFC text passes through byte-identical (the fast path)
+    assert(spark.range(1).select(nfc_normalize(lit("plain ascii")))
+      .head().getString(0) == "plain ascii")
+  }
+
   test("sweep-line and streak operators keep bounded exchange counts") {
     // sweep-line pair: netting agg on (key, t) + key window = 2 exchanges,
     // and the final rollup reuses the window's key partitioning
