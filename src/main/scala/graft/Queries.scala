@@ -1681,6 +1681,61 @@ object Queries {
             FROM documents d JOIN r USING (source)
             WHERE $duckBucket20 * 1000 < keep_permille * 1048576"""))
 
+  // round-unrolled oracle for personalized PageRank: identical integer
+  // steps (div-truncating), teleport mass restricted to the seed set
+  private def duckPprSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+             CAST(n.seed * 150000000 AS BIGINT) +
+             CAST((85 * COALESCE(SUM(r.rank_scaled // ej.outdeg), 0)) // 100
+               AS BIGINT) AS rank_scaled
+           FROM nodes n
+           LEFT JOIN ej ON ej.dst = n.node
+           LEFT JOIN r${i - 1} r ON r.node = ej.src
+           GROUP BY n.node, n.seed)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+            SELECT doc_id AS node,
+              CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END AS seed
+            FROM documents),
+          nn AS (SELECT count(*) AS n FROM documents),
+          e AS (
+            SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          ej AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+          r0 AS (
+            SELECT node, CAST(seed * 1000000000 AS BIGINT) AS rank_scaled
+            FROM nodes),
+          $rounds
+        SELECT node AS doc_id, rank_scaled FROM r$iterations"""
+  }
+
+  // Personalized PageRank over the same circulant doc graph as
+  // pagerank_scaled, teleporting to the doc_id%100==0 seed set — ranks
+  // by proximity to the seeds rather than global centrality (the KG
+  // related-entity expansion). Engine-exact integer arithmetic,
+  // round-unrolled oracle.
+  private val personalizedPagerank = Q(
+    "personalized_pagerank",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % nDocs).as("dst"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % nDocs).as("dst")))
+      Graph.personalizedPageRankScaled(edges,
+          docs.select(col("doc_id").as("node")),
+          docs.filter(col("doc_id") % 100 === 0).select(col("doc_id").as("node")),
+          iterations = 5)
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+    },
+    Some(duckPprSql(5)))
+
   private val pagerankScaled = Q(
     "pagerank_scaled",
     (s, d) => {
@@ -5665,7 +5720,7 @@ object Queries {
     incrBloomDedup, incrSessionStream, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
-    pagerankScaled,
+    pagerankScaled, personalizedPagerank,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupCrossSource,
     dedupJaccard, dedupMinhash,

@@ -375,6 +375,63 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank, integer-scaled like [[pageRankScaled]]:
+    * the teleport mass restarts at the SEED SET instead of uniformly —
+    * rank₀ = base for seeds / 0 elsewhere, and each round adds the
+    * 15% restart share only to seeds. The result ranks vertices by
+    * proximity to the seeds (the KG "related entities" / seed-expansion
+    * ranker; Haveliwala 2002), where global PageRank ranks by overall
+    * centrality. Same engine-exact div/mod arithmetic, same bounded
+    * round CONTRACT, same per-round shape: one outdeg-annotated edge
+    * join + a map-side-combinable contribution sum — edge-linear per
+    * round at any scale. Vertices unreachable from the seeds hold rank
+    * 0 and are emitted (the caller filters if only the neighborhood
+    * matters).
+    */
+  def personalizedPageRankScaled(edges: DataFrame, nodes: DataFrame,
+                                 seeds: DataFrame, iterations: Int = 5,
+                                 baseScaled: Long = 1000000000L,
+                                 workDir: Option[String] = None,
+                                 checkpointInterval: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = edges.sparkSession
+    val store = new RoundStore(spark, workDir)
+    val e = store.save(
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg")),
+      "edges")
+    // seed membership rides the node table as a 0/1 flag — one narrow
+    // broadcast-or-shuffle join at build, reused by every round
+    val n = store.save(
+      nodes.select(col("node"))
+        .join(seeds.select(col("node")).distinct()
+          .withColumn("__seed", lit(1)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed")),
+      "nodes")
+    val baseShare = baseScaled * 15L / 100L
+    var ranks = n.select(col("node"),
+      (col("__seed") * baseScaled).cast("long").as("rank_scaled"))
+    for (i <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_scaled div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val next = n.alias("n")
+        .join(contrib.alias("c"), col("n.node") === col("c.dst"), "left")
+        .select(col("n.node").as("node"),
+          ((col("n.__seed") * baseShare).cast("long") +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_scaled"))
+      ranks =
+        if (i % checkpointInterval == 0 && i < iterations)
+          store.save(next, s"ranks-$i")
+        else next
+    }
+    val out = store.save(ranks, "ranks")
+    store.cleanupExcept("ranks")
+    out
+  }
+
   /** Driver twin of [[pageRankScaled]]'s rounds: same integer steps in
     * the same structure (contribution only for srcs that ARE nodes,
     * destinations outside `nodes` dropped, base share for everyone) —
