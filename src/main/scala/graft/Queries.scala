@@ -2999,6 +2999,36 @@ object Queries {
     """CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
        + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS BIGINT)"""
 
+  // Leakage-safe splitting: assignment keyed on the near-dup cluster
+  // representative's content (components over the n-gram Jaccard
+  // pairs), so no cluster straddles train/val/test — plain hash_split
+  // would leak near-identical eval docs into training. The oracle
+  // replays the same clusters (recursive-CTE min-label) and the same
+  // 2-nibble md5 bucket of the representative's text.
+  private val leakageSafeSplitQ = Q(
+    "leakage_safe_split",
+    (s, d) => ops.Splits.leakageSafeSplit(documents(s, d), "doc_id", "text",
+      ops.Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.1,
+        maxDf = 10)),
+    Some(s"""$jaccardComponentsCte
+            SELECT c.node AS doc_id, c.component,
+              CAST((instr('0123456789abcdef', substr(md5(r.text), 1, 1)) - 1)
+                * 16
+                + instr('0123456789abcdef', substr(md5(r.text), 2, 1)) - 1
+                AS BIGINT) AS bucket,
+              CASE
+                WHEN (instr('0123456789abcdef', substr(md5(r.text), 1, 1)) - 1)
+                  * 16
+                  + instr('0123456789abcdef', substr(md5(r.text), 2, 1)) - 1
+                  < 205 THEN 'train'
+                WHEN (instr('0123456789abcdef', substr(md5(r.text), 1, 1)) - 1)
+                  * 16
+                  + instr('0123456789abcdef', substr(md5(r.text), 2, 1)) - 1
+                  < 230 THEN 'val'
+                ELSE 'test'
+              END AS split
+            FROM comp c JOIN documents r ON r.doc_id = c.component"""))
+
   private val splitHash = Q(
     "split_hash",
     (s, d) => ops.Splits.hashSplit(documents(s, d), "doc_id", "text"),
@@ -5743,7 +5773,7 @@ object Queries {
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,
     corpusSample, corpusQualityFilter,
-    splitHash, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
+    splitHash, leakageSafeSplitQ, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,

@@ -41,6 +41,39 @@ object Splits {
           .when(col("bucket") < valUpto, lit("val"))
           .otherwise(lit("test")))
 
+  /** Leakage-safe train/val/test split: assignment is keyed on the
+    * near-dup CLUSTER representative's content, so a cluster of near
+    * duplicates can never straddle splits — the eval-contamination
+    * failure mode [[hashSplit]] still has (it keys on each doc's own
+    * content, and near-dups differ in a few bytes). `pairs` is any
+    * near-dup pair table (id_a, id_b) — MinHash-LSH, SimHash, n-gram
+    * Jaccard; singletons are their own cluster, so un-paired docs split
+    * exactly like hashSplit of the doc's own text.
+    *
+    * Scale shape: components over the pair table (min-label, bounded
+    * rounds), one join back for the representative's content, then the
+    * same narrow bucket projection as hashSplit — the pair table is
+    * LSH-bounded, never all-pairs.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, contentCol: String,
+                       pairs: DataFrame, trainUpto: Int = 205,
+                       valUpto: Int = 230): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = graft.operators.Graph.connectedComponents(edges,
+      extraNodes = Some(docs.select(col(idCol).as("node"))))
+    val repContent = docs.select(col(idCol).as("component"),
+      col(contentCol).as("__rep_content"))
+    docs.select(col(idCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol))
+      .join(repContent, Seq("component"))
+      .select(col(idCol), col("component"),
+        contentBucket(col("__rep_content")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpto, lit("train"))
+          .when(col("bucket") < valUpto, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Per-domain mixture sampling (static domain reweighting): keep a row
     * iff its content bucket falls under the domain's rate (in 256ths).
     * Domains absent from `rates` are dropped — an explicit mixture is

@@ -160,6 +160,30 @@ class SplitsSpec extends SparkTestBase {
     assert(out(5L) == (1L, 1L, 7L, 0L))
   }
 
+  test("leakageSafeSplit: no near-dup cluster straddles splits; singletons match hashSplit") {
+    // docs 1-2-3 form one chain cluster, 4-5 another, 6..30 singletons
+    val docs = (1L to 30L).map(i => (i, s"doc body number $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = graft.ops.Splits.leakageSafeSplit(docs, "doc_id", "text", pairs)
+    // every cluster maps to exactly ONE split
+    val perCluster = out.groupBy("component")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .select("n_splits").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "a cluster must never straddle splits")
+    assert(out.count() == 30, "every doc is assigned")
+    // cluster members share the representative's bucket, not their own
+    val c1 = out.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select("bucket").as[Long].collect().toSet
+    assert(c1.size == 1)
+    // singletons get exactly the hashSplit assignment of their own text
+    val single = out.filter(col("doc_id") > 5L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val plain = graft.ops.Splits.hashSplit(docs.filter(col("doc_id") > 5L),
+        "doc_id", "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(single == plain)
+  }
+
   test("nucleusTopP: the boundary-straddling row is kept, ties by id") {
     val df = Seq(
       // g: scores 50, 30, 20 (total 100), p=600: prefix 0 < 60 keep;
