@@ -130,6 +130,30 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Split `cond` into (tightest rank bound, residual conjuncts). The
+    * split is sound when at least one conjunct is a rank bound and the
+    * residual references only child columns (never the rank) and is
+    * deterministic: the window ranks ALL rows, so
+    * `Filter(rank<=k AND p)` == `Filter(p, TopK(k))` — p prunes the
+    * already-selected top-k set either way, and AND's null semantics
+    * survive sequential filtering (null conjunct -> row dropped in
+    * both shapes).
+    */
+  private def splitRankFilter(cond: Expression, rank: Attribute)
+      : Option[(Int, Seq[Expression])] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    val conjuncts = split(cond)
+    val (bounds, residual) =
+      conjuncts.partition(c => rankLimit(c, rank).isDefined)
+    if (bounds.isEmpty) None
+    else if (!residual.forall(r =>
+        r.deterministic && !r.references.contains(rank))) None
+    else Some((bounds.flatMap(rankLimit(_, rank)).min, residual))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!java.lang.Boolean.parseBoolean(
         spark.conf.get("spark.graft.topkRewrite.enabled", "true"))) return plan
@@ -157,8 +181,8 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             // the Project must DROP the rank (the operator emits none)
             projectList.forall(ne =>
               ne.references.subsetOf(AttributeSet(wchild0.output))) &&
-            rankLimit(cond, alias.toAttribute).isDefined =>
-        val k = rankLimit(cond, alias.toAttribute).get
+            splitRankFilter(cond, alias.toAttribute).isDefined =>
+        val (k, residual) = splitRankFilter(cond, alias.toAttribute).get
         // InferWindowGroupLimit may already have inserted its pre-filter
         // below the window; the heap operator subsumes it — unwrap
         val wchild = wchild0 match {
@@ -166,9 +190,12 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case other                               => other
         }
         val smallest = orderSpec.head.direction == Ascending
-        Project(projectList,
-          TopKPerKeyPlan(partitionSpec, orderSpec.head.child, k, smallest,
-            Some(orderSpec.last.child), 4 << 20, wchild))
+        val topk = TopKPerKeyPlan(partitionSpec, orderSpec.head.child, k,
+          smallest, Some(orderSpec.last.child), 4 << 20, wchild)
+        val filtered =
+          if (residual.isEmpty) topk
+          else Filter(residual.reduceLeft(And), topk)
+        Project(projectList, filtered)
     }
   }
 }

@@ -147,6 +147,43 @@ class TopKRewriteSpec extends SparkTestBase {
       "a computed tie column has no uniqueness witness")
   }
 
+  test("conjunct split: rank bound + residual predicate fires, residual stays above") {
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+    val df = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5 && $"id" % 2 === 0)
+      .select("k", "id", "score")
+    val plan = physical(df)
+    assert(plan.contains("TopKPerKey"),
+      s"a conjunct rank bound must still rewrite:\n$plan")
+    assert(!plan.contains("Window"), s"window must be gone:\n$plan")
+    // semantics: residual prunes the already-selected top-5, never changes it
+    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+    val expected =
+      try data.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5 && $"id" % 2 === 0)
+        .select("k", "id", "score").as[(Long, Long, Long)].collect().toSet
+      finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+    assert(df.as[(Long, Long, Long)].collect().toSet == expected)
+    // two rank bounds take the tightest; rank referenced by the residual
+    // (rn % 2 = 0 is not a bare bound) must keep the window
+    val both = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7 && $"rn" <= 3).select("k", "id")
+    assert(physical(both).contains("TopKPerKey"))
+    assert(both.count() == 16 * 3, "tightest bound wins")
+    val rankRef = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5 && $"rn" % 2 === 0).select("k", "id")
+    assert(!physical(rankRef).contains("TopKPerKey"),
+      "a residual conjunct referencing the rank must keep the window")
+    // nondeterministic residual must keep the window (it would otherwise
+    // evaluate over a different row set). NOTE: rand() < 2.0 won't do —
+    // Catalyst knows Rand ∈ [0,1) and folds that conjunct away before
+    // this rule runs — so the residual must compare against a column.
+    val nondet = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5 && rand() < $"score").select("k", "id")
+    assert(!physical(nondet).contains("TopKPerKey"),
+      "a nondeterministic residual must keep the window")
+  }
+
   test("plan fuzz: the rewrite never changes results across random shapes") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -161,9 +198,10 @@ class TopKRewriteSpec extends SparkTestBase {
       withTie <- Gen.oneOf(true, false)
       desc    <- Gen.oneOf(true, false)
       k       <- Gen.chooseNum(1, 5)
-    } yield (nRows, nKeys, nScores, useRank, aggr, withTie, desc, k)
+      resid   <- Gen.oneOf(true, false) // extra conjunct next to the bound
+    } yield (nRows, nKeys, nScores, useRank, aggr, withTie, desc, k, resid)
     samples(shapeGen, 40).foreach {
-      case (nRows, nKeys, nScores, useRank, aggr, withTie, desc, k) =>
+      case (nRows, nKeys, nScores, useRank, aggr, withTie, desc, k, resid) =>
         val rows = (1 to nRows).map { i =>
           // ids repeat so the aggregate branch has varying counts
           (i % nKeys.toLong, (i % (nRows / 3 + 1)).toLong,
@@ -179,7 +217,8 @@ class TopKRewriteSpec extends SparkTestBase {
               (if (withTie) Seq($"id".asc) else Nil)
           val w = Window.partitionBy($"k").orderBy(ord: _*)
           val r = if (useRank) rank().over(w) else row_number().over(w)
-          base.withColumn("r", r).filter($"r" <= k).select("k", "id", "score")
+          val cond = if (resid) $"r" <= k && $"id" % 2 === 0 else $"r" <= k
+          base.withColumn("r", r).filter(cond).select("k", "id", "score")
         }
         val got = build().as[(Long, Long, Long)].collect().sorted.toSeq
         spark.conf.set("spark.graft.topkRewrite.enabled", "false")
@@ -189,7 +228,7 @@ class TopKRewriteSpec extends SparkTestBase {
         assert(got == expected,
           s"rewrite changed results for shape (rows=$nRows keys=$nKeys " +
             s"scores=$nScores rank=$useRank agg=$aggr tie=$withTie " +
-            s"desc=$desc k=$k)")
+            s"desc=$desc k=$k resid=$resid)")
     }
   }
 
