@@ -3475,6 +3475,41 @@ object Queries {
                 AS value_cents
             FROM events WHERE event_type = 'click' GROUP BY 1"""))
 
+  // Versioned-table time travel driven end to end: commit v1 (click
+  // events only), commit v2 (all events), then aggregate the PINNED v1
+  // next to latest in one result — v1 must stay byte-stable after v2's
+  // commit (immutable version dirs + pointer swap, Sinks.commitVersion).
+  // The oracle recomputes both snapshots from the raw table by
+  // predicate; a commit that mutated v1, or a pointer read that missed
+  // v2, breaks the hash.
+  private val tableTimeTravel = Q(
+    "table_time_travel",
+    (s, d) => {
+      val dir = scratchDir("graft_ttt_") + "/events"
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        col("value"))
+      operators.Sinks.commitVersion(ev.filter(col("event_type") === "click"), dir)
+      operators.Sinks.commitVersion(ev, dir)
+      val agg = (df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      agg(operators.Sinks.readVersion(s, dir, Some(1)))
+        .select(col("n").as("n_v1"), col("cents").as("cents_v1"))
+        .crossJoin(agg(operators.Sinks.readVersion(s, dir))
+          .select(col("n").as("n_latest"), col("cents").as("cents_latest")))
+    },
+    Some("""WITH v1 AS (
+              SELECT count(*) AS n_v1,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS cents_v1
+              FROM events WHERE event_type = 'click'),
+            latest AS (
+              SELECT count(*) AS n_latest,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS cents_latest
+              FROM events)
+            SELECT * FROM v1 CROSS JOIN latest"""))
+
   // Zone-map file skipping driven end to end: events range-sorted by ts
   // into 16 files, a min/max manifest built per file (Layout.writeZoneMap
   // — the Delta/Iceberg data-skipping idea on plain parquet), and a
@@ -5778,7 +5813,8 @@ object Queries {
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,
     mergeUpsertQ, bucketedJoinColocated, crawlFrontier,
-    partitionPrunedScan, zonemapPrunedScan, mergeUpsertPartitionedQ,
+    partitionPrunedScan, zonemapPrunedScan, tableTimeTravel,
+    mergeUpsertPartitionedQ,
     compactRoundtrip,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
     erFuzzyPairs, dqExpectations, dqProfile,

@@ -395,6 +395,73 @@ object Sinks {
     out
   }
 
+  /** Versioned table commits — time travel on plain parquet: every
+    * commit lands a new IMMUTABLE `v<N>` directory and then swaps a
+    * `_latest` pointer file (write-temp-then-rename, so a reader never
+    * observes a torn pointer). Old versions stay readable forever =
+    * snapshot isolation for free: a 100 TB training run pins the
+    * version it started from while ingestion keeps committing, and a
+    * bad commit "rolls back" by pointing a new commit at the old data.
+    * Single-writer by contract (the reference pipeline is a weekly
+    * single flow); concurrent writers need a lock service this module
+    * deliberately does not fake.
+    */
+  def commitVersion(df: DataFrame, tableDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = listVersions(spark, tableDir).lastOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    val tmp = new Path(tableDir, "_latest.tmp")
+    val ptr = new Path(tableDir, "_latest")
+    val os = fs.create(tmp, true)
+    try os.write(next.toString.getBytes("UTF-8")) finally os.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new IllegalStateException(s"could not swap $ptr to v$next")
+    next
+  }
+
+  /** Committed versions in ascending order (directory listing of the
+    * immutable v<N> dirs — metadata-scale).
+    */
+  def listVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v[0-9]+") => n.drop(1).toInt }
+      .sorted
+  }
+
+  /** Read a pinned version, or follow the `_latest` pointer when
+    * `version` is None. A missing version or a table with no commits
+    * fails loudly — silently reading nothing is how a training run
+    * trains on an empty corpus.
+    */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Option[Int] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse {
+      val ptr = new Path(tableDir, "_latest")
+      if (!fs.exists(ptr))
+        throw new IllegalStateException(s"$tableDir has no _latest pointer")
+      val in = fs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+    val path = s"$tableDir/v$v"
+    if (!fs.exists(new Path(path)))
+      throw new IllegalStateException(s"version v$v does not exist in $tableDir")
+    spark.read.parquet(path)
+  }
+
   /** Write a whole graph build (node + edge tables) idempotently. */
   def writeGraph(tables: graft.pipeline.MovieGraph.GraphTables, baseDir: String,
                  nodeKeys: Map[String, String]): Unit = {

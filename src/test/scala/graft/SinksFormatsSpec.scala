@@ -247,6 +247,32 @@ class SinksFormatsSpec extends SparkTestBase {
       Seq("ACTED_IN"))
   }
 
+  test("versioned table: commits are immutable, time travel reads old versions") {
+    val dir = Files.createTempDirectory("graft_ver_").toString + "/t"
+    val v1 = Sinks.commitVersion(spark.range(0, 100).toDF("id"), dir)
+    val v2 = Sinks.commitVersion(spark.range(0, 250).toDF("id"), dir)
+    assert(v1 == 1 && v2 == 2)
+    assert(Sinks.listVersions(spark, dir) == Seq(1, 2))
+    // latest follows the pointer; pinned versions time-travel
+    assert(Sinks.readVersion(spark, dir).count() == 250)
+    assert(Sinks.readVersion(spark, dir, Some(1)).count() == 100)
+    // commits never mutate old versions: v1 unchanged after v2
+    assert(Sinks.readVersion(spark, dir, Some(1))
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == (0L until 100L).sum)
+    // rollback = a new commit of the old data; latest moves, v2 stays
+    Sinks.commitVersion(Sinks.readVersion(spark, dir, Some(1)), dir)
+    assert(Sinks.readVersion(spark, dir).count() == 100)
+    assert(Sinks.readVersion(spark, dir, Some(2)).count() == 250)
+    // missing version and empty table fail loudly
+    intercept[IllegalStateException] {
+      Sinks.readVersion(spark, dir, Some(99))
+    }
+    intercept[IllegalStateException] {
+      Sinks.readVersion(spark, dir + "_missing")
+    }
+  }
+
   test("exportKgCsv: headers + MERGE script round-trip against bulkEdgesFromCsv") {
     val base = Files.createTempDirectory("graft_kgexp_").toString
     val movies = Seq((10L, "A"), (20L, "B")).toDF("movie_id", "title")
