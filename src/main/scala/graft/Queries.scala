@@ -836,6 +836,50 @@ object Queries {
               max(CASE WHEN p = 42 THEN e END) AS est_u42
             FROM est GROUP BY 1"""))
 
+  // KMV / bottom-k theta distinct sketch, cross-engine exact like the
+  // HLL and CMS: k smallest distinct md5-60 hashes per group, integer
+  // bottom-k estimator ((k-1) * (2^60 div h_k), exact below k). Spark
+  // runs the bounded-array Aggregator map-side; the oracle rebuilds the
+  // k-th smallest hash with a window and replays the same arithmetic.
+  // countDistinct rides along so the sketch is auditable in-row.
+  private val sketchKmvDistinct = Q(
+    "sketch_kmv_distinct",
+    (s, d) => {
+      val h = graft.functions.Expressions.md5_bits(col("user_id").cast("string"), 15)
+      events(s, d).select(col("event_type"), col("user_id"), h.as("h"))
+        .groupBy(col("event_type"))
+        .agg(
+          udaf(new graft.functions.Aggregators.KmvDistinct(64),
+            org.apache.spark.sql.Encoders.scalaLong)
+            .apply(col("h")).as("o"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("o._1").as("n_kept"),
+          col("o._2").as("kth_min_hash"), col("o._3").as("distinct_est"),
+          col("n_exact"))
+    },
+    Some(s"""WITH md AS (
+              SELECT event_type, user_id, md5(user_id::VARCHAR) AS mh
+              FROM events),
+            hs AS (
+              SELECT DISTINCT event_type, ${duckHex60("mh")} AS h FROM md),
+            rk AS (
+              SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS nd
+              FROM hs),
+            kth AS (
+              SELECT event_type, h AS kth_min_hash, nd
+              FROM rk WHERE rn = least(nd, 64)),
+            ex AS (
+              SELECT event_type, count(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY 1)
+            SELECT k.event_type, least(k.nd, 64) AS n_kept, k.kth_min_hash,
+              CAST(CASE WHEN k.nd < 64 THEN k.nd
+                   ELSE 63 * (1152921504606846976 // k.kth_min_hash) END
+                AS BIGINT) AS distinct_est,
+              ex.n_exact
+            FROM kth k JOIN ex USING (event_type)"""))
+
   // the EXACT half of the sketch surface: the Welford/Chan typed
   // Aggregator is algebraically count/sum-over-count/var_samp, so it
   // oracles directly. Rounding margins sized to the accumulation error
@@ -1713,6 +1757,69 @@ object Queries {
           $rounds
         SELECT node AS doc_id, rank_scaled FROM r$iterations"""
   }
+
+  // round-unrolled oracle for integer-scaled HITS: per round an
+  // in-edge hub sum + max-normalize, then an out-edge authority sum +
+  // max-normalize — identical truncating integer steps to
+  // Graph.hitsScaled ((x * 1e6) // max, all BIGINT)
+  private def duckHitsSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""a${i}f AS (
+           SELECT n.node, COALESCE(s.a, 0) AS a
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM(h${i - 1}.hub) AS a
+             FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src
+             GROUP BY 1) s USING (node)),
+         a$i AS (
+           SELECT node,
+             CAST(CASE WHEN mx > 0 THEN (a * 1000000) // mx ELSE 0 END
+               AS BIGINT) AS auth
+           FROM a${i}f, (SELECT MAX(a) AS mx FROM a${i}f)),
+         h${i}f AS (
+           SELECT n.node, COALESCE(s.h, 0) AS h
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS node, SUM(a$i.auth) AS h
+             FROM e JOIN a$i ON a$i.node = e.dst
+             GROUP BY 1) s USING (node)),
+         h$i AS (
+           SELECT node,
+             CAST(CASE WHEN mx > 0 THEN (h * 1000000) // mx ELSE 0 END
+               AS BIGINT) AS hub
+           FROM h${i}f, (SELECT MAX(h) AS mx FROM h${i}f))"""
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+          nn AS (SELECT count(*) AS n FROM documents),
+          e AS (
+            SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+          h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+          $rounds
+        SELECT h$iterations.node AS doc_id, h$iterations.hub AS hub_scaled,
+          a$iterations.auth AS auth_scaled
+        FROM h$iterations JOIN a$iterations USING (node)"""
+  }
+
+  // HITS hubs/authorities over the circulant doc graph — the link-
+  // analysis complement to PageRank (good-pointer vs pointed-at-by-
+  // good scores; KG entity-hub detection). Integer max-normalization
+  // replaces the float L2 norm, so every round is order-independent
+  // long arithmetic and the oracle is the same rounds unrolled.
+  private val hitsScores = Q(
+    "hits_scores",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % nDocs).as("dst"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % nDocs).as("dst")))
+      Graph.hitsScaled(edges, docs.select(col("doc_id").as("node")),
+          iterations = 3)
+        .select(col("node").as("doc_id"), col("hub_scaled"), col("auth_scaled"))
+    },
+    Some(duckHitsSql(3)))
 
   // Personalized PageRank over the same circulant doc graph as
   // pagerank_scaled, teleporting to the doc_id%100==0 seed set — ranks
@@ -5772,7 +5879,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
-    sketchMgTopk, topkRankRewrite, topkRankAgg,
+    sketchMgTopk, sketchKmvDistinct, topkRankRewrite, topkRankAgg,
     momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,
@@ -5785,7 +5892,7 @@ object Queries {
     incrBloomDedup, incrSessionStream, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
-    pagerankScaled, personalizedPagerank,
+    pagerankScaled, personalizedPagerank, hitsScores,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupCrossSource,
     dedupJaccard, dedupMinhash,

@@ -196,6 +196,83 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** KMV (k-minimum-values / bottom-k theta) distinct sketch over
+    * pre-hashed keys, cross-engine exact like [[HllDistinct]]: the
+    * buffer is the k SMALLEST DISTINCT 60-bit hashes seen (a sorted
+    * bounded array), merge is a sorted-merge-then-truncate, and the
+    * estimator is pure integer arithmetic — below k distinct hashes the
+    * count is EXACT (the sketch saw every one), at or above k it is
+    * `(k-1) * (2^60 div h_k)` with h_k the k-th smallest hash (the
+    * classic Bar-Yossef bottom-k estimator, with the division spelled
+    * as a truncating integer op both engines reproduce verbatim).
+    * Unlike [[HllDistinct]] the sketch also supports set operations
+    * downstream (the kept hashes are a uniform sample of the key
+    * space), which is why warehouse theta sketches use this shape.
+    *
+    * Associative + commutative → map-side partials; fixed k longs of
+    * state per group at ANY cardinality — the same 100 TB contract as
+    * the other sketches. Returns (n_kept, h_k-or-max, est).
+    */
+  class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], (Long, Long, Long)] {
+    require(k >= 2, "k must be >= 2")
+    private val full = 1L << 60
+
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already kept
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) {
+          // beats the current k-th minimum: shift the tail right, drop it
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val out = new Array[Long](math.min(k, a.length + b.length))
+        var i = 0; var j = 0; var n = 0
+        while (n < out.length && (i < a.length || j < b.length)) {
+          val next =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) { val v = a(i); i += 1; v }
+            else { val v = b(j); j += 1; v }
+          if (n == 0 || out(n - 1) != next) { out(n) = next; n += 1 }
+        }
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      }
+    }
+
+    override def finish(buf: Array[Long]): (Long, Long, Long) = {
+      val nKept = buf.length.toLong
+      if (buf.isEmpty) (0L, 0L, 0L)
+      else {
+        val hk = buf.last
+        val est = if (nKept < k) nKept else (k - 1).toLong * (full / hk)
+        (nKept, hk, est)
+      }
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+  }
+
   /** Sum of the k largest values per group, in O(k) state — the
     * neighborhood-mass aggregate for margin mining and any "top-k
     * similarity budget" statistic. State is an UNSORTED bounded buffer

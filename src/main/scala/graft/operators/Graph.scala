@@ -432,6 +432,83 @@ object Graph {
     out
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999), integer-scaled for
+    * cross-engine exactness like [[pageRankScaled]]. Per round:
+    * authority(v) = Σ hub(u) over in-edges (u→v), hub(u) = Σ auth(v)
+    * over out-edges — each followed by an integer max-normalization
+    * `(x * scale) div max(x)` instead of the float L2 norm, so every
+    * step is order-independent long arithmetic and the result
+    * hash-matches any engine running the same statements. The global
+    * max per half-round is a one-row aggregate joined back via a
+    * broadcast single-row cross join (the repo's scalar-join idiom) —
+    * at any graph size that is one tiny driver-free reduction, never a
+    * data-sized shuffle. Rounds are linear-lineage like PageRank (one
+    * self-reference per round), checkpointed through [[RoundStore]]
+    * every `checkpointInterval` rounds so failure replay stays bounded.
+    *
+    * Semantics: nodes with no in-edges hold authority 0, nodes with no
+    * out-edges hold hub 0 after round 1 (mass leaves the system, the
+    * same non-redistribution stance as [[pageRankScaled]]); edge
+    * endpoints outside `nodes` are dropped. If a round's global max is
+    * 0 (edgeless graph) the normalized scores are all 0 rather than a
+    * division error. `edges`: (src, dst); `nodes`: (node), unique.
+    * Returns (node, hub_scaled, auth_scaled) in [0, scale].
+    */
+  def hitsScaled(edges: DataFrame, nodes: DataFrame,
+                 iterations: Int = 3,
+                 scale: Long = 1000000L,
+                 workDir: Option[String] = None,
+                 checkpointInterval: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = edges.sparkSession
+    val store = new RoundStore(spark, workDir)
+    val n = nodes.select(col("node"))
+    // node-restricted edge table, materialized once; every half-round
+    // is one equi-join + one map-side-combinable sum against it
+    val e = store.save(
+      edges.select(col("src"), col("dst"))
+        .join(n.withColumnRenamed("node", "src"), "src")
+        .join(n.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("dst")),
+      "edges")
+    // (x * scale) div max(x), with max carried on a broadcast one-row join
+    def maxNormalized(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0, expr(s"($c * ${scale}L) div __mx"))
+            .otherwise(lit(0L)).cast("long").as(c))
+    }
+    var hubs = n.withColumn("hub_scaled", lit(scale))
+    var auths: DataFrame = null
+    for (i <- 1 to iterations) {
+      val authSum = e
+        .join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("hub_scaled")).as("a"))
+      auths = maxNormalized(
+        n.join(authSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_scaled")),
+        "auth_scaled")
+      val hubSum = e
+        .join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("auth_scaled")).as("h"))
+      val nextHubs = maxNormalized(
+        n.join(hubSum.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_scaled")),
+        "hub_scaled")
+      hubs =
+        if (i % checkpointInterval == 0 && i < iterations)
+          store.save(nextHubs, s"hubs-$i")
+        else nextHubs
+    }
+    val out = store.save(
+      hubs.join(auths, "node")
+        .select(col("node"), col("hub_scaled"), col("auth_scaled")),
+      "hits")
+    store.cleanupExcept("hits")
+    out
+  }
+
   /** Driver twin of [[pageRankScaled]]'s rounds: same integer steps in
     * the same structure (contribution only for srcs that ARE nodes,
     * destinations outside `nodes` dropped, base share for everyone) —

@@ -60,6 +60,30 @@ class AggregatorsSpec extends SparkTestBase {
     assert(once == tripled)
   }
 
+  test("KMV distinct: exact below k, estimator in bounds at/above k, order-free") {
+    import graft.functions.Aggregators.KmvDistinct
+    val kmv = udaf(new KmvDistinct(64), org.apache.spark.sql.Encoders.scalaLong)
+    def hashed(n: Int) = spark.range(0, n)
+      .select(conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+
+    // below k: the sketch saw every distinct hash -> exact count
+    val small = hashed(40).union(hashed(40)) // dups must not count twice
+      .agg(kmv.apply($"h")).head().getStruct(0)
+    assert(small.getLong(0) == 40L && small.getLong(2) == 40L)
+
+    // at/above k: bottom-k estimate within ~3 sigma (1/sqrt(k-1) ~ 12.6%)
+    val big = hashed(10000).agg(kmv.apply($"h")).head().getStruct(0)
+    assert(big.getLong(0) == 64L)
+    assert(math.abs(big.getLong(2) - 10000.0) / 10000.0 < 0.38,
+      s"estimate ${big.getLong(2)} too far from 10000")
+
+    // partitioning-invariant: sorted-merge-truncate is order-free
+    def estimate(parts: Int): Long = hashed(10000).repartition(parts)
+      .agg(kmv.apply($"h")).head().getStruct(0).getLong(2)
+    assert(estimate(1) == estimate(13))
+  }
+
   test("Count-Min: never undercounts, overcount bounded, partitioning-invariant") {
     import graft.functions.Aggregators.CountMinFreq
     val depth = 4

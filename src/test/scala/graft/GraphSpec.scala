@@ -117,6 +117,32 @@ class GraphSpec extends SparkTestBase {
     assert(ranksOf(100000) == ranksOf(0))
   }
 
+  test("hitsScaled: star graph by hand, checkpoint invariance, edgeless zeros") {
+    // 1 -> {2,3,4}, 5 -> 2, 6 isolated; two rounds by hand (scale 1e6):
+    // r1 auth sums (2:2e6, 3:1e6, 4:1e6) -> norm (2:1e6, 3:5e5, 4:5e5);
+    //    hub sums (1:2e6, 5:1e6)         -> norm (1:1e6, 5:5e5)
+    // r2 auth sums (2:1.5e6, 3:1e6, 4:1e6) -> (2:1e6, 3:666666, 4:666666);
+    //    hub sums (1:2333332, 5:1e6)       -> (1:1e6, 5:428571)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L)).toDF("src", "dst")
+    val n = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val r = Graph.hitsScaled(e, n, iterations = 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      1L -> (1000000L, 0L), 2L -> (0L, 1000000L), 3L -> (0L, 666666L),
+      4L -> (0L, 666666L), 5L -> (428571L, 0L), 6L -> (0L, 0L)))
+
+    // checkpointing mid-run changes nothing (integer rounds are exact)
+    val rc = Graph.hitsScaled(e, n, iterations = 2, checkpointInterval = 1)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(rc == r)
+
+    // edgeless graph: both maxes are 0 -> all scores 0, no division error
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val z = Graph.hitsScaled(none, n, iterations = 1)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(z == n.as[Long].collect().map(_ -> ((0L, 0L))).toMap)
+  }
+
   test("K3: upsert converges on re-run (idempotent dup-tolerant sink)") {
     val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
     val once = Graph.upsertNodes(batch, None, "id")
