@@ -2297,6 +2297,51 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  // Binary-quantized ANN: 1-bit sign codes (two packed 32-bit words per
+  // 64-dim vector), Hamming-popcount candidate generation, exact cosine
+  // rerank of the 20 survivors. The oracle rebuilds the identical codes
+  // in BIGINT arithmetic (32-bit words keep every value positive) and
+  // replays both deterministic-tie windows.
+  private val annBinaryHamming = Q(
+    "ann_binary_hamming",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.binaryHammingTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 5, candidates = 20)
+    },
+    Some("""WITH codes AS (
+              SELECT vec_id, embedding,
+                CAST(list_sum(list_transform(list_zip(embedding[1:32], range(1, 33)),
+                  z -> CASE WHEN z[1] >= 0 THEN 1::BIGINT << (z[2] - 1)
+                       ELSE 0 END)) AS BIGINT) AS sig0,
+                CAST(list_sum(list_transform(list_zip(embedding[33:64], range(1, 33)),
+                  z -> CASE WHEN z[1] >= 0 THEN 1::BIGINT << (z[2] - 1)
+                       ELSE 0 END)) AS BIGINT) AS sig1
+              FROM embeddings),
+            cand AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                bit_count(xor(p.sig0, c.sig0))
+                  + bit_count(xor(p.sig1, c.sig1)) AS hamming,
+                p.embedding AS pv, c.embedding AS cv
+              FROM codes p JOIN codes c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id < 10),
+            pool AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY hamming, cand_id) AS hrank
+                FROM cand) WHERE hrank <= 20),
+            rescored AS (
+              SELECT probe_id, cand_id, CAST(hamming AS INTEGER) AS hamming,
+                round(list_dot_product(pv::DOUBLE[], cv::DOUBLE[])
+                  / (sqrt(list_dot_product(pv::DOUBLE[], pv::DOUBLE[]))
+                   * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6)
+                  AS score
+              FROM pool)
+            SELECT probe_id, cand_id, hamming, score, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+              FROM rescored) WHERE rank <= 5"""))
+
   // oracled since round 2: the heap operator's tie-break (score desc,
   // cand_id asc) makes its row set identical to the window formulation
   private val annTopkOperator = Q(
@@ -5898,7 +5943,7 @@ object Queries {
     dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
-    annBrute, annTopkOperator, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
+    annBrute, annTopkOperator, annBinaryHamming, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
     embPqCodes, annPqAdc,
     textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,

@@ -49,6 +49,58 @@ object Similarity {
       .select("probe_id", "cand_id", "score", "rank")
   }
 
+  /** Sign-bit binary quantization code of an embedding: ceil(dim/32)
+    * packed 32-bit words (bit = 1 iff the component is >= 0), via the
+    * codegen'd [[graft.functions.Expressions.SignBitsPacked]]. 1 bit
+    * per dimension — a 64-dim float vector becomes two longs, 32x
+    * narrower than the embedding, which is the shuffle/broadcast width
+    * a 100 TB candidate stage actually moves.
+    */
+  def signCode(vec: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be >= 1")
+    array((0 until (dim + 31) / 32)
+      .map(w => graft.functions.Expressions.sign_bits_packed(vec, w * 32)): _*)
+  }
+
+  /** Binary-quantized ANN: Hamming-distance candidate generation over
+    * packed sign codes, then exact cosine re-ranking of the C survivors
+    * — the asymmetric two-stage search (compressed codes prune, floats
+    * decide) that PQ/ADC applies with codebooks, done here with the
+    * zero-training 1-bit code. The candidate stage compares two longs
+    * per pair (codegen'd popcount via
+    * [[graft.functions.Expressions.HammingPacked]]) instead of a
+    * 64-float dot product; the exact cosine runs only on
+    * `candidates`-per-probe rows. Probes broadcast like
+    * [[bruteForceTopK]] (small probe set contract); at corpus x corpus
+    * scale the code table is what multi-index-hashing buckets would
+    * partition — the codes, never the floats, are the moved bytes.
+    * Both window stages use rounded-score/id tie-breaks so the row set
+    * is engine-exact; `hamming` rides along for recall audits.
+    */
+  def binaryHammingTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                        vecCol: String, dim: Int, k: Int,
+                        candidates: Int = 20): DataFrame = {
+    require(candidates >= k, "candidate pool must be at least k")
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      norm(col(vecCol)).as("cand_norm"), signCode(col(vecCol), dim).as("cand_sig"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm"), signCode(col(vecCol), dim).as("probe_sig"))
+    val cand = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("hamming",
+        graft.functions.Expressions.hamming_packed(col("probe_sig"), col("cand_sig")))
+    val wh = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val pool = cand.withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= candidates)
+    val rescored = pool.withColumn("score", round(
+      dot(col("probe_vec"), col("cand_vec")) / (col("probe_norm") * col("cand_norm")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "cand_id", "hamming", "score", "rank")
+  }
+
   /** Random-hyperplane signature: bit i = sign(dot(v, r_i)) where r_i is a
     * deterministic pseudo-random hyperplane derived from (seed, i, dim) —
     * reproducible across runs and cluster sizes with no model state.

@@ -66,6 +66,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("signCode packs sign bits exactly; Hamming 0 iff codes agree") {
+    import graft.functions.Expressions.hamming_packed
+    // dims 0,2 positive, 1 negative, 3 zero (>= 0 -> set): bits 0,2,3
+    val df = Seq(
+      (1L, Array(0.5f, -1f, 2f, 0f)),
+      (2L, Array(0.1f, -3f, 9f, -7f)),  // differs from 1 only in dim 3
+      (3L, Array(-0.5f, 1f, -2f, -1f))) // fully flipped vs 1
+      .toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"),
+      Similarity.signCode(col("embedding"), 4).as("sig"))
+    val m = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L) == Seq(13L), s"bits 0,2,3 -> 13, got ${m(1L)}")
+    assert(m(2L) == Seq(5L))
+    val ham = codes.alias("a").join(codes.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        hamming_packed(col("a.sig"), col("b.sig")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(ham((1L, 2L)) == 1) // only the zero-vs-positive dim 3 differs
+    assert(ham((1L, 3L)) == 4) // dims 0,1,2 flipped + dim 3 zero-vs-neg
+  }
+
+  test("binaryHammingTopK: exact-duplicate recall and recall vs brute force") {
+    // clustered corpus: sign patterns separate the clusters, so the
+    // Hamming prefilter must keep true neighbors in the pool
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 200).map { i =>
+      val center = Array.tabulate(64)(j =>
+        if ((j + i % 4) % 4 < 2) 1f else -1f)
+      (i.toLong, center.map(v => v + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") < 8)
+    val bin = Similarity.binaryHammingTopK(corpus, probes, "vec_id",
+        "embedding", dim = 64, k = 5, candidates = 40)
+      .select("probe_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, probes, "vec_id",
+        "embedding", 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (bin intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall below 0.8 on clustered corpus")
+  }
+
   test("LSH top-k: same-bucket duplicate is found; recall <= brute force") {
     val corpus = (0 until 100).map { i =>
       val v = Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)
