@@ -2297,6 +2297,35 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  // Johnson-Lindenstrauss sign projection 64 -> 16 dims: the ±1 matrix
+  // is md5-parity-derived metadata (no model state), inputs micro-
+  // quantized, outputs pure BIGINT sums. The oracle rebuilds the same
+  // matrix from the same md5 parity and replays the projection as a
+  // join-aggregate.
+  private val embRandomProjection = Q(
+    "embedding_random_projection",
+    (s, d) => ops.Features.randomProjection(embeddings(s, d), "vec_id",
+      "embedding", inDim = 64, outDim = 16),
+    Some(s"""WITH ve AS (
+              SELECT vec_id,
+                [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                 FOR e IN embedding] AS vq
+              FROM embeddings),
+            rm0 AS (
+              SELECT j.j, i.i,
+                md5('jl|' || j.j::VARCHAR || '|' || i.i::VARCHAR) AS mh
+              FROM range(0, 16) j(j) CROSS JOIN range(0, 64) i(i)),
+            rm AS (
+              SELECT j, i,
+                CASE WHEN ${duckHex60("mh")} % 2 = 0 THEN 1 ELSE -1 END AS r
+              FROM rm0),
+            x AS (
+              SELECT vec_id, i.i AS i, vq[i.i + 1] AS xq
+              FROM ve, range(0, 64) i(i))
+            SELECT x.vec_id, rm.j, CAST(SUM(rm.r * x.xq) AS BIGINT) AS yq
+            FROM x JOIN rm ON rm.i = x.i
+            GROUP BY 1, 2"""))
+
   // Binary-quantized ANN: 1-bit sign codes (two packed 32-bit words per
   // 64-dim vector), Hamming-popcount candidate generation, exact cosine
   // rerank of the 20 survivors. The oracle rebuilds the identical codes
@@ -5944,7 +5973,7 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, annBinaryHamming, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
-    embPqCodes, annPqAdc,
+    embPqCodes, annPqAdc, embRandomProjection,
     textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,

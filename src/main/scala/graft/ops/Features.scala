@@ -229,4 +229,48 @@ object Features {
         sum(when(col("__d") > col("mad") * k, 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** The ±1 sign of projection-matrix entry (j, i): parity of the
+    * md5-derived 60-bit hash of "tag|j|i" — the same value
+    * `md5_bits('tag|j|i', 15) % 2` yields in either engine's SQL, so
+    * an oracle can rebuild the matrix verbatim. Deterministic metadata:
+    * outDim x inDim bytes, computed once on the driver. */
+  private def projSign(tag: String, j: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag|$j|$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss random sign projection of an embedding
+    * column to `outDim` dimensions: y_j = Σ_i r_ji · x_i with
+    * r ∈ {±1} drawn deterministically from md5 parity (Achlioptas
+    * 2003's database-friendly projection, which needs no stored model —
+    * any worker, any engine, any rerun derives the same matrix from
+    * (tag, j, i)). Inputs are micro-quantized first so every output is
+    * a pure BIGINT sum — engine-exact at any partitioning, no float
+    * accumulation order anywhere. Per-vector cost is outDim codegen'd
+    * [[graft.functions.Expressions.LongVectorDot]]s against literal
+    * sign rows; the quantized vector is computed once (CSE).
+    *
+    * The 100 TB role: distance-preserving width reduction
+    * (ε ~ sqrt(ln n / outDim)) ahead of ANN/clustering stages — the
+    * shuffled bytes per vector drop by inDim/outDim with no training
+    * state to ship. Returns (id, j, yq) long rows; callers reassemble
+    * arrays only at the consumer. */
+  def randomProjection(embs: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int,
+                       tag: String = "jl"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, "dims must be positive")
+    val signs = Array.tabulate(outDim)(j =>
+      Array.tabulate(inDim)(i => projSign(tag, j, i)))
+    val yCols = (0 until outDim).map(j =>
+      graft.functions.Expressions.long_vector_dot(
+        col("__xq"), typedlit(signs(j))))
+    embs
+      .withColumn("__xq", graft.functions.Expressions.quantize_micro(col(vecCol)))
+      .select(col(idCol),
+        posexplode(array(yCols: _*)).as(Seq("j", "yq")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("yq"))
+  }
 }

@@ -124,5 +124,42 @@ class FeaturesSpec extends SparkTestBase {
       .as[(String, Double, Double, Double)].collect().toSet
     assert(out == Set(("g", 17.5, 25.0, 40.0), ("h", 5.0, 5.0, 5.0)))
   }
+
+  test("randomProjection: basis vector picks one signed matrix column; deterministic") {
+    // e_3 scaled: xq = 2_000_000 at dim 3, 0 elsewhere -> y_j = ±2e6
+    // with the sign of matrix entry (j, 3), recomputed here from the
+    // same md5 parity the operator and the SQL oracle use
+    val basis = Seq((1L, Array.tabulate(8)(i => if (i == 3) 2f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Features.randomProjection(basis, "vec_id", "embedding",
+        inDim = 8, outDim = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    def sign(j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$j|3".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+    }
+    assert(out.map(_._3).toSeq == (0 until 4).map(j => sign(j) * 2000000L))
+
+    // same inputs -> identical rows (metadata-derived matrix, no state)
+    val rnd = new scala.util.Random(3)
+    val embs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    def run() = Features.randomProjection(embs, "vec_id", "embedding", 8, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run() == run())
+
+    // norms are preserved in expectation: E||y||^2 = outDim * ||xq||^2;
+    // over 50 vectors the AVERAGE ratio concentrates near 1
+    val yn = Features.randomProjection(embs, "vec_id", "embedding", 8, 16)
+      .groupBy("vec_id").agg(sum(col("yq") * col("yq")).as("y2"))
+    val xn = embs.select(col("vec_id"),
+      aggregate(transform(col("embedding"),
+          x => pow(floor(x.cast("double") * 1e6 + 0.5), 2)),
+        lit(0d), (a, b) => a + b).as("x2"))
+    val ratio = yn.join(xn, "vec_id")
+      .agg(avg(col("y2") / (col("x2") * 16))).head().getDouble(0)
+    assert(ratio > 0.5 && ratio < 1.5, s"mean norm ratio $ratio far from 1")
+  }
 }
 
