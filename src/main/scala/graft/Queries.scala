@@ -3430,6 +3430,47 @@ object Queries {
           SELECT l_orderkey, l_linenumber, $interleave AS z FROM scaled"""
     })
 
+  // the Hilbert index, oracled bit-for-bit like zorder_value: identical
+  // IEEE coordinate scaling, then the masked xy2d quadrant walk unrolled
+  // one CTE per level — every step non-negative BIGINT case-arithmetic
+  private val hilbertValue = Q(
+    "hilbert_value",
+    (s, d) => lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      operators.Layout.hilbertColumn(
+        (col("l_extendedprice"), 900.0, 105000.0),
+        (col("l_quantity"), 1.0, 50.0), 12).as("h")),
+    Some {
+      def coord(c: String, lo: Double, span: Double) =
+        s"""least(greatest(CAST(floor(($c - $lo) / $span * 4095) AS BIGINT),
+           CAST(0 AS BIGINT)), CAST(4095 AS BIGINT))"""
+      val rounds = (1 to 12).map { r =>
+        val sv = 1L << (12 - r)        // s for this level
+        val sm1 = sv - 1
+        s"""h$r AS (
+             SELECT l_orderkey, l_linenumber,
+               d + ${sv * sv} * xor(3 * rx, ry) AS d,
+               CASE WHEN ry = 0 THEN
+                 CASE WHEN rx = 1 THEN $sm1 - (y & $sm1) ELSE y & $sm1 END
+               ELSE x & $sm1 END AS x,
+               CASE WHEN ry = 0 THEN
+                 CASE WHEN rx = 1 THEN $sm1 - (x & $sm1) ELSE x & $sm1 END
+               ELSE y & $sm1 END AS y
+             FROM (
+               SELECT *,
+                 CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
+                 CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry
+               FROM h${r - 1}))"""
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+            SELECT l_orderkey, l_linenumber,
+              ${coord("l_extendedprice", 900.0, 104100.0)} AS x,
+              ${coord("l_quantity", 1.0, 49.0)} AS y,
+              CAST(0 AS BIGINT) AS d
+            FROM lineitem),
+          $rounds
+          SELECT l_orderkey, l_linenumber, d AS h FROM h12"""
+    })
+
   // outlier clipping via integer-rank order statistics: the bounds are
   // actual stored values (k-th smallest), never interpolations, so the
   // row-level clipped doubles are engine-exact with zero rounding
@@ -5998,6 +6039,7 @@ object Queries {
     mergeUpsertPartitionedQ,
     compactRoundtrip,
     gapfillLocf, scd2History, winsorizeClip, minmaxScale, zorderValue,
+    hilbertValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,

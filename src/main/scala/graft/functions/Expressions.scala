@@ -750,6 +750,65 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 2-D Hilbert curve index of a scaled coordinate pair [x, y] (each
+    * in [0, 2^bits)): the xy2d quadrant walk — per level, the quadrant
+    * pair (rx, ry) contributes s²·((3·rx) XOR ry) and the sub-quadrant
+    * coordinates are masked, reflected and swapped per the standard
+    * rotation. The masked formulation keeps every intermediate
+    * non-negative, so a SQL oracle replays the identical rounds in
+    * plain BIGINT case-arithmetic. vs [[ZValue]]: same skip-index use
+    * (sort by the value, write, prune by min/max), but consecutive
+    * Hilbert addresses are always grid-adjacent (Z-order jumps at
+    * quadrant seams), so range predicates touch fewer files at the
+    * same file count — the locality upgrade is free at write time.
+    * Null coordinates cluster at the origin, matching ZValue.
+    */
+  case class HilbertValue(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && 2 * bits <= 62, "hilbert needs 1..31 bits per axis")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"hilbert_value requires array<bigint> coordinates, got ${other.sql}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hilbert_value"
+
+    def compute(arr: ArrayData): Long = {
+      require(arr.numElements() == 2,
+        s"hilbert_value: expected 2 coordinates, got ${arr.numElements()}")
+      var x = if (arr.isNullAt(0)) 0L else arr.getLong(0)
+      var y = if (arr.isNullAt(1)) 0L else arr.getLong(1)
+      var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        x &= s - 1
+        y &= s - 1
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hilbert", this, classOf[HilbertValue].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Hash-aggregable argmax: the `value` of the row with the greatest
     * `ord`; among ord-ties, the row with the SMALLEST `tie` (nulls
     * first, matching an `ORDER BY ord DESC, tie ASC NULLS FIRST`
@@ -1396,6 +1455,8 @@ object Expressions {
     column(NearestCellQ(expression(vq), centroids))
   def z_value(coords: Column, nCols: Int, bits: Int): Column =
     column(ZValue(expression(coords), nCols, bits))
+  def hilbert_value(coords: Column, bits: Int): Column =
+    column(HilbertValue(expression(coords), bits))
   /** Multi-field DOM extraction — one parse per page. Spec: (field,
     * selector, attr?) where attr None extracts trimmed text. */
   def html_extract(html: Column, specs: Seq[(String, String, Option[String])]): Column =

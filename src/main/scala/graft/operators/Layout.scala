@@ -31,6 +31,24 @@ object Layout {
     z_value(array(scaled: _*), cols.size, bits)
   }
 
+  /** Hilbert-curve column over a coordinate PAIR, scaled exactly like
+    * [[zColumn]] (same clamped min-max quantization, so the two layouts
+    * differ only in the space-filling curve). Consecutive Hilbert
+    * addresses are always grid-adjacent where Z-order seams jump
+    * half the grid, so range predicates over either dimension touch
+    * fewer range-partitioned files at the same file count.
+    */
+  def hilbertColumn(xCol: (Column, Double, Double),
+                    yCol: (Column, Double, Double), bits: Int): Column = {
+    val scaled = Seq(xCol, yCol).map { case (c, lo, hi) =>
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(greatest(
+        floor((c.cast("double") - lit(lo)) / lit(span) * lit((1L << bits) - 1))
+          .cast("long"), lit(0L)), lit((1L << bits) - 1L))
+    }
+    graft.functions.Expressions.hilbert_value(array(scaled: _*), bits)
+  }
+
   /** Range-repartition by Z-value into `numFiles` files, sorted within
     * each, and write. The range exchange samples the z distribution, so
     * files get even row counts AND tight per-dimension min/max ranges.

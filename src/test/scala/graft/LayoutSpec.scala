@@ -35,6 +35,32 @@ class LayoutSpec extends SparkTestBase {
     assert(zs == Seq(0L, 1L, 2L, 3L), "the unit quad is the first z block")
   }
 
+  test("hilbert_value: bijective on the full grid, every step grid-adjacent") {
+    import graft.functions.Expressions.hilbert_value
+    val bits = 4
+    val n = 1 << bits
+    val pts = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select($"x", $"y", hilbert_value(array($"x", $"y"), bits).as("h"))
+      .as[(Long, Long, Long)].collect()
+    val byH = pts.map { case (x, y, h) => h -> ((x, y)) }.toMap
+    assert(byH.size == n * n, "hilbert index must be a bijection")
+    assert(byH.keys.min == 0L && byH.keys.max == (n * n - 1).toLong)
+    // the defining Hilbert property Z-order lacks: consecutive
+    // addresses are ALWAYS Manhattan-distance-1 neighbors
+    val jumps = (0L until (n * n - 1).toLong).count { d =>
+      val (x1, y1) = byH(d); val (x2, y2) = byH(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps == 0, s"$jumps non-adjacent steps on the curve")
+
+    // null coordinates cluster at the origin like z_value
+    val z = Seq((Option.empty[Long], Option(0L))).toDF("x", "y")
+      .select(hilbert_value(array($"x", $"y"), bits).as("h"))
+      .head().getLong(0)
+    assert(z == 0L)
+  }
+
   test("writeZOrdered clusters both dimensions: locality beats random layout") {
     val n = 20000
     // two independent uniform dimensions — worst case for 1-D sorting
