@@ -1703,6 +1703,37 @@ object Queries {
 
   // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
   // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // DLT priority sampling: exact-k weighted sample per source with the
+  // Horvitz-Thompson threshold estimator, every step truncating BIGINT
+  // arithmetic over a content-derived uniform — the oracle replays
+  // priorities, the (k+1)-th threshold, and the max(w, tau) estimator.
+  private val prioritySampleQ = Q(
+    "priority_sample",
+    (s, d) => ops.Splits.prioritySample(documents(s, d), "doc_id", "text",
+      "n_chars", "source", k = 50),
+    Some {
+      val hex8 = (1 to 8).map(i =>
+        s"(instr('0123456789abcdef', substr(mh, $i, 1)) - 1) * ${BigInt(16).pow(8 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH md AS (
+            SELECT doc_id, source, n_chars, md5(text) AS mh FROM documents),
+          q AS (
+            SELECT doc_id, source, n_chars,
+              (n_chars * 1073741824) // ($hex8 % 1073741824 + 1) AS q
+            FROM md),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY q DESC, doc_id) AS rn
+            FROM q),
+          th AS (
+            SELECT source, max(CASE WHEN rn = 51 THEN q END) AS t
+            FROM r GROUP BY 1)
+          SELECT r.doc_id, r.source, r.n_chars, r.q,
+            CAST(coalesce(th.t, 0) AS BIGINT) AS tau,
+            greatest(r.n_chars, coalesce(th.t, 0)) AS w_hat
+          FROM r JOIN th USING (source) WHERE rn <= 50"""
+    })
+
   // keep test on the 20-bit content bucket. Uniform harness sources
   // make the rates equal here (the flattening semantics are pinned by
   // SplitsSpec's skewed fixture); the oracle still rebuilds every rate.
@@ -6030,7 +6061,7 @@ object Queries {
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,
     quantileDiscQ, paretoFrontQ, segmentDwellQ, sessionJourneysQ,
     corpusSample, corpusQualityFilter,
-    splitHash, leakageSafeSplitQ, mixtureWeighted, mixtureSqrt, stratifiedSample, packSequences,
+    splitHash, leakageSafeSplitQ, mixtureWeighted, mixtureSqrt, prioritySampleQ, stratifiedSample, packSequences,
     lengthBucketBatchesQ, orcRoundtrip, qualityQuantileNorm,
     tokenBudgetCap, rollingRangeWindow,
     decontaminate, embeddingDimStats, snapshotDiff, bloomSemiJoinQ,

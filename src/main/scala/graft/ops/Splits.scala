@@ -172,6 +172,45 @@ object Splits {
       .drop("__sum", "__n")
   }
 
+  /** Priority sampling (Duffield-Lund-Thorup 2007): an exact-size-k
+    * weighted sample WITHOUT replacement per group, with the
+    * Horvitz-Thompson weight estimator that makes subset sums unbiased
+    * — the principled "keep k documents, weighted by quality/length,
+    * and still estimate corpus totals" primitive
+    * ([[scoreWeightedSample]] is its Bernoulli cousin: rate-targeted,
+    * size only in expectation). Priority q = (w << 30) div u with u a
+    * content-derived uniform in [1, 2^30] (md5, never rand() — same
+    * corpus, same sample, any engine/partitioning); keep the k largest
+    * q per group; threshold tau = the (k+1)-th priority (0 when the
+    * group fits entirely); estimator w_hat = max(w, tau). Every step is
+    * truncating BIGINT arithmetic, so a SQL oracle replays it verbatim.
+    *
+    * Scale shape: only (id, group, w, q) enter the window shuffle —
+    * never the payload; the rank filter bounds output at k rows per
+    * group (a TopK-rewritable pattern). `weightCol` must be a positive
+    * integral (scaled) column with w < 2^33 so q = w·2^30 stays in
+    * range. Ties in q break by id; the tie rule is part of the
+    * deterministic contract.
+    */
+  def prioritySample(docs: DataFrame, idCol: String, contentCol: String,
+                     weightCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("q").desc, col(idCol))
+    val wGrp = Window.partitionBy(col(groupCol))
+    docs.select(col(idCol), col(groupCol), col(weightCol),
+        (graft.functions.Expressions.md5_bits(col(contentCol), 8)
+          % 1073741824L + 1L).as("__u"))
+      .withColumn("q", expr(s"(`$weightCol` * 1073741824L) div __u"))
+      .drop("__u")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("tau",
+        coalesce(max(when(col("__rn") === k + 1, col("q"))).over(wGrp), lit(0L)))
+      .filter(col("__rn") <= k)
+      .withColumn("w_hat", greatest(col(weightCol), col("tau")))
+      .drop("__rn")
+  }
+
   /** Balanced per-stratum draw: the `nPerGroup` rows of each stratum with
     * the smallest content hash — equal-count stratified sampling with a
     * deterministic, content-keyed order (ties broken by id). One window

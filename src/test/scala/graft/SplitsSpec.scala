@@ -197,5 +197,34 @@ class SplitsSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(out == Set(1L, 2L, 4L, 5L))
   }
+
+  test("prioritySample: exact k per big group, whole small group with tau 0") {
+    val docs = ((0 until 100).map(i => (i.toLong, s"doc body $i", 10L + i, "big"))
+      ++ (0 until 3).map(i => (1000L + i, s"tiny $i", 5L, "small")))
+      .toDF("id", "text", "w", "grp")
+    val out = graft.ops.Splits.prioritySample(docs, "id", "text", "w", "grp", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val big = out.filter(_._2 == "big")
+    val small = out.filter(_._2 == "small")
+    assert(big.length == 10 && small.length == 3)
+    // the whole small group survives with threshold 0 and w_hat = w
+    assert(small.forall(r => r._5 == 0L && r._6 == r._3))
+    // selected priorities clear the threshold; w_hat = max(w, tau)
+    assert(big.forall(r => r._4 >= r._5 && r._6 == math.max(r._3, r._5)))
+
+    // a weight beyond the max possible light priority is ALWAYS kept
+    // (q_heavy >= w > 2^30 >= any q with w=1)
+    val skewed = ((0 until 200).map(i => (i.toLong, s"n $i", 1L, "g"))
+      :+ (999L, "whale", (1L << 31), "g")).toDF("id", "text", "w", "grp")
+    val picked = graft.ops.Splits.prioritySample(skewed, "id", "text", "w", "grp", 5)
+      .select("id").as[Long].collect().toSet
+    assert(picked.contains(999L), "the dominant weight must be sampled")
+
+    // deterministic: same corpus, same sample
+    def run() = graft.ops.Splits.prioritySample(docs, "id", "text", "w", "grp", 10)
+      .collect().map(_.toSeq).toSet
+    assert(run() == run())
+  }
 }
 
