@@ -2328,6 +2328,44 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5"""))
 
+  // Integer power iteration on the embedding Gram matrix: one
+  // map-side-combinable pass builds G (fixed 64x64-long state), then
+  // exact truncating rounds find the dominant axis. The oracle rebuilds
+  // G as a join-aggregate over exploded pairs and unrolls the same
+  // rounds — both engines truncate toward zero, so every component
+  // matches bit-for-bit.
+  private val pcaTopDirection = Q(
+    "pca_top_direction",
+    (s, d) => Similarity.topPrincipalDirection(embeddings(s, d), "vec_id",
+      "embedding", dim = 64, iterations = 3),
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""w$r AS (
+             SELECT g.i, CAST(SUM(g.gs * v${r - 1}.v) AS BIGINT) AS wv
+             FROM gs g JOIN v${r - 1} ON v${r - 1}.i = g.j
+             GROUP BY 1),
+           m$r AS (SELECT greatest(1, MAX(abs(wv)) // 1000000) AS tau FROM w$r),
+           v$r AS (SELECT i, wv // tau AS v FROM w$r, m$r)"""
+      }.mkString(",\n")
+      s"""WITH ve AS (
+            SELECT vec_id,
+              [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+               FOR e IN embedding] AS vq
+            FROM embeddings),
+          x AS (
+            SELECT vec_id, i.i AS i, vq[i.i + 1] AS xi
+            FROM ve, range(0, 64) i(i)),
+          gs AS (
+            SELECT a.i AS i, b.i AS j,
+              CAST(SUM(a.xi * b.xi) AS BIGINT) // 1000000000 AS gs
+            FROM x a JOIN x b USING (vec_id)
+            GROUP BY 1, 2),
+          v0 AS (SELECT i.i AS i, CAST(1000000 AS BIGINT) AS v
+                 FROM range(0, 64) i(i)),
+          $rounds
+          SELECT i, v AS v_scaled FROM v3"""
+    })
+
   // Johnson-Lindenstrauss sign projection 64 -> 16 dims: the ±1 matrix
   // is md5-parity-derived metadata (no model state), inputs micro-
   // quantized, outputs pure BIGINT sums. The oracle rebuilds the same
@@ -6045,7 +6083,7 @@ object Queries {
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, annBinaryHamming, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
-    embPqCodes, annPqAdc, embRandomProjection,
+    embPqCodes, annPqAdc, embRandomProjection, pcaTopDirection,
     textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,

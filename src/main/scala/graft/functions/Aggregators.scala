@@ -273,6 +273,50 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
   }
 
+  /** d×d Gram (uncentered second-moment) matrix of quantized embedding
+    * vectors: buffer[i*d+j] accumulates Σ_rows xq_i·xq_j. Reduce adds
+    * one outer product, merge is elementwise sum — associative,
+    * commutative, FIXED d² longs of state, so Spark computes the whole
+    * corpus Gram in ONE map-side-combinable pass (the 100 TB
+    * alternative is exploding every row into d² pair terms and
+    * shuffling 4096× the data). Pure integer arithmetic: the result is
+    * order-independent and engine-exact; the caller owns the overflow
+    * bound (|xq| ≤ 10⁶ micro-units keeps ~9·10⁶ rows per matrix cell
+    * safe; at larger corpora pre-scale the quantization).
+    */
+  class GramMatrix(d: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(d >= 1 && d <= 512, "d must be in [1, 512]")
+
+    override def zero: Array[Long] = new Array[Long](d * d)
+
+    override def reduce(buf: Array[Long], x: Seq[Long]): Array[Long] = {
+      require(x.length == d, s"expected $d components, got ${x.length}")
+      val xa = x.toArray
+      var i = 0
+      while (i < d) {
+        val xi = xa(i)
+        var j = 0
+        while (j < d) { buf(i * d + j) += xi * xa(j); j += 1 }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Sum of the k largest values per group, in O(k) state — the
     * neighborhood-mass aggregate for margin mining and any "top-k
     * similarity budget" statistic. State is an UNSORTED bounded buffer

@@ -49,6 +49,52 @@ object Similarity {
       .select("probe_id", "cand_id", "score", "rank")
   }
 
+  /** Top principal direction of the embedding second-moment matrix by
+    * integer power iteration — the PCA-whitening / dominant-axis
+    * primitive, formulated engine-exact end to end. One distributed
+    * pass builds the d×d Gram matrix over micro-quantized vectors
+    * ([[graft.functions.Aggregators.GramMatrix]]: fixed d² longs of
+    * map-side-combinable state — the corpus is never exploded into
+    * pair terms). The matrix itself is bounded metadata (d² longs,
+    * the IVF-codebook treatment), so the iteration runs as a driver
+    * tight loop of exact integer steps: w = (G div 10⁹)·v, then
+    * v' = w div max(1, max|w| div 10⁶) — truncating 64-bit arithmetic
+    * only, so an SQL oracle unrolling the same rounds is bit-identical
+    * (both engines truncate toward zero; the div-10⁹ pre-scale keeps
+    * every product inside BIGINT). Uncentered by design (documented:
+    * the dominant axis of raw mass; center upstream if you need the
+    * covariance eigenvector). Start vector = 10⁶·1s. Returns
+    * (i, v_scaled): the direction at max-component scale 10⁶, sign
+    * fixed by the iteration itself.
+    */
+  def topPrincipalDirection(embs: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = embs.sparkSession
+    val gram = udaf(new graft.functions.Aggregators.GramMatrix(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val g = embs
+      .select(graft.functions.Expressions.quantize_micro(col(vecCol)).as("vq"))
+      .agg(gram(col("vq")).as("g"))
+      .head().getSeq[Long](0).toArray
+    val gs = g.map(_ / 1000000000L)
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += gs(i * dim + j) * v(j); j += 1 }
+        s
+      }
+      val mx = w.map(math.abs).max
+      val tau = math.max(1L, mx / 1000000L)
+      v = w.map(_ / tau)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("i", "v_scaled")
+  }
+
   /** Sign-bit binary quantization code of an embedding: ceil(dim/32)
     * packed 32-bit words (bit = 1 iff the component is >= 0), via the
     * codegen'd [[graft.functions.Expressions.SignBitsPacked]]. 1 bit

@@ -109,6 +109,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall below 0.8 on clustered corpus")
   }
 
+  test("GramMatrix: hand-computed 2x2; partitioning-invariant") {
+    import graft.functions.Aggregators.GramMatrix
+    import graft.functions.Expressions.quantize_micro
+    val gram = udaf(new GramMatrix(2),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    def g(parts: Int): Seq[Long] = df.repartition(parts)
+      .select(quantize_micro(col("embedding")).as("vq"))
+      .agg(gram(col("vq"))).head().getSeq[Long](0)
+    // [1,2]x[1,2] + [3,4]x[3,4] in micro units: 1e13, 1.4e13, 1.4e13, 2e13
+    assert(g(1) == Seq(10000000000000L, 14000000000000L,
+      14000000000000L, 20000000000000L))
+    assert(g(1) == g(7), "integer outer-product sums are order-free")
+  }
+
+  test("topPrincipalDirection finds a planted dominant axis; deterministic") {
+    val rnd = new scala.util.Random(11)
+    // mass concentrated on dim 5, small noise elsewhere
+    val embs = (0 until 300).map { i =>
+      val v = Array.fill(16)(rnd.nextFloat() * 0.1f - 0.05f)
+      v(5) = if (i % 2 == 0) 1f else -1f // strong ± axis
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.topPrincipalDirection(embs, "vec_id", "embedding",
+        dim = 16, iterations = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(out.length == 16)
+    val dom = out.zipWithIndex.maxBy { case (c, _) => math.abs(c) }._2
+    assert(dom == 5, s"dominant component should be dim 5, got $dom")
+    // tau = mx div 1e6 truncates, so the max component lands at 1e6
+    // plus a sub-0.1% truncation excess
+    assert(math.abs(out(5)) >= 1000000L && math.abs(out(5)) <= 1001000L,
+      s"direction max-normalizes to ~1e6, got ${out(5)}")
+    val again = Similarity.topPrincipalDirection(embs, "vec_id", "embedding", 16, 4)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("LSH top-k: same-bucket duplicate is found; recall <= brute force") {
     val corpus = (0 until 100).map { i =>
       val v = Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)
