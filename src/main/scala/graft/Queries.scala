@@ -1703,6 +1703,38 @@ object Queries {
 
   // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
   // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // CUSUM drift alarms: Page's sequential max(0, S+d) recursion
+  // rewritten as the exact prefix-sum / running-min window identity —
+  // pure BIGINT window arithmetic over micro-quantized values, so the
+  // alarm set is engine-exact (the pipeline-monitoring twin of the MAD
+  // outlier query: sustained shift, not point outliers).
+  private val cusumDriftQ = Q(
+    "cusum_drift",
+    (s, d) => ops.DataQuality.cusumAlarms(events(s, d), "event_type", "ts",
+      "event_id", "value", slackMicro = 20000000L, thresholdMicro = 200000000L),
+    Some("""WITH q AS (
+              SELECT event_type, event_id, ts,
+                CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS xq
+              FROM events),
+            m AS (
+              SELECT event_type, CAST(SUM(xq) AS BIGINT) // COUNT(*) AS k
+              FROM q GROUP BY 1),
+            d AS (
+              SELECT q.event_type, event_id, ts, xq,
+                xq - m.k - 20000000 AS dd
+              FROM q JOIN m USING (event_type)),
+            p AS (
+              SELECT *, CAST(SUM(dd) OVER (PARTITION BY event_type
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+              FROM d),
+            s AS (
+              SELECT *, pp - least(0, CAST(MIN(pp) OVER (PARTITION BY event_type
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT))
+                AS cusum_scaled
+              FROM p)
+            SELECT event_type, event_id, xq, cusum_scaled
+            FROM s WHERE cusum_scaled > 200000000"""))
+
   // DLT priority sampling: exact-k weighted sample per source with the
   // Horvitz-Thompson threshold estimator, every step truncating BIGINT
   // arithmetic over a content-derived uniform — the oracle replays
@@ -6112,7 +6144,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, intervalCoverageQ, rollingDistinctQ,
+    robustOutliersMadQ, cusumDriftQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)

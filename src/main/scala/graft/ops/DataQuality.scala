@@ -69,4 +69,41 @@ object DataQuality {
     report.withColumn("all_passed",
       constraints.map(c => col(s"`violations_${c._1}`") === 0L).reduce(_ && _))
   }
+
+  /** One-sided CUSUM drift alarms per key (Page 1954): detect a
+    * sustained upward shift of `valueCol` against the key's own mean.
+    * The sequential recursion S_t = max(0, S_{t-1} + (x_t - k - slack))
+    * is rewritten as the EXACT window identity
+    * S_t = P_t - min(0, min_{j<=t} P_j) over the prefix sums P of the
+    * deviations — two running windows instead of an unexpressible
+    * per-row recursion, so the whole detector is ordinary ordered
+    * window arithmetic any engine replays identically. Values are
+    * micro-quantized, the reference k is the key's truncating integer
+    * mean, and every step stays BIGINT — engine-exact alarms.
+    *
+    * Scale shape: one aggregation for the per-key means (broadcast
+    * back), one window shuffle keyed by `keyCol` carrying (id, ts, xq)
+    * — payload never enters the sort; per-key order is ts with id as
+    * the deterministic tie-break. Emits only alarm rows
+    * (cusum > thresholdMicro): the monitoring artifact, not the trace.
+    */
+  def cusumAlarms(df: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String,
+                  slackMicro: Long, thresholdMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.select(col(keyCol), col(idCol), col(tsCol),
+      floor(col(valueCol).cast("double") * 1000000d + 0.5d).cast("long").as("xq"))
+    val refs = q.groupBy(col(keyCol))
+      .agg(expr("CAST(sum(xq) AS BIGINT) div count(*)").as("__k"))
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(broadcast(refs), keyCol)
+      .withColumn("__d", col("xq") - col("__k") - lit(slackMicro))
+      .withColumn("__p", sum(col("__d")).over(ordered))
+      .withColumn("cusum_scaled",
+        col("__p") - least(lit(0L), min(col("__p")).over(ordered)))
+      .filter(col("cusum_scaled") > thresholdMicro)
+      .select(col(keyCol), col(idCol), col("xq"), col("cusum_scaled"))
+  }
 }

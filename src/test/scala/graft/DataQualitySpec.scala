@@ -68,4 +68,36 @@ class DataQualitySpec extends SparkTestBase {
     assert("LocalTableScan|Scan".r.findAllIn(pplan).size <= 2,
       s"profile must read its input once:\n$pplan")
   }
+
+  test("cusumAlarms: window identity equals Page's sequential recursion") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(5)
+    // two keys; key "b" gets a planted sustained shift in its tail
+    val rows = (0 until 120).flatMap { i =>
+      val ts = new Timestamp(1700000000000L + i * 60000L)
+      Seq(("a", i.toLong, ts, 10.0 + rnd.nextDouble()),
+          ("b", 1000L + i, ts,
+            if (i >= 80) 25.0 + rnd.nextDouble() else 10.0 + rnd.nextDouble()))
+    }.toDF("k", "id", "ts", "v")
+    val slack = 2000000L
+    val h = 30000000L
+    val got = DataQuality.cusumAlarms(rows, "k", "ts", "id", "v", slack, h)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+
+    // literal recursion, per key in (ts, id) order
+    val data = rows.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getTimestamp(2), math.floor(r.getDouble(3) * 1e6 + 0.5).toLong))
+    val expected = data.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      val xs = rs.sortBy(r => (r._3.getTime, r._2))
+      val mean = xs.map(_._4).sum / xs.length
+      var s = 0L
+      xs.toSeq.flatMap { r =>
+        s = math.max(0L, s + (r._4 - mean - slack))
+        if (s > h) Some((k, r._2) -> s) else None
+      }
+    }.toMap
+    assert(got == expected)
+    assert(got.keys.forall(_._1 == "b"), "only the shifted key may alarm")
+    assert(got.nonEmpty, "the planted shift must trigger")
+  }
 }
