@@ -4630,6 +4630,52 @@ object Queries {
               CAST((n_trans * 1000) // n_from AS BIGINT) AS p_milli
             FROM tr JOIN ctx USING (from_type)"""))
 
+  // resource-allocation link prediction on the same circulant graph:
+  // the log-free Adamic-Adar (sum of 1/deg over shared neighbors) in
+  // exact nano units — hub-discounted scores CN/Jaccard cannot express
+  private val linkPredRaQ = Q(
+    "link_pred_ra",
+    (s, d) => {
+      val p = part(s, d)
+      val nTot = p.agg(count(lit(1)).as("n_tot"))
+      val base = p.select((col("p_partkey") % 2000).as("n"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_nodes", least(col("n_tot"), lit(2000L)))
+      val edges = base.select(col("n").as("src"),
+          ((col("n") + 1) % col("n_nodes")).as("dst"))
+        .union(base.select(col("n").as("src"),
+          ((col("n") + 2) % col("n_nodes")).as("dst")))
+        .union(base.select(col("n").as("src"),
+          ((col("n") * 7 + 3) % col("n_nodes")).as("dst")))
+      Graph.resourceAllocation(edges, "src", "dst", minCommon = 2L)
+    },
+    Some("""WITH nt AS (
+              SELECT least(count(*), 2000) AS n_nodes FROM part),
+            base AS (
+              SELECT p_partkey % 2000 AS n, n_nodes FROM part CROSS JOIN nt),
+            raw AS (
+              SELECT n AS src, (n + 1) % n_nodes AS dst FROM base
+              UNION ALL SELECT n, (n + 2) % n_nodes FROM base
+              UNION ALL SELECT n, (n * 7 + 3) % n_nodes FROM base),
+            canon AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst),
+            adj AS (
+              SELECT u AS a, v AS b FROM canon
+              UNION ALL SELECT v, u FROM canon),
+            deg AS (SELECT a, count(*) AS d FROM adj GROUP BY 1),
+            pairs AS (
+              SELECT e1.b AS v1, e2.b AS v2, count(*) AS n_common,
+                CAST(SUM(1000000000 // deg.d) AS BIGINT) AS ra_nano
+              FROM adj e1
+              JOIN deg ON deg.a = e1.a
+              JOIN adj e2 ON e1.a = e2.a AND e1.b < e2.b
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT v1, v2, n_common, ra_nano
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM canon c
+                              WHERE c.u = p.v1 AND c.v = p.v2)"""))
+
   // common-neighbor link prediction over the same circulant graph as
   // triangle_count: non-adjacent pairs sharing >= 2 neighbors, scored
   // by exact milli-Jaccard of their neighborhoods
@@ -6124,7 +6170,7 @@ object Queries {
     setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
-    commonNeighborsQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
+    commonNeighborsQ, linkPredRaQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain, ivmJoinMaintain,
     textNfcNormalize,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,

@@ -1008,6 +1008,47 @@ object Graph {
       .select("v1", "v2", "n_common", "deg1", "deg2", "jaccard_milli")
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for
+    * every non-adjacent canonical pair, RA = Σ over shared neighbors z
+    * of 1/deg(z) — the Adamic-Adar family's log-free member, so the
+    * score integerizes exactly as Σ (10⁹ div deg z) in nano units and
+    * every engine agrees bit-for-bit (log() is banned by the oracle-
+    * parity rules; RA beats AA empirically on dense graphs anyway).
+    * Hub neighbors are discounted the most: sharing a 10⁴-degree hub
+    * contributes 10⁵ nanos while sharing a degree-2 neighbor
+    * contributes 5·10⁸ — the signal CN/Jaccard miss.
+    *
+    * Same wedge shape (and Σ deg² cost note) as [[commonNeighbors]];
+    * the one structural difference is that center degrees join onto
+    * the ADJACENCY before the wedge self-join — edge-scale, so the
+    * much larger wedge stream never needs a join, only a map-side-
+    * combinable sum.
+    */
+  def resourceAllocation(edges: DataFrame, srcCol: String, dstCol: String,
+                         minCommon: Long = 2L): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .union(canon.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    // degree rides the left adjacency into the wedge join (edge-scale)
+    val adjd = adj.join(deg, "a")
+    val pairs = adjd.alias("e1").join(adj.alias("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("v1"), col("e2.b").as("v2"),
+        expr("1000000000L div d").as("__ra"))
+      .groupBy(col("v1"), col("v2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__ra")).as("ra_nano"))
+      .filter(col("n_common") >= minCommon)
+    pairs
+      .join(canon.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"), "left_anti")
+      .select("v1", "v2", "n_common", "ra_nano")
+  }
+
   /** Bounded synchronous label propagation (Raghavan et al. 2007):
     * every vertex starts as its own label; each round it adopts the
     * MODE label among its neighbors, ties to the smallest label —

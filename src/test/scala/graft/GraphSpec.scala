@@ -143,6 +143,26 @@ class GraphSpec extends SparkTestBase {
     assert(z == n.as[Long].collect().map(_ -> ((0L, 0L))).toMap)
   }
 
+  test("resourceAllocation: hand-computed hub discount, adjacency excluded") {
+    // star 1-{2,3,4} plus 2-5, 3-5; degrees 1:3, 2:2, 3:2, 4:1, 5:2
+    // pair (2,3): via center 1 (1e9 div 3) + center 5 (1e9 div 2)
+    // pair (1,5): via centers 2 and 3 (5e8 each)
+    // pairs (2,4),(3,4): single wedge -> cut by minCommon=2
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.resourceAllocation(e, "src", "dst", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((2L, 3L, 2L, 833333333L), (1L, 5L, 2L, 1000000000L)))
+
+    // an adjacent pair sharing neighbors must NOT be predicted: close
+    // the 2-3 edge and the triangle corners disappear from the output
+    val e2 = e.union(Seq((2L, 3L)).toDF("src", "dst"))
+    val out2 = Graph.resourceAllocation(e2, "src", "dst", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out2.contains((2L, 3L)))
+  }
+
   test("K3: upsert converges on re-run (idempotent dup-tolerant sink)") {
     val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
     val once = Graph.upsertNodes(batch, None, "id")
