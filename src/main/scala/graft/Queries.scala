@@ -1663,6 +1663,47 @@ object Queries {
         SELECT node AS doc_id, rank_scaled FROM r$iterations"""
   }
 
+  // TextRank keywords: adjacent-token cooccurrence edges + the integer
+  // PageRank rounds, top 20 by (rank, word). The oracle rebuilds the
+  // token graph with the shared split-regex tokenization and unrolls
+  // the identical rounds over it.
+  private val textrankKeywordsQ = Q(
+    "textrank_keywords",
+    (s, d) => ops.TextAnalysis.textrankKeywords(documents(s, d), "doc_id",
+      "text", iterations = 3, topK = 20),
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (
+             SELECT n.node,
+               CAST(150000000 AS BIGINT) +
+               CAST((85 * COALESCE(SUM(r.rank_scaled // ej.outdeg), 0)) // 100
+                 AS BIGINT) AS rank_scaled
+             FROM nodes n
+             LEFT JOIN ej ON ej.dst = n.node
+             LEFT JOIN r${i - 1} r ON r.node = ej.src
+             GROUP BY n.node)"""
+      }.mkString(",\n")
+      s"""WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+            FROM documents),
+          pos AS (
+            SELECT doc_id, i AS pos, ts[i] AS w, ts[i + 1] AS w2
+            FROM tok, unnest(range(1, len(ts) + 1)) AS t(i)),
+          canon AS (
+            SELECT DISTINCT least(w, w2) AS u, greatest(w, w2) AS v
+            FROM pos WHERE w2 IS NOT NULL AND w <> w2),
+          e AS (SELECT u AS src, v AS dst FROM canon
+                UNION ALL SELECT v, u FROM canon),
+          nodes AS (SELECT DISTINCT w AS node FROM pos),
+          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          ej AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+          r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_scaled
+                 FROM nodes),
+          $rounds
+          SELECT node AS word, rank_scaled FROM r3
+          ORDER BY rank_scaled DESC, node LIMIT 20"""
+    })
+
   // 20-bit md5 content bucket in DuckDB SQL: the 5-nibble prefix as an
   // integer, matching Expressions.md5_bits(text, 5) — shared by the
   // weighted-sampling oracles.
@@ -6154,7 +6195,7 @@ object Queries {
     incrBloomDedup, incrSessionStream, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
-    pagerankScaled, personalizedPagerank, hitsScores,
+    pagerankScaled, personalizedPagerank, hitsScores, textrankKeywordsQ,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupCrossSource,
     dedupJaccard, dedupMinhash,

@@ -714,4 +714,42 @@ object TextAnalysis {
       .withColumn("p_milli", expr("(n_12 * 1000) div n_1ctx"))
       .select("w1", "w2", "n_12", "n_1ctx", "p_milli")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) as a
+    * composition of engine primitives: adjacent-token cooccurrence
+    * edges (window 2, canonicalized, distinct, undirected) feed
+    * [[graft.operators.Graph.pageRankScaled]]'s integer rounds, and
+    * the top `topK` words by (rank_scaled desc, word) come back —
+    * corpus-level salient vocabulary with zero training state. Every
+    * step is already engine-exact (token split, distinct edge set,
+    * integer PageRank, deterministic tie-break), so the composite
+    * oracles end to end.
+    *
+    * Scale shape: the token stream shuffles once for the per-doc
+    * adjacency window (carrying (doc, pos, token) — never full text),
+    * the edge set dedups map-side, and the rank rounds are edge-linear;
+    * the final top-k is an ordered LIMIT (TakeOrdered), not a global
+    * sort.
+    */
+  def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       iterations: Int = 3, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+    val canon = pairs
+      .select(least(col("w"), col("w2")).as("u"),
+        greatest(col("w"), col("w2")).as("v"))
+      .distinct()
+    val edges = canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(canon.select(col("v").as("src"), col("u").as("dst")))
+    val nodes = toks.select(col("w").as("node")).distinct()
+    graft.operators.Graph.pageRankScaled(edges, nodes, iterations)
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("word"), col("rank_scaled"))
+  }
 }

@@ -152,4 +152,23 @@ class GraphTextSpec extends SparkTestBase {
       (h0, 2L, 5.0, 9.0),
       (h0 + 900, 1L, 9.0, 9.0)))
   }
+
+  test("textrankKeywords: the hub token ranks first; deterministic") {
+    // "core" is adjacent to four distinct words; every other word
+    // touches only "core" -> highest degree, highest rank
+    val docs = Seq(
+      (1L, "core alpha"), (2L, "core beta"),
+      (3L, "core gamma"), (4L, "core delta")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .textrankKeywords(docs, "doc_id", "text", iterations = 3, topK = 3)
+      .as[(String, Long)].collect()
+    assert(out.head._1 == "core", s"hub word must rank first, got ${out.toSeq}")
+    assert(out.length == 3)
+    // spokes tie exactly and break alphabetically
+    assert(out(1)._1 == "alpha" && out(2)._1 == "beta")
+    assert(out(1)._2 == out(2)._2)
+    val again = graft.ops.TextAnalysis
+      .textrankKeywords(docs, "doc_id", "text", 3, 3).as[(String, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }
