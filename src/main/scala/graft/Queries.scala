@@ -1744,6 +1744,29 @@ object Queries {
 
   // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
   // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // per-type OLS drift slope: closed-form regression over (minutes
+  // since first event, centi value), every moment sum and the nano
+  // slope in truncating BIGINT — the rate companion to cusum_drift
+  private val trendOlsQ = Q(
+    "trend_ols",
+    (s, d) => ops.TimeSeries.olsTrend(events(s, d), "event_type", "ts", "value"),
+    Some("""WITH b AS (
+              SELECT event_type,
+                (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type))
+                  // 60000000 AS x,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM b GROUP BY 1)
+            SELECT event_type, n, sx, sy, sxx, sxy,
+              ((n * sxy - sx * sy) * 1000)
+                // greatest(1, (n * sxx - sx * sx) // 1000) AS slope_micro
+            FROM s"""))
+
   // CUSUM drift alarms: Page's sequential max(0, S+d) recursion
   // rewritten as the exact prefix-sum / running-min window identity —
   // pure BIGINT window arithmetic over micro-quantized values, so the
@@ -6231,7 +6254,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, cusumDriftQ, intervalCoverageQ, rollingDistinctQ,
+    robustOutliersMadQ, cusumDriftQ, trendOlsQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)

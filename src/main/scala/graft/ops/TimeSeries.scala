@@ -256,4 +256,45 @@ object TimeSeries {
         max(col("abs_err")).as("max_abs_err"),
         sum(col("actual")).as("total_actual"))
   }
+
+  /** Per-key OLS trend slope in exact integer arithmetic: the
+    * closed-form slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over
+    * x = whole minutes since the key's first event and y = the value
+    * in centi units, emitted as slope_micro =
+    * (num·1000) div max(1, den div 1000) — truncating BIGINT end to
+    * end, so the per-key drift rate hash-matches any engine (the
+    * regression companion to the MAD/CUSUM monitors: direction and
+    * rate, not just alarm). The micro scale is exact once the x
+    * variance mass den exceeds 10³ (anything beyond ~minutes of
+    * spread); below that the truncated prescale dominates — a
+    * degenerate-key artifact, documented not hidden. The moment sums
+    * ride along for audit and for computing intercepts/R² downstream
+    * without a second scan.
+    *
+    * One aggregation pass after a per-key min(ts) window — both hash
+    * by `keyCol`; nothing wider than (key, x, y) shuffles. Overflow
+    * bound (documented, the bm25 convention): n·Σxy and n·Σx² must
+    * stay under 2⁶³ — with minutes-scale x and centi-scale y that
+    * holds through ~10⁶ rows x ~10⁵ minutes per key; beyond that,
+    * coarsen x to hours upstream. Degenerate keys (all events in one
+    * minute: den = 0) emit slope 0, not a division error.
+    */
+  def olsTrend(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol))
+    val b = events.select(col(keyCol),
+        unix_micros(col(tsCol)).as("__us"),
+        floor(col(valueCol).cast("double") * 100d + 0.5d).cast("long").as("y"))
+      .withColumn("__t0", min(col("__us")).over(wk))
+      .withColumn("x", expr("(__us - __t0) div 60000000"))
+    b.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope_micro",
+        expr("((n * sxy - sx * sy) * 1000) div greatest(1L, (n * sxx - sx * sx) div 1000)"))
+      .select(keyCol, "n", "sx", "sy", "sxx", "sxy", "slope_micro")
+  }
 }

@@ -202,6 +202,33 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == Set(("k", 3L, 80L, 30L, 300L)))
   }
 
+  test("olsTrend: linear series recovers the slope; flat and constant-x keys are 0") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    val rows =
+      // y = 10 + 0.5 * minute -> 50 centi/min -> ~5e7 micro
+      (0 until 100).map(i => ("up", new Timestamp(t0 + i * 60000L), 10.0 + 0.5 * i)) ++
+      // constant value -> slope 0 exactly (num = 0)
+      (0 until 50).map(i => ("flat", new Timestamp(t0 + i * 60000L), 7.25)) ++
+      // all events in the same minute -> den = 0 -> guarded slope 0
+      (0 until 10).map(i => ("burst", new Timestamp(t0 + i * 100L), 1.0 + i))
+    val out = graft.ops.TimeSeries
+      .olsTrend(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(math.abs(out("up") - 50000000L) < 100000L,
+      s"slope_micro ~ 5e7, got ${out("up")}")
+    assert(out("flat") == 0L)
+    // burst: x identical (0) for all rows -> sxy = sx = 0 -> num = 0
+    assert(out("burst") == 0L)
+
+    // decreasing series yields the mirrored negative slope
+    val down = (0 until 100).map(i =>
+      ("d", new Timestamp(t0 + i * 60000L), 60.0 - 0.5 * i)).toDF("k", "ts", "v")
+    val sDown = graft.ops.TimeSeries.olsTrend(down, "k", "ts", "v")
+      .head().getLong(6)
+    assert(math.abs(sDown + 50000000L) < 100000L, s"got $sDown")
+  }
+
   private def toTsDay(d: Long) = new java.sql.Timestamp(d * 86400000L)
 }
 
