@@ -2107,6 +2107,47 @@ object Queries {
   // maxDf=10 is the stop-shingle prune (df<=10 keeps every shingle at
   // sf0.01 where max df is 7, and bounds the sf0.1 pair fan-out ~3x);
   // the oracle mirrors it with the same windowed df filter
+  // directed containment join: the asymmetric twin of the Jaccard op —
+  // short-doc-swallowed-by-long-doc contamination that union-normalized
+  // scores structurally miss; integer threshold, milli score
+  private val containmentJoinQ = Q(
+    "setsim_containment_join",
+    (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text", 3,
+      thresholdPermille = 300, maxDf = 10),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              UNION
+              SELECT doc_id,
+                array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS shingle
+              FROM documents
+              WHERE len(string_split_regex(lower(trim(text)), '\s+')) < 3),
+            shf AS (SELECT doc_id, shingle,
+                      count(*) OVER (PARTITION BY shingle) AS df FROM sh0),
+            sh AS (SELECT doc_id, shingle FROM shf WHERE df <= 10),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            directed AS (
+              SELECT id_a AS id_contained, id_b AS id_container, n_inter FROM inter
+              UNION ALL
+              SELECT id_b, id_a, n_inter FROM inter)
+            SELECT d.id_contained, d.id_container, d.n_inter,
+              sa.n_sh AS n_contained, sb.n_sh AS n_container,
+              (d.n_inter * 1000) // sa.n_sh AS containment_milli
+            FROM directed d
+            JOIN sizes sa ON sa.doc_id = d.id_contained
+            JOIN sizes sb ON sb.doc_id = d.id_container
+            WHERE d.n_inter * 1000 >= 300 * sa.n_sh"""))
+
   private val dedupJaccard = Q(
     "dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.1,
@@ -6231,7 +6272,7 @@ object Queries {
     textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,
     bm25Topk, invertedIndexQ, ccnetPplBucket, urlBlocklist, cdcApply,
-    setsimPrefixJoin, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
+    setsimPrefixJoin, containmentJoinQ, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, linkPredRaQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,

@@ -121,6 +121,57 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
   }
 
+  /** Directed containment join over word shingles: emit (contained,
+    * container) pairs where C(A→B) = |A∩B| / |A| clears the permille
+    * threshold — the ASYMMETRIC complement of [[ngramJaccardPairs]].
+    * Jaccard misses exactly the case contamination hunts for: a short
+    * document swallowed whole by a long one scores near-zero Jaccard
+    * (union is huge) but containment 1.0. The threshold test is pure
+    * integer (`n_inter·1000 ≥ t·|A|`) and the score truncating milli
+    * units, so the pair set is engine-exact.
+    *
+    * Same inverted-index shape and df-cap skew guard as the Jaccard
+    * op: intersections are computed once per CANONICAL pair and then
+    * emitted in both orientations, so the asymmetric join costs the
+    * same shuffle as the symmetric one.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdPermille: Long,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    require(thresholdPermille >= 0 && thresholdPermille <= 1000,
+      "threshold is a permille in [0, 1000]")
+    val all = shingles(docs, idCol, textCol, n)
+    val pruned =
+      if (maxDf == Int.MaxValue) all
+      else {
+        val stop = all.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select(col("shingle"))
+        all.join(stop, Seq("shingle"), "left_anti")
+      }
+    val sh = pruned.cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val directed = inter
+      .select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+        col("n_inter"))
+      .unionByName(inter.select(col("id_b").as("id_contained"),
+        col("id_a").as("id_container"), col("n_inter")))
+    directed
+      .join(sizes.select(col(idCol).as("id_contained"), col("n_sh").as("n_contained")),
+        "id_contained")
+      .join(sizes.select(col(idCol).as("id_container"), col("n_sh").as("n_container")),
+        "id_container")
+      .filter(col("n_inter") * 1000 >= lit(thresholdPermille) * col("n_contained"))
+      .withColumn("containment_milli", expr("(n_inter * 1000) div n_contained"))
+      .select("id_contained", "id_container", "n_inter", "n_contained",
+        "n_container", "containment_milli")
+  }
+
   /** MinHash signature: k permutations approximated by k seeded hashes;
     * component i = min over shingles of xxhash64(shingle, seed=i). One
     * tight-loop pass per row (custom expression), no shuffle.

@@ -388,4 +388,28 @@ class DedupSpec extends SparkTestBase {
         (r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_shared_spans"))).toMap
     assert(out == Map(("a", "b") -> (1L, 1L)), s"got $out")
   }
+
+  test("containmentPairs: swallowed short doc scores 1000 one way, not the other") {
+    // doc 1 is a verbatim snippet of doc 2; doc 3 is unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words alpha beta gamma delta epsilon and a very long tail " +
+        "of unrelated filler tokens keeps the union large"),
+      (3L, "completely different content entirely"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 3,
+        thresholdPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // all 3 shingles of doc 1 appear in doc 2 -> containment 1.0
+    assert(out.get((1L, 2L)).contains(1000L), s"got $out")
+    // the reverse direction dilutes over doc 2's many shingles
+    assert(!out.contains((2L, 1L)))
+    assert(out.keys.forall(p => !p.productIterator.contains(3L)))
+
+    // the symmetric Jaccard op misses the same pair at the same bar:
+    // 3 shared / ~17 union is far below 0.8
+    val jac = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty, "union-normalized score cannot see the swallow")
+  }
 }
