@@ -458,9 +458,22 @@ object Graph {
                  iterations: Int = 3,
                  scale: Long = 1000000L,
                  workDir: Option[String] = None,
-                 checkpointInterval: Int = 10): DataFrame = {
+                 checkpointInterval: Int = 10,
+                 driverRows: Int = 100000): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val spark = edges.sparkSession
+    // adaptive small-graph path (the pageRankScaled treatment): capped
+    // probes decide in two early-terminating jobs; under the bound the
+    // rounds run as a driver tight loop — bit-identical to the
+    // distributed loop because every step is order-independent integer
+    // arithmetic (equality pinned in GraphSpec)
+    val eProbe = edges.select(col("src"), col("dst")).limit(driverRows + 1).collect()
+    if (eProbe.length <= driverRows) {
+      val nProbe = nodes.select(col("node")).limit(driverRows + 1).collect()
+      if (nProbe.length <= driverRows)
+        return driverHits(spark, nodes.schema("node"), eProbe, nProbe,
+          iterations, scale)
+    }
     val store = new RoundStore(spark, workDir)
     val n = nodes.select(col("node"))
     // node-restricted edge table, materialized once; every half-round
@@ -507,6 +520,60 @@ object Graph {
       "hits")
     store.cleanupExcept("hits")
     out
+  }
+
+  /** Driver twin of [[hitsScaled]]'s rounds: node-restricted edges,
+    * per-half-round sum + integer max-normalization, the same
+    * truncating steps in the same structure — exact equality with the
+    * distributed loop is an arithmetic fact (no step depends on
+    * order), pinned in GraphSpec.
+    */
+  private def driverHits(spark: SparkSession,
+                         nodeField: org.apache.spark.sql.types.StructField,
+                         eRows: Array[org.apache.spark.sql.Row],
+                         nRows: Array[org.apache.spark.sql.Row],
+                         iterations: Int, scale: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val nodeSet = new java.util.HashSet[Any]()
+    nRows.foreach(r => nodeSet.add(r.get(0)))
+    val e = eRows.filter(r => nodeSet.contains(r.get(0)) && nodeSet.contains(r.get(1)))
+    def maxNorm(m: java.util.HashMap[Any, Long]): java.util.HashMap[Any, Long] = {
+      var mx = 0L
+      nRows.foreach { r =>
+        val v = m.getOrDefault(r.get(0), 0L)
+        if (v > mx) mx = v
+      }
+      val out = new java.util.HashMap[Any, Long]()
+      nRows.foreach { r =>
+        val v = m.getOrDefault(r.get(0), 0L)
+        out.put(r.get(0), if (mx > 0) v * scale / mx else 0L)
+      }
+      out
+    }
+    var hubs = new java.util.HashMap[Any, Long]()
+    nRows.foreach(r => hubs.put(r.get(0), scale))
+    var auths = new java.util.HashMap[Any, Long]()
+    for (_ <- 1 to iterations) {
+      val authSum = new java.util.HashMap[Any, Long]()
+      e.foreach(r =>
+        authSum.merge(r.get(1), hubs.getOrDefault(r.get(0), 0L), (a, b) => a + b))
+      auths = maxNorm(authSum)
+      val hubSum = new java.util.HashMap[Any, Long]()
+      e.foreach(r =>
+        hubSum.merge(r.get(0), auths.getOrDefault(r.get(1), 0L), (a, b) => a + b))
+      hubs = maxNorm(hubSum)
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    nRows.foreach(r => out += Row(r.get(0),
+      hubs.getOrDefault(r.get(0), 0L), auths.getOrDefault(r.get(0), 0L)))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", nodeField.dataType, nodeField.nullable),
+      StructField("hub_scaled", LongType, nullable = false),
+      StructField("auth_scaled", LongType, nullable = false)))
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Driver twin of [[pageRankScaled]]'s rounds: same integer steps in

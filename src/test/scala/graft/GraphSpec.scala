@@ -141,6 +141,14 @@ class GraphSpec extends SparkTestBase {
     val z = Graph.hitsScaled(none, n, iterations = 1)
       .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
     assert(z == n.as[Long].collect().map(_ -> ((0L, 0L))).toMap)
+
+    // driver fast path == distributed rounds bit for bit, incl. edges
+    // with a non-node endpoint (dropped on both paths)
+    val messy = e.union(Seq((1L, 99L), (98L, 2L)).toDF("src", "dst"))
+    def hitsOf(driverRows: Int) =
+      Graph.hitsScaled(messy, n, iterations = 2, driverRows = driverRows)
+        .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(hitsOf(100000) == hitsOf(0))
   }
 
   test("resourceAllocation: hand-computed hub discount, adjacency excluded") {
