@@ -5715,6 +5715,59 @@ object Queries {
               AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000
             GROUP BY 1"""))
 
+  // U-shaped multi-touch attribution: forward-min window maps each
+  // touch to its next purchase, positions earn 1000 / 500-500 /
+  // 400-200s-400 permille credit, credited value in integer micros —
+  // the multi-touch complement of attribution_last_touch
+  private val positionAttributionQ = Q(
+    "attribution_position",
+    (s, d) => EventAnalytics.positionAttribution(events(s, d), "user_id",
+      "ts", "event_id", "event_type", "purchase", 7L * 86400L, "value"),
+    Some("""WITH base AS (
+              SELECT user_id, ts, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS ord
+              FROM events),
+            nx AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' THEN ord END)
+                  OVER (PARTITION BY user_id ORDER BY ord
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS next_conv
+              FROM base),
+            touches AS (
+              SELECT user_id, ts, event_type, ord, next_conv FROM nx
+              WHERE event_type <> 'purchase' AND next_conv IS NOT NULL),
+            convs AS (
+              SELECT user_id, ord AS conv_ord, ts AS conv_ts,
+                CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS conv_value_micro
+              FROM base WHERE event_type = 'purchase'),
+            joined AS (
+              SELECT t.user_id, t.event_type, t.ord, c.conv_ord,
+                c.conv_value_micro
+              FROM touches t
+              JOIN convs c ON c.user_id = t.user_id
+                AND c.conv_ord = t.next_conv
+              WHERE epoch_us(c.conv_ts) - epoch_us(t.ts) <= 604800000000),
+            pos AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY user_id, conv_ord
+                  ORDER BY ord) AS p,
+                count(*) OVER (PARTITION BY user_id, conv_ord) AS n
+              FROM joined),
+            credited AS (
+              SELECT event_type,
+                CAST(CASE WHEN n = 1 THEN 1000
+                     WHEN n = 2 THEN 500
+                     WHEN p = 1 OR p = n THEN 400
+                     ELSE 200 // (n - 2) END AS BIGINT) AS credit_permille,
+                conv_value_micro
+              FROM pos)
+            SELECT event_type AS channel, count(*) AS n_touches,
+              CAST(sum(credit_permille) AS BIGINT) AS credit_sum_permille,
+              CAST(sum((conv_value_micro * credit_permille) // 1000)
+                AS BIGINT) AS credited_value_micro
+            FROM credited GROUP BY 1"""))
+
   // sweep-line peak concurrency per event_type over half-open synthetic
   // intervals [ts, ts + (event_id%57+3) min); ends net against starts
   // at the same instant, so the peak and its first instant are exact
@@ -6294,7 +6347,7 @@ object Queries {
     hilbertValue,
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
-    activityStreaksQ, lastTouchQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
+    activityStreaksQ, lastTouchQ, positionAttributionQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
     robustOutliersMadQ, cusumDriftQ, trendOlsQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,

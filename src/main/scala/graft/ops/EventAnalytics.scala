@@ -274,4 +274,66 @@ object EventAnalytics {
         max(when(col("__rn") === expr("(__n * 500 + 999) div 1000"),
           col("delay_us"))).as("p500_delay_us"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution: every touch in
+    * the `windowSec` lookback of its user's NEXT conversion earns
+    * permille credit by journey position — 1000 for a lone touch,
+    * 500/500 for two, else 400 first / 400 last / `200 div (n−2)` per
+    * middle (truncating; the U-shape marketers actually deploy, vs
+    * [[lastTouchAttribution]]'s winner-take-all). Touches map to their
+    * conversion with a forward-min window over the user's (ts, id)
+    * order — never an inequality self-join — then one bounded
+    * equi-join picks up the conversion's timestamp and micro-value,
+    * and a (user, conversion)-keyed window assigns positions. Credited
+    * value is `(conv_value_micro · credit) div 1000`: all integer, so
+    * the channel rollup is engine-exact.
+    *
+    * Scale shape: two window passes (user-keyed, then
+    * (user, conversion)-keyed — the second partitioning refines the
+    * first) plus a user-keyed equi-join whose conversion side is
+    * conversions-only; the rollup is map-side-combinable. Payload
+    * never enters a sort: only (user, ord, type, ts, value-micro)
+    * flows.
+    */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+                          idCol: String, typeCol: String, convType: String,
+                          windowSec: Long, valueCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val base = events.select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol), col(valueCol).as("__val"))
+      .withColumn("__ord", row_number().over(wOrd))
+    val isConv = col(typeCol) === convType
+    val wNext = Window.partitionBy(col(userCol)).orderBy(col("__ord"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val touches = base
+      .withColumn("__next_conv", min(when(isConv, col("__ord"))).over(wNext))
+      .filter(!isConv && col("__next_conv").isNotNull)
+      .select(col(userCol), col(tsCol), col(typeCol), col("__ord"),
+        col("__next_conv"))
+    val convs = base.filter(isConv)
+      .select(col(userCol).as("__cu"), col("__ord").as("__conv_ord"),
+        col(tsCol).as("__conv_ts"),
+        floor(col("__val").cast("double") * 1000000d + 0.5d).cast("long")
+          .as("__conv_value_micro"))
+    val joined = touches
+      .join(convs, col(userCol) === col("__cu") &&
+        col("__next_conv") === col("__conv_ord"))
+      .drop("__cu")
+      .filter(unix_micros(col("__conv_ts")) - unix_micros(col(tsCol)) <=
+        windowSec * 1000000L)
+    val wConv = Window.partitionBy(col(userCol), col("__conv_ord"))
+    val credited = joined
+      .withColumn("__pos", row_number().over(wConv.orderBy(col("__ord"))))
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("credit_permille",
+        when(col("__n") === 1, 1000L)
+          .when(col("__n") === 2, 500L)
+          .when(col("__pos") === 1 || col("__pos") === col("__n"), 400L)
+          .otherwise(expr("200L div (__n - 2)")))
+    credited.groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_permille")).as("credit_sum_permille"),
+        sum(expr("(__conv_value_micro * credit_permille) div 1000"))
+          .as("credited_value_micro"))
+  }
 }

@@ -204,5 +204,35 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out == Set((0L, 5L, 0L), (2L, 1L, 1200000000L),
       (3L, 1L, 2100000000L)))
   }
+
+  test("positionAttribution: U-credit by hand; windows and journeys split correctly") {
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val rows = Seq(
+      // user 1: A,B,C then buy(10.0): 400 / 200 / 400
+      (1L, ts(0), 1L, "A", 0.0), (1L, ts(1), 2L, "B", 0.0),
+      (1L, ts(2), 3L, "C", 0.0), (1L, ts(3), 4L, "purchase", 10.0),
+      // user 1 second journey: lone D then buy(2.0): D gets 1000
+      (1L, ts(10), 5L, "D", 0.0), (1L, ts(11), 6L, "purchase", 2.0),
+      // user 2: stale touch (outside 1h window) then A,buy(4.0):
+      // stale E drops, A alone gets 1000
+      (2L, ts(0), 7L, "E", 0.0), (2L, ts(100), 8L, "A", 0.0),
+      (2L, ts(101), 9L, "purchase", 4.0),
+      // user 3: touch with no conversion at all -> no credit
+      (3L, ts(0), 10L, "B", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = EventAnalytics.positionAttribution(rows, "user_id", "ts",
+        "event_id", "event_type", "purchase", windowSec = 3600L, "value")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("A") == (2L, 1400L, 8000000L),   // 400 of 10.0 + 1000 of 4.0
+      s"got $out")
+    assert(out("B") == (1L, 200L, 2000000L))    // middle of user 1 journey 1
+    assert(out("C") == (1L, 400L, 4000000L))
+    assert(out("D") == (1L, 1000L, 2000000L))   // lone touch, full credit
+    assert(!out.contains("E"), "stale touch outside the window")
+    assert(out.keySet == Set("A", "B", "C", "D"))
+  }
 }
 
