@@ -1744,6 +1744,44 @@ object Queries {
 
   // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
   // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // rolling 24h co-movement of clicks vs purchases: zero-filled hourly
+  // grid, integer covariance/variance numerators over full frames only
+  // — sign(cov_num) is sign(correlation), no division or sqrt anywhere
+  private val rollingCovarianceQ = Q(
+    "rolling_covariance",
+    (s, d) => ops.TimeSeries.rollingCovariance(events(s, d), "ts",
+      "event_type", "click", "purchase", windowHours = 24),
+    Some("""WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h, event_type AS t,
+                count(*) AS c
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1, 2),
+            bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+            grid AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+            series AS (
+              SELECT g.h,
+                coalesce(a.c, 0) AS xa, coalesce(b.c, 0) AS xb
+              FROM grid g
+              LEFT JOIN hourly a ON a.h = g.h AND a.t = 'click'
+              LEFT JOIN hourly b ON b.h = g.h AND b.t = 'purchase'),
+            rolled AS (
+              SELECT h, xa, xb,
+                row_number() OVER (ORDER BY h) AS rn,
+                CAST(sum(xa) OVER w AS BIGINT) AS sx,
+                CAST(sum(xb) OVER w AS BIGINT) AS sy,
+                CAST(sum(xa * xa) OVER w AS BIGINT) AS sxx,
+                CAST(sum(xb * xb) OVER w AS BIGINT) AS syy,
+                CAST(sum(xa * xb) OVER w AS BIGINT) AS sxy
+              FROM series
+              WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+            SELECT h, xa, xb,
+              24 * sxy - sx * sy AS cov_num,
+              24 * sxx - sx * sx AS varx_num,
+              24 * syy - sy * sy AS vary_num
+            FROM rolled WHERE rn >= 24"""))
+
   // per-type OLS drift slope: closed-form regression over (minutes
   // since first event, centi value), every moment sum and the nano
   // slope in truncating BIGINT — the rate companion to cusum_drift
@@ -6348,7 +6386,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, positionAttributionQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, cusumDriftQ, trendOlsQ, intervalCoverageQ, rollingDistinctQ,
+    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)

@@ -257,6 +257,58 @@ object TimeSeries {
         sum(col("actual")).as("total_actual"))
   }
 
+  /** Rolling co-movement of two event-type series: hourly counts on
+    * the COMPLETE hour grid (zero-filled — absent hours are real
+    * zeros, not missing rows), then over each trailing `windowHours`
+    * frame the integer moment numerators
+    * cov_num = n·Σxy − Σx·Σy and the two variance numerators — the
+    * exact cores of covariance/correlation, division and sqrt left to
+    * the consumer (sqrt is libm-divergent; the numerators hash-match
+    * any engine). Only full frames emit, so every row summarizes
+    * exactly `windowHours` observations and sign(cov_num) IS
+    * sign(correlation) — the co-drift monitor for "do errors rise
+    * with traffic".
+    *
+    * Scale note: the series is hour-grid-sized (10 years ≈ 9·10⁴
+    * rows) — bounded metadata like the IVF codebooks — so the single
+    * ordered window is a bounded sort, not a data-scale one; the
+    * heavy lifting (per-hour counts) is one map-side-combinable
+    * aggregation of the log.
+    */
+  def rollingCovariance(events: DataFrame, tsCol: String, typeCol: String,
+                        typeA: String, typeB: String,
+                        windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 2, "windowHours must be >= 2")
+    val hourly = events.filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(date_trunc("hour", col(tsCol)).as("h"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val series = grid
+      .join(hourly.filter(col("t") === typeA)
+        .select(col("h"), col("c").as("__ca")), Seq("h"), "left")
+      .join(hourly.filter(col("t") === typeB)
+        .select(col("h"), col("c").as("__cb")), Seq("h"), "left")
+      .select(col("h"), coalesce(col("__ca"), lit(0L)).as("xa"),
+        coalesce(col("__cb"), lit(0L)).as("xb"))
+    val w = Window.orderBy(col("h")).rowsBetween(-(windowHours - 1), 0)
+    val wAll = Window.orderBy(col("h"))
+    series
+      .withColumn("__rn", row_number().over(wAll))
+      .withColumn("sx", sum(col("xa")).over(w))
+      .withColumn("sy", sum(col("xb")).over(w))
+      .withColumn("sxx", sum(col("xa") * col("xa")).over(w))
+      .withColumn("syy", sum(col("xb") * col("xb")).over(w))
+      .withColumn("sxy", sum(col("xa") * col("xb")).over(w))
+      .filter(col("__rn") >= windowHours)
+      .select(col("h"), col("xa"), col("xb"),
+        expr(s"$windowHours * sxy - sx * sy").as("cov_num"),
+        expr(s"$windowHours * sxx - sx * sx").as("varx_num"),
+        expr(s"$windowHours * syy - sy * sy").as("vary_num"))
+  }
+
   /** Per-key OLS trend slope in exact integer arithmetic: the
     * closed-form slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over
     * x = whole minutes since the key's first event and y = the value

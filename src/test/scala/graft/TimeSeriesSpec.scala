@@ -202,6 +202,42 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == Set(("k", 3L, 80L, 30L, 300L)))
   }
 
+  test("rollingCovariance: perfect co-movement, anti-movement, zero-filled gaps") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000L // on the hour? normalize via date_trunc anyway
+    def mk(hour: Int, typ: String, n: Int) =
+      (0 until n).map(i => (new Timestamp(t0 + hour * 3600000L + i), typ))
+    // hours 0..5: clicks = 1,2,3,4,5,6; purchases identical -> corr +1
+    val co = (0 until 6).flatMap(h => mk(h, "click", h + 1) ++ mk(h, "purchase", h + 1))
+    val dfCo = co.toDF("ts", "event_type")
+    val outCo = graft.ops.TimeSeries.rollingCovariance(dfCo, "ts",
+        "event_type", "click", "purchase", windowHours = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(outCo.length == 3, "6 hours, frame 4 -> 3 full frames")
+    assert(outCo.forall { case (xa, xb, cov, vx, vy) =>
+      xa == xb && cov == vx && cov == vy && cov > 0 })
+
+    // anti-phase: clicks 5,1,5,1..., purchases 1,5,1,5... -> cov < 0
+    val anti = (0 until 6).flatMap(h =>
+      mk(h, "click", if (h % 2 == 0) 5 else 1) ++
+      mk(h, "purchase", if (h % 2 == 0) 1 else 5))
+    val outAnti = graft.ops.TimeSeries.rollingCovariance(
+        anti.toDF("ts", "event_type"), "ts", "event_type",
+        "click", "purchase", 4)
+      .collect().map(_.getLong(3))
+    assert(outAnti.forall(_ < 0))
+
+    // a silent hour in the middle becomes a real (0, 0) observation
+    val gappy = (mk(0, "click", 2) ++ mk(0, "purchase", 2) ++
+      mk(2, "click", 2) ++ mk(2, "purchase", 2)).toDF("ts", "event_type")
+    val outGap = graft.ops.TimeSeries.rollingCovariance(gappy, "ts",
+        "event_type", "click", "purchase", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one full frame (hours 0,1,2): x = (2,0,2): cov_num = 3*8-4*4 = 8
+    assert(outGap.toSeq == Seq((2L, 2L, 8L)), s"got ${outGap.toSeq}")
+  }
+
   test("olsTrend: linear series recovers the slope; flat and constant-x keys are 0") {
     import java.sql.Timestamp
     val t0 = 1700000000000L
