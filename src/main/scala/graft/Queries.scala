@@ -880,6 +880,48 @@ object Queries {
               ex.n_exact
             FROM kth k JOIN ex USING (event_type)"""))
 
+  // theta-sketch set algebra: bottom-64 hash samples per side, k-th
+  // union hash as theta, retained-intersection estimator — audience
+  // overlap from 128 hashes, with the exact counts riding along
+  private val sketchKmvIntersect = Q(
+    "sketch_kmv_intersect",
+    (s, d) => ops.Sketches.kmvIntersect(events(s, d), "user_id",
+      "event_type", "click", "purchase", k = 64),
+    Some(s"""WITH md AS (
+              SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+                  AS side,
+                user_id, md5(user_id::VARCHAR) AS mh
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            hs AS (
+              SELECT DISTINCT side, ${duckHex60("mh")} AS h FROM md),
+            kept AS (
+              SELECT side, h FROM (
+                SELECT side, h, row_number() OVER (PARTITION BY side
+                  ORDER BY h) AS rn FROM hs) WHERE rn <= 64),
+            uk AS (
+              SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM kept)) WHERE rn <= 64),
+            th AS (SELECT max(h) AS theta FROM uk),
+            ib AS (
+              SELECT h FROM kept WHERE side = 'a'
+              INTERSECT SELECT h FROM kept WHERE side = 'b'),
+            rh AS (
+              SELECT count(*) AS rho FROM ib, th WHERE ib.h < th.theta),
+            ex AS (
+              SELECT CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact_both,
+                count(*) AS n_exact_union
+              FROM (SELECT user_id, count(DISTINCT side) AS ns
+                    FROM md GROUP BY 1))
+            SELECT th.theta, rh.rho,
+              CAST(rh.rho * (1152921504606846976 // th.theta) AS BIGINT)
+                AS est_inter,
+              CAST(63 * (1152921504606846976 // th.theta) AS BIGINT)
+                AS est_union,
+              ex.n_exact_both, ex.n_exact_union
+            FROM th, rh, ex"""))
+
   // the EXACT half of the sketch surface: the Welford/Chan typed
   // Aggregator is algebraically count/sum-over-count/var_samp, so it
   // oracles directly. Rounding margins sized to the accumulation error
@@ -6337,7 +6379,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
-    sketchMgTopk, sketchKmvDistinct, topkRankRewrite, topkRankAgg,
+    sketchMgTopk, sketchKmvDistinct, sketchKmvIntersect, topkRankRewrite, topkRankAgg,
     momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,

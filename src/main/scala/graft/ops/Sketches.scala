@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch set algebra — the composability layer over the engine's
+  * distinct sketches ([[graft.functions.Aggregators.KmvDistinct]],
+  * HllDistinct): bottom-k (theta) sketches support union and
+  * intersection ESTIMATES from the retained hash samples alone, which
+  * registers and CMS cells cannot do. Engine-exact like the sketches
+  * themselves: shared md5-60 hashes, truncating integer estimators.
+  */
+object Sketches {
+
+  /** Theta-sketch intersection of two key populations (the audience-
+    * overlap question answered from k hashes per side instead of two
+    * full distinct sets): per side keep the k smallest distinct
+    * md5-60 hashes of `keyCol`; θ = the k-th smallest of their union;
+    * ρ = retained hashes below θ present on BOTH sides; then
+    * est_inter = ρ · (2⁶⁰ div θ) and est_union = (k−1) · (2⁶⁰ div θ)
+    * — the standard theta estimator with the division spelled as the
+    * truncating integer op both engines reproduce verbatim. Exact
+    * distinct-both/distinct-union ride along for in-row audit.
+    *
+    * Scale shape: the log collapses to DISTINCT (side, hash) first,
+    * the per-side bottom-k is a rank window over that collapsed table
+    * (k-bounded, TopK-rewritable), and everything after operates on
+    * ≤ 2k rows — at any population size the sketch-algebra stage costs
+    * the same. Returns one row:
+    * (theta, rho, est_inter, est_union, n_exact_both, n_exact_union).
+    */
+  def kmvIntersect(events: DataFrame, keyCol: String, typeCol: String,
+                   typeA: String, typeB: String, k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val full = 1152921504606846976L // 2^60
+    val hashed = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select(when(col(typeCol) === typeA, lit("a")).otherwise(lit("b"))
+        .as("side"),
+        graft.functions.Expressions.md5_bits(col(keyCol).cast("string"), 15)
+          .as("h"),
+        col(keyCol))
+    val distinctH = hashed.select(col("side"), col("h")).distinct()
+    val wSide = Window.partitionBy(col("side")).orderBy(col("h"))
+    val kept = distinctH
+      .withColumn("__rn", row_number().over(wSide))
+      .filter(col("__rn") <= k)
+      .select(col("side"), col("h"))
+    val wU = Window.orderBy(col("h"))
+    val unionKept = kept.select(col("h")).distinct()
+      .withColumn("__rn", row_number().over(wU))
+      .filter(col("__rn") <= k)
+    val theta = unionKept.agg(max(col("h")).as("theta"))
+    val both = kept.filter(col("side") === "a").select(col("h"))
+      .intersect(kept.filter(col("side") === "b").select(col("h")))
+    val rho = both.crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("rho"))
+    val exact = hashed
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("side")).as("__ns"))
+      .agg(sum(when(col("__ns") === 2, 1L).otherwise(0L)).as("n_exact_both"),
+        count(lit(1)).as("n_exact_union"))
+    theta.crossJoin(broadcast(rho)).crossJoin(broadcast(exact))
+      .select(col("theta"), col("rho"),
+        expr(s"rho * (${full}L div theta)").as("est_inter"),
+        expr(s"${k - 1}L * (${full}L div theta)").as("est_union"),
+        col("n_exact_both"), col("n_exact_union"))
+  }
+}

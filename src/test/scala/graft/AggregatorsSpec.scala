@@ -84,6 +84,27 @@ class AggregatorsSpec extends SparkTestBase {
     assert(estimate(1) == estimate(13))
   }
 
+  test("kmvIntersect: planted overlap estimated within sketch error; exact audit cols") {
+    // A = users 0..999, B = 500..1499: |A∩B| = 500, |A∪B| = 1500
+    val rows = ((0 until 1000).map(u => (u.toLong, "click"))
+      ++ (500 until 1500).map(u => (u.toLong, "purchase")))
+      .toDF("user_id", "event_type")
+    val r = graft.ops.Sketches.kmvIntersect(rows, "user_id", "event_type",
+      "click", "purchase", k = 64).head()
+    val (estInter, estUnion) = (r.getLong(2), r.getLong(3))
+    val (nBoth, nUnion) = (r.getLong(4), r.getLong(5))
+    assert(nBoth == 500L && nUnion == 1500L, "audit columns are exact")
+    // union error ~ 1/sqrt(63) ~ 12.6%; allow ~3 sigma
+    assert(math.abs(estUnion - 1500.0) / 1500.0 < 0.4, s"union est $estUnion")
+    // intersection inherits extra variance from rho (~13 retained)
+    assert(estInter > 150 && estInter < 1200, s"inter est $estInter")
+
+    // partitioning-invariant (rank windows + integer estimator)
+    val r2 = graft.ops.Sketches.kmvIntersect(rows.repartition(13), "user_id",
+      "event_type", "click", "purchase", 64).head()
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("Count-Min: never undercounts, overcount bounded, partitioning-invariant") {
     import graft.functions.Aggregators.CountMinFreq
     val depth = 4
