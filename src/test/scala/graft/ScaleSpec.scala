@@ -335,4 +335,37 @@ class ScaleSpec extends SparkTestBase {
     assert(exchanges("attribution_last_touch") <= 2,
       "attribution_last_touch is one window plus one rollup exchange")
   }
+
+  test("session-additions keep bounded exchange counts and scan shapes") {
+    def exchanges(name: String): Int =
+      SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+        .executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+    // cusum: per-key mean agg (broadcast back) + ONE key-ordered window
+    assert(exchanges("cusum_drift") <= 3,
+      "cusum is one mean aggregate plus one ordered window")
+    // OLS: per-key min window + one moment aggregation on the same key
+    assert(exchanges("trend_ols") <= 2,
+      "olsTrend reuses the key partitioning for window and aggregate")
+    // priority sampling: ONE group window carrying (id, grp, w, q) only
+    assert(exchanges("priority_sample") <= 2,
+      "prioritySample is one rank window plus its threshold pass")
+    // U-attribution: user window -> refined (user, conv) window ->
+    // conv join on the same user key -> channel rollup
+    assert(exchanges("attribution_position") <= 5,
+      "positionAttribution must stay in the windows-plus-one-join envelope")
+    // binary ANN: corpus side never shuffles before the candidate join
+    // (probes broadcast); the two rank windows share the probe key
+    val binPlan = SparkEntry.queries("ann_binary_hamming")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(binPlan.contains("BroadcastExchange"),
+      "probe side of the Hamming prefilter must broadcast")
+    // JL projection is a narrow map: zero shuffles
+    assert(exchanges("embedding_random_projection") == 0,
+      "randomProjection must plan as a pure narrow projection")
+    // hilbert is a narrow projection exactly like zorder
+    assert(exchanges("hilbert_value") == 0,
+      "hilbertColumn must not shuffle")
+  }
 }
