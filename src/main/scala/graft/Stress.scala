@@ -81,6 +81,24 @@ object Stress {
     * across cases by logical plan — measured times must not depend on
     * which case ran first.
     */
+  /** Synthetic event log: 5 types, second-spaced timestamps, a
+    * deterministic sawtooth value — the cusum/attribution/covariance
+    * shape at any n. */
+  private def eventsAt(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+      pmod(col("id"), lit(997)).as("user_id"),
+      concat(lit("t"), pmod(col("id"), lit(5))).as("event_type"),
+      (pmod(hash(col("id")), lit(1000)).cast("double") / 10.0 + 50.0).as("value"))
+
+  /** Synthetic unit-cube embeddings, hash-deterministic per (id, dim). */
+  private def embeddingsAt(spark: SparkSession, n: Long, dim: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(1, $dim), " +
+        "p -> CAST(pmod(hash(id, p), 1000) / 500.0 - 1.0 AS FLOAT))")
+        .as("embedding"))
+
   private def time(spark: SparkSession)(df: => DataFrame): (Double, Long, String) = {
     var rows = 0L
     var plan = ""
@@ -306,10 +324,50 @@ object Stress {
           graft.ops.Dedup.ngramJaccardPairs(docsAt(spark, n), "doc_id",
             "text", 3, 0.1, maxDf = 10),
           docsAt(spark, n).withColumn("q", length(col("text"))),
-          "doc_id", "q")))
+          "doc_id", "q")),
+      ("setsim_containment_join", n =>
+        Dedup.containmentPairs(docsAt(spark, n), "doc_id", "text", 3,
+          thresholdPermille = 300, maxDf = 10)),
+      ("cusum_drift", n =>
+        graft.ops.DataQuality.cusumAlarms(eventsAt(spark, n * 12),
+          "event_type", "ts", "event_id", "value",
+          slackMicro = 20000000L, thresholdMicro = 200000000L)),
+      ("link_pred_ra", n =>
+        graft.operators.Graph.resourceAllocation(
+          circulantEdges(spark, n), "src", "dst", minCommon = 2L)),
+      // driverRows = 0 forces the DISTRIBUTED rounds — the path that
+      // actually runs at cluster scale (the driver twin is the small-
+      // graph shortcut, bit-identical but not what we stress)
+      ("hits_distributed", n =>
+        graft.operators.Graph.hitsScaled(circulantEdges(spark, n),
+          spark.range(n).select(col("id").as("node")),
+          iterations = 2, driverRows = 0)),
+      ("priority_sample", n =>
+        graft.ops.Splits.prioritySample(
+          docsAt(spark, n * 12).withColumn("w", length(col("text")).cast("long"))
+            .withColumn("grp", pmod(col("doc_id"), lit(5))),
+          "doc_id", "text", "w", "grp", k = 50)),
+      ("attribution_position", n =>
+        graft.ops.EventAnalytics.positionAttribution(eventsAt(spark, n * 12),
+          "user_id", "ts", "event_id", "event_type", "t0",
+          windowSec = 3600L, "value")),
+      ("gram_pca_direction", n =>
+        graft.ops.Similarity.topPrincipalDirection(
+          embeddingsAt(spark, n * 12, 16), "vec_id", "embedding",
+          dim = 16, iterations = 3)),
+      ("ann_binary_hamming", n =>
+        graft.ops.Similarity.binaryHammingTopK(
+          embeddingsAt(spark, n * 12, 64),
+          embeddingsAt(spark, 10, 64), "vec_id", "embedding",
+          dim = 64, k = 5, candidates = 20)))
+
+    // optional comma-separated subset (same contract as Bench/Verify)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(cases)(names => cases.filter(c => names(c._1)))
 
     var failures = 0
-    val results = cases.map { case (name, mk) =>
+    val results = selected.map { case (name, mk) =>
       val (t1, r1, _) = time(spark)(mk(baseDocs))
       val (t10, r10, plan10) = time(spark)(mk(baseDocs * 10))
       // guard against sub-noise baselines: ratios over a 50 ms floor
