@@ -1786,6 +1786,45 @@ object Queries {
 
   // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
   // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // Benford leading-digit profile: digits from exact cent integers'
+  // decimal strings (never from float formatting), truncating milli
+  // shares — the fraud/synthetic-data sanity check per event type
+  private val benfordProfileQ = Q(
+    "benford_digit_profile",
+    (s, d) => ops.DataQuality.benfordProfile(events(s, d), "event_type", "value"),
+    Some("""WITH c AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            digits AS (
+              SELECT event_type,
+                CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+              FROM c WHERE cents > 0),
+            agg AS (
+              SELECT event_type, digit, count(*) AS n
+              FROM digits GROUP BY 1, 2)
+            SELECT event_type, digit, n,
+              (n * 1000) // CAST(sum(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS milli_share
+            FROM agg"""))
+
+  // equal-frequency decile assignment by integer rank arithmetic
+  // (deliberately NOT ntile(): its remainder rule is engine lore;
+  // ((rn-1)*10) div n is three integer ops both engines replay)
+  private val decileBinQ = Q(
+    "feature_decile_bin",
+    (s, d) => ops.Features.equalFrequencyBins(
+      events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      "event_type", "value", "event_id", nBins = 10),
+    Some("""SELECT event_id, event_type, value,
+              CAST(((rn - 1) * 10) // n AS INTEGER) AS bin
+            FROM (
+              SELECT event_id, event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL)"""))
+
   // rolling 24h co-movement of clicks vs purchases: zero-filled hourly
   // grid, integer covariance/variance numerators over full frames only
   // — sign(cov_num) is sign(correlation), no division or sqrt anywhere
@@ -6428,7 +6467,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, positionAttributionQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, intervalCoverageQ, rollingDistinctQ,
+    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)

@@ -70,6 +70,35 @@ object DataQuality {
       constraints.map(c => col(s"`violations_${c._1}`") === 0L).reduce(_ && _))
   }
 
+  /** Benford leading-digit profile per key — the fraud/synthetic-data
+    * smell test: naturally-occurring amounts lead with 1 ~30% of the
+    * time; fabricated ones drift uniform. Defined EXACTLY: amounts are
+    * first integerized to cents (floor(v·100 + 0.5), the engine's
+    * standard half-up), and the digit is the first character of the
+    * integer's decimal string — integer-to-string is identical in
+    * every engine, where double-to-string formatting is not (the
+    * subtle trap this formulation avoids: faithful float printing can
+    * flip 9→1 at power-of-ten boundaries). Non-positive cents drop.
+    * Emits (key, digit, n, milli_share); the milli shares are
+    * truncating integer divisions of exact counts. One map-side-
+    * combinable aggregation; shares via a key-partitioned window over
+    * the 9-row-per-key aggregate.
+    */
+  def benfordProfile(df: DataFrame, keyCol: String,
+                     valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col(valueCol).cast("double") * 100d + 0.5d).cast("long")
+    df.select(col(keyCol), cents.as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("digit", substring(col("__c").cast("string"), 1, 1).cast("int"))
+      .groupBy(col(keyCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col(keyCol))))
+      .withColumn("milli_share", expr("(n * 1000) div __tot"))
+      .drop("__tot")
+  }
+
   /** One-sided CUSUM drift alarms per key (Page 1954): detect a
     * sustained upward shift of `valueCol` against the key's own mean.
     * The sequential recursion S_t = max(0, S_{t-1} + (x_t - k - slack))

@@ -230,6 +230,30 @@ object Features {
           .as("n_outliers"))
   }
 
+  /** Equal-frequency bin assignment per row: bin =
+    * ((rank − 1) · nBins) div n over the group's (value, tie) order —
+    * the decile/quantile-bucket feature encoder, defined by integer
+    * rank arithmetic so every row's bin is engine-exact (ntile() is
+    * NOT used: its remainder-distribution rule is engine-specific
+    * lore; this formula is three integer ops any engine reproduces).
+    * Bins are equal-count up to ±1 by construction; ties order by
+    * `tieCol` so equal values may straddle a boundary determinate-ly
+    * (document ranks, not value classes — the standard trade of
+    * rank-based binning). Nulls drop. One rank window per group
+    * carrying (id, group, value) — the [[winsorize]] shuffle shape.
+    */
+  def equalFrequencyBins(df: DataFrame, groupCol: String, valueCol: String,
+                         tieCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("bin", expr(s"((__rn - 1) * $nBins) div __n").cast("int"))
+      .drop("__rn", "__n")
+  }
+
   /** The ±1 sign of projection-matrix entry (j, i): parity of the
     * md5-derived 60-bit hash of "tag|j|i" — the same value
     * `md5_bits('tag|j|i', 15) % 2` yields in either engine's SQL, so

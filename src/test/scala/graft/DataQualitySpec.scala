@@ -69,6 +69,24 @@ class DataQualitySpec extends SparkTestBase {
       s"profile must read its input once:\n$pplan")
   }
 
+  test("benfordProfile: digits from exact cents; non-positive amounts drop") {
+    val df = Seq(
+      ("a", 10.00),   // 1000 cents -> 1
+      ("a", 0.05),    // 5 cents -> 5
+      ("a", 999.99),  // 99999 -> 9
+      ("a", 19.0),    // 1900 -> 1
+      ("a", -2.0),    // negative cents: dropped
+      ("a", 0.004),   // rounds to 0 cents: dropped
+      ("b", 0.01))    // 1 cent -> 1
+      .toDF("k", "v")
+    val out = DataQuality.benfordProfile(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("a", 1) -> (2L, 500L), ("a", 5) -> (1L, 250L), ("a", 9) -> (1L, 250L),
+      ("b", 1) -> (1L, 1000L)), s"got $out")
+  }
+
   test("cusumAlarms: window identity equals Page's sequential recursion") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(5)

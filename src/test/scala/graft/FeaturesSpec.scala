@@ -125,6 +125,23 @@ class FeaturesSpec extends SparkTestBase {
     assert(out == Set(("g", 17.5, 25.0, 40.0), ("h", 5.0, 5.0, 5.0)))
   }
 
+  test("equalFrequencyBins: exact equal counts, deterministic ties, nulls drop") {
+    val df = (1 to 20).map(i => ("g", i.toLong, (i % 7).toDouble))
+      .toDF("grp", "id", "v")
+      .union(Seq(("g", 99L, Option.empty[Double])).toDF("grp", "id", "v"))
+    val out = Features.equalFrequencyBins(df, "grp", "v", "id", nBins = 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(!out.contains(99L), "null value must drop")
+    assert(out.size == 20)
+    // 20 rows into 10 bins: exactly 2 per bin
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts == (0 until 10).map(_ -> 2).toMap, s"got $counts")
+    // ties (v repeats every 7) order by id: rerun is identical
+    val again = Features.equalFrequencyBins(df, "grp", "v", "id", 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out == again)
+  }
+
   test("randomProjection: basis vector picks one signed matrix column; deterministic") {
     // e_3 scaled: xq = 2_000_000 at dim 3, 0 elsewhere -> y_j = ±2e6
     // with the sign of matrix entry (j, 3), recomputed here from the
