@@ -2089,6 +2089,54 @@ object Queries {
     },
     Some(duckPprSql(5)))
 
+  // edge-weighted PageRank over the circulant graph with deterministic
+  // weights (src%5 + 1): flow proportional to (rank·w) div Σw — the
+  // TextRank-style weighted walk, rounds unrolled in the oracle
+  private val pagerankWeightedQ = Q(
+    "pagerank_weighted",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % nDocs).as("dst"),
+          (col("doc_id") % 5 + 1).cast("long").as("w"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % nDocs).as("dst"),
+            (col("doc_id") % 3 + 1).cast("long").as("w")))
+      Graph.pageRankWeightedScaled(edges, docs.select(col("doc_id").as("node")),
+          iterations = 5)
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+             SELECT n.node,
+               CAST(150000000 AS BIGINT) +
+               CAST((85 * COALESCE(SUM((r.rank_scaled * ej.w) // ej.sw), 0)) // 100
+                 AS BIGINT) AS rank_scaled
+             FROM nodes n
+             LEFT JOIN ej ON ej.dst = n.node
+             LEFT JOIN r${i - 1} r ON r.node = ej.src
+             GROUP BY n.node)"""
+      }.mkString(",\n")
+      s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+            nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst,
+                doc_id % 5 + 1 AS w
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn),
+                doc_id % 3 + 1
+              FROM documents),
+            sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+            ej AS (SELECT e.src, e.dst, e.w, sw.sw FROM e JOIN sw USING (src)),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_scaled
+                   FROM nodes),
+            $rounds
+          SELECT node AS doc_id, rank_scaled FROM r5"""
+    })
+
   private val pagerankScaled = Q(
     "pagerank_scaled",
     (s, d) => {
@@ -6431,7 +6479,7 @@ object Queries {
     incrBloomDedup, incrSessionStream, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
-    pagerankScaled, personalizedPagerank, hitsScores, textrankKeywordsQ,
+    pagerankScaled, pagerankWeightedQ, personalizedPagerank, hitsScores, textrankKeywordsQ,
     scoreWeightedSample, jsonExtract,
     dedupExact, dedupKeepBest, dedupSpanExact, dedupCrossSource,
     dedupJaccard, dedupMinhash,

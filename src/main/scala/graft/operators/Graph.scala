@@ -432,6 +432,103 @@ object Graph {
     out
   }
 
+  /** Edge-weighted PageRank: rank flows along each out-edge in
+    * proportion to its weight — contribution = (rank·w) div Σw(src) —
+    * instead of uniformly over out-degree, the standard weighted
+    * extension the cooccurrence/TextRank graphs actually call for
+    * (Mihalcea & Tarau 2004 use exactly this flow). Same engine-exact
+    * truncating integer arithmetic, base share, non-redistribution
+    * stance, RoundStore checkpointing, and adaptive driver path as
+    * [[pageRankScaled]] (to which this degenerates when all weights
+    * are equal... up to div-truncation granularity). Weights must be
+    * positive integers; rank·w must stay under 2⁶³ (rank mass ≤
+    * n·10⁹, so w up to ~10⁵ is safe on million-node graphs — pre-scale
+    * weights down otherwise). `edges`: (src, dst, w); returns
+    * (node, rank_scaled).
+    */
+  def pageRankWeightedScaled(edges: DataFrame, nodes: DataFrame,
+                             iterations: Int = 5,
+                             baseScaled: Long = 1000000000L,
+                             workDir: Option[String] = None,
+                             checkpointInterval: Int = 10,
+                             driverRows: Int = 100000): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = edges.sparkSession
+    val eProbe = edges.select(col("src"), col("dst"), col("w"))
+      .limit(driverRows + 1).collect()
+    if (eProbe.length <= driverRows) {
+      val nProbe = nodes.select(col("node")).limit(driverRows + 1).collect()
+      if (nProbe.length <= driverRows)
+        return driverWeightedPageRank(spark, nodes.schema("node"), eProbe,
+          nProbe, iterations, baseScaled)
+    }
+    val store = new RoundStore(spark, workDir)
+    val e = store.save(
+      edges.join(edges.groupBy(col("src")).agg(sum(col("w")).as("sw")), "src")
+        .select(col("src"), col("dst"), col("w"), col("sw")),
+      "edges")
+    val n = nodes.select(col("node"))
+    val baseShare = baseScaled * 15L / 100L
+    var ranks = n.withColumn("rank_scaled", lit(baseScaled))
+    for (i <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(rank_scaled * w) div sw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val next = n.alias("n")
+        .join(contrib.alias("c"), col("n.node") === col("c.dst"), "left")
+        .select(col("n.node").as("node"),
+          (lit(baseShare) +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("rank_scaled"))
+      ranks =
+        if (i % checkpointInterval == 0 && i < iterations)
+          store.save(next, s"ranks-$i")
+        else next
+    }
+    val out = store.save(ranks, "ranks")
+    store.cleanupExcept("ranks")
+    out
+  }
+
+  /** Driver twin of [[pageRankWeightedScaled]] — identical truncating
+    * steps, bit-equal by order-independence (pinned in GraphSpec). */
+  private def driverWeightedPageRank(spark: SparkSession,
+                                     nodeField: org.apache.spark.sql.types.StructField,
+                                     eRows: Array[org.apache.spark.sql.Row],
+                                     nRows: Array[org.apache.spark.sql.Row],
+                                     iterations: Int, baseScaled: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val sw = new java.util.HashMap[Any, Long]()
+    eRows.foreach(r => sw.merge(r.get(0), r.getLong(2), (a, b) => a + b))
+    val baseShare = baseScaled * 15L / 100L
+    var rank = new java.util.HashMap[Any, Long]()
+    nRows.foreach(r => rank.put(r.get(0), baseScaled))
+    for (_ <- 1 to iterations) {
+      val contrib = new java.util.HashMap[Any, Long]()
+      eRows.foreach { r =>
+        val src = r.get(0)
+        if (rank.containsKey(src))
+          contrib.merge(r.get(1),
+            rank.get(src) * r.getLong(2) / sw.get(src), (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Any, Long]()
+      nRows.foreach { r =>
+        val n = r.get(0)
+        next.put(n, baseShare + (85L * contrib.getOrDefault(n, 0L)) / 100L)
+      }
+      rank = next
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    nRows.foreach(r => out += Row(r.get(0), rank.get(r.get(0))))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", nodeField.dataType, nodeField.nullable),
+      StructField("rank_scaled", LongType, nullable = false)))
+    spark.createDataFrame(out.asJava, schema)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999), integer-scaled for
     * cross-engine exactness like [[pageRankScaled]]. Per round:
     * authority(v) = Σ hub(u) over in-edges (u→v), hub(u) = Σ auth(v)

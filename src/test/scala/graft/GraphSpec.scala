@@ -117,6 +117,34 @@ class GraphSpec extends SparkTestBase {
     assert(ranksOf(100000) == ranksOf(0))
   }
 
+  test("pageRankWeightedScaled: weights steer the flow; driver == distributed") {
+    // A has two out-edges: w=3 to B, w=1 to C. Round 1:
+    // B gets 15e7 + 85% of (1e9*3) div 4 = 15e7 + 637500000 = 787500000
+    // C gets 15e7 + 85% of (1e9*1) div 4 = 15e7 + 212500000 = 362500000
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val n = Seq(1L, 2L, 3L).toDF("node")
+    val r = Graph.pageRankWeightedScaled(e, n, iterations = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 150000000L, 2L -> 787500000L, 3L -> 362500000L))
+
+    // equal weights degenerate to the unweighted walk exactly when
+    // rank*w div sw has no extra truncation (w=1 everywhere: identical)
+    val eu = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val rw = Graph.pageRankWeightedScaled(eu, n, iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val ru = Graph.pageRankScaled(eu.select(col("src"), col("dst")), n,
+      iterations = 4).collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(rw == ru)
+
+    // driver fast path == distributed rounds bit for bit
+    val big = Seq((1L, 2L, 5L), (2L, 3L, 2L), (3L, 1L, 7L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    def of(driverRows: Int) =
+      Graph.pageRankWeightedScaled(big, n, iterations = 3, driverRows = driverRows)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(of(100000) == of(0))
+  }
+
   test("hitsScaled: star graph by hand, checkpoint invariance, edgeless zeros") {
     // 1 -> {2,3,4}, 5 -> 2, 6 isolated; two rounds by hand (scale 1e6):
     // r1 auth sums (2:2e6, 3:1e6, 4:1e6) -> norm (2:1e6, 3:5e5, 4:5e5);
