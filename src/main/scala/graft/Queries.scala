@@ -5882,6 +5882,38 @@ object Queries {
               AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000
             GROUP BY 1"""))
 
+  // any-order funnel: all of view/click/purchase present per user, in
+  // any order, first-occurrences spanning <= 7 days — one conditional-
+  // min aggregation, exact integer micro spans
+  private val funnelUnorderedQ = Q(
+    "funnel_unordered",
+    (s, d) => EventAnalytics.funnelUnordered(events(s, d), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), 7L * 86400L),
+    Some("""WITH per AS (
+              SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY 1),
+            flags AS (
+              SELECT *,
+                (t_view IS NOT NULL AND t_click IS NOT NULL
+                  AND t_purchase IS NOT NULL) AS all_present,
+                epoch_us(greatest(t_view, t_click, t_purchase)) -
+                  epoch_us(least(t_view, t_click, t_purchase)) AS span_us
+              FROM per)
+            SELECT count(*) AS n_users_any_step,
+              CAST(sum(CASE WHEN all_present THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_users_all_steps,
+              CAST(sum(CASE WHEN all_present AND span_us <= 604800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+              CAST(coalesce(sum(CASE WHEN all_present
+                AND span_us <= 604800000000 THEN span_us END), 0) AS BIGINT)
+                AS total_span_us
+            FROM flags"""))
+
   // U-shaped multi-touch attribution: forward-min window maps each
   // touch to its next purchase, positions earn 1000 / 500-500 /
   // 400-200s-400 permille credit, credited value in integer micros —
@@ -6494,7 +6526,7 @@ object Queries {
     bm25Topk, invertedIndexQ, ccnetPplBucket, urlBlocklist, cdcApply,
     setsimPrefixJoin, containmentJoinQ, marginMineBitext, bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
-    funnelConversionQ, retentionCohortsQ, eventTransitionsQ,
+    funnelConversionQ, funnelUnorderedQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, linkPredRaQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
     incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain, ivmJoinMaintain,
     textNfcNormalize,

@@ -275,6 +275,37 @@ object EventAnalytics {
           col("delay_us"))).as("p500_delay_us"))
   }
 
+  /** Any-order funnel completion: a user completes when every step
+    * type has occurred at least once, REGARDLESS of order, and
+    * converts when the span between their earliest and latest
+    * first-occurrence timestamps fits in `windowSec` — the
+    * checklist/activation metric ("did they do all three things this
+    * week"), complementary to [[funnelConversion]]'s strictly-ordered
+    * journey. Per user one conditional-min per step (a single
+    * map-side-combinable aggregation of the filtered log — no joins,
+    * no windows), then a one-row rollup; spans are exact integer
+    * microseconds of stored timestamps.
+    */
+  def funnelUnordered(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      windowSec: Long): DataFrame = {
+    require(steps.size >= 2, "an unordered funnel needs at least two steps")
+    val aggs = steps.map(st =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"t_$st"))
+    val per = events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val allPresent = steps.map(st => col(s"t_$st").isNotNull).reduce(_ && _)
+    val spanUs = unix_micros(greatest(steps.map(st => col(s"t_$st")): _*)) -
+      unix_micros(least(steps.map(st => col(s"t_$st")): _*))
+    val converted = allPresent && spanUs <= windowSec * 1000000L
+    per.agg(
+      count(lit(1)).as("n_users_any_step"),
+      sum(when(allPresent, 1L).otherwise(0L)).as("n_users_all_steps"),
+      sum(when(converted, 1L).otherwise(0L)).as("n_converted"),
+      coalesce(sum(when(converted, spanUs)), lit(0L)).as("total_span_us"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: every touch in
     * the `windowSec` lookback of its user's NEXT conversion earns
     * permille credit by journey position — 1000 for a lone touch,

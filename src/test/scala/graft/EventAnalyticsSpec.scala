@@ -205,6 +205,36 @@ class EventAnalyticsSpec extends SparkTestBase {
       (3L, 1L, 2100000000L)))
   }
 
+  test("funnelUnordered: any order counts, window gates, strict order not required") {
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val rows = Seq(
+      // user 1: REVERSE order within window -> completes and converts
+      (1L, ts(0), "purchase"), (1L, ts(5), "click"), (1L, ts(9), "view"),
+      // user 2: all steps but the span exceeds the 10-minute window
+      (2L, ts(0), "view"), (2L, ts(1), "click"), (2L, ts(60), "purchase"),
+      // user 3: missing the purchase step
+      (3L, ts(0), "view"), (3L, ts(2), "click"),
+      // user 4: repeat events; FIRST occurrences decide the span
+      (4L, ts(0), "view"), (4L, ts(1), "click"), (4L, ts(2), "purchase"),
+      (4L, ts(500), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.funnelUnordered(rows, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), windowSec = 600L).head()
+    assert(r.getLong(0) == 4L, "four users touched a step")
+    assert(r.getLong(1) == 3L, "users 1, 2, 4 have all steps")
+    assert(r.getLong(2) == 2L, "users 1 and 4 convert inside the window")
+    // spans: user 1 = 9 min, user 4 = 2 min
+    assert(r.getLong(3) == (9L + 2L) * 60000000L)
+
+    // the strictly-ordered funnel refuses user 1's reversed journey
+    val strict = EventAnalytics.funnelConversion(rows, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), Some(600L))
+      .filter(org.apache.spark.sql.functions.col("step") === "purchase")
+      .head().getLong(2)
+    assert(strict == 1L, "ordered funnel admits only user 4")
+  }
+
   test("positionAttribution: U-credit by hand; windows and journeys split correctly") {
     val t0 = 1700000000000L
     def ts(min: Long) = new Timestamp(t0 + min * 60000L)
