@@ -3218,6 +3218,36 @@ object Queries {
           FROM scored"""
     })
 
+  // mixed-language screen: language-ID each half independently and
+  // flag disagreement — concatenation/code-switch artifacts a whole-doc
+  // vote averages away; same stopword batteries, halves at len div 2
+  private val textLangConsistency = Q(
+    "text_lang_consistency",
+    (s, d) => ops.TextAnalysis.langConsistency(documents(s, d), "doc_id", "text"),
+    Some {
+      def scoreOf(sql: String, lang: String) =
+        TextAnalysis.stopwords.toMap.apply(lang)
+          .map(w => s"len(regexp_extract_all(lower($sql), '\\b$w\\b'))")
+          .mkString(" + ")
+      def pick(half: String, sql: String) = {
+        val cols = langNames.map(l => s"${scoreOf(sql, l)} AS ${half}_$l")
+        val best = s"greatest(${langNames.map(l => s"${half}_$l").mkString(", ")})"
+        val cases = langNames
+          .map(l => s"WHEN ${half}_$l >= 1 AND ${half}_$l >= $best THEN '$l'")
+          .mkString(" ")
+        (cols.mkString(", "), s"CASE $cases ELSE 'und' END")
+      }
+      val (c1, p1) = pick("f", "substr(text, 1, length(text) // 2)")
+      val (c2, p2) = pick("s", "substr(text, length(text) // 2 + 1)")
+      s"""WITH scored AS (SELECT doc_id, $c1, $c2 FROM documents),
+            langs AS (
+              SELECT doc_id, $p1 AS lang_first, $p2 AS lang_second
+              FROM scored)
+          SELECT doc_id, lang_first, lang_second,
+            lang_first = lang_second AS consistent
+          FROM langs"""
+    })
+
   private val textQuality = Q(
     "text_quality",
     (s, d) => TextAnalysis.qualityStats(documents(s, d), "doc_id", "text"),
@@ -6519,7 +6549,7 @@ object Queries {
     dedupEmbedding, dedupSemantic,
     annBrute, annTopkOperator, annBinaryHamming, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
     embPqCodes, annPqAdc, embRandomProjection, pcaTopDirection,
-    textLangid, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
+    textLangid, textLangConsistency, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,
     textTokens, textFingerprint,
     textTfidf, textRedact, vocabCoverage, chunkTokens,

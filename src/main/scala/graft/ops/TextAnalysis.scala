@@ -40,6 +40,43 @@ object TextAnalysis {
     }
   }
 
+  /** Stopword-battery hit count over an arbitrary text COLUMN (the
+    * Column-input twin of [[wordHits]], for derived texts like halves). */
+  def wordHitsOf(t: Column, word: String): Column =
+    size(regexp_extract_all(lower(t), lit("\\b" + word + "\\b"), lit(0)))
+
+  /** [[langId]] over an arbitrary text Column. */
+  def langIdOf(t: Column): Column = {
+    val scores = stopwords.map { case (lang, ws) =>
+      lang -> ws.map(wordHitsOf(t, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
+      when(s >= lit(1) && s === best, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Mixed-language detection: language-ID the first and second halves
+    * of each document independently and flag disagreement — the cheap
+    * screen for concatenation artifacts (two articles glued by a
+    * crawler) and code-switched pages that a whole-document vote
+    * averages away. Halves split at `length div 2` characters (the
+    * same truncating arithmetic in any engine); two docs agreeing on
+    * "und" (no stopword evidence) count as consistent — absence of
+    * evidence is not a split signal. Pure per-row regexp work: zero
+    * shuffle, scan-speed at any corpus size like the rest of the
+    * language battery.
+    */
+  def langConsistency(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val first = expr(s"substring(`$textCol`, 1, length(`$textCol`) div 2)")
+    val second = expr(s"substring(`$textCol`, (length(`$textCol`) div 2) + 1)")
+    docs.select(col(idCol),
+      langIdOf(first).as("lang_first"),
+      langIdOf(second).as("lang_second"))
+      .withColumn("consistent", col("lang_first") === col("lang_second"))
+  }
+
   /** Quality statistics: char/token counts, mean token length,
     * alpha/punctuation ratios, stopword ratio, and a blended 0-100 score.
     * Mirrors the length/punct/stopword heuristics of C4-style curation.

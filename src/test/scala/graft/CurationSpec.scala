@@ -181,4 +181,24 @@ class CurationSpec extends SparkTestBase {
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(again == out)
   }
+
+  test("langConsistency: glued bilingual doc flags; monolingual and und pass") {
+    val docs = Seq(
+      // English half then German half -> inconsistent
+      (1L, "the cat and the dog of a king went to a house " +
+        "der hund und die katze ist das tier und der baum"),
+      // solidly English both halves
+      (2L, "the king and the queen of the land went to the sea " +
+        "and the ship of the fleet came to the port of the town"),
+      // no stopword evidence anywhere: und == und counts consistent
+      (3L, "zzz qqq xxx www yyy vvv"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.langConsistency(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L)._3 == false && out(1L)._1 == "en" && out(1L)._2 == "de",
+      s"got ${out(1L)}")
+    assert(out(2L) == (("en", "en", true)))
+    assert(out(3L) == (("und", "und", true)))
+  }
 }
