@@ -1786,6 +1786,32 @@ object Queries {
 
   // sqrt-temperature source rebalancing (alpha=0.5 mixture): per-source
   // keep rates from pure integer arithmetic over one IEEE-exact sqrt,
+  // two-sample histogram drift: shared fixed-width bins, exact
+  // cross-proportion deviation na*Nb - nb*Na per bin — the
+  // distribution-shift table for click-vs-purchase values
+  private val histogramDriftQ = Q(
+    "histogram_drift",
+    (s, d) => ops.DataQuality.histogramDrift(events(s, d), "event_type",
+      "value", "click", "purchase", nBins = 20, lo = 0.0, hi = 500.0),
+    Some("""WITH b AS (
+              SELECT event_type,
+                least(greatest(CAST(floor((value - 0.0) / 500.0 * 20)
+                  AS BIGINT), 0), 19) AS bin
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+                AND value IS NOT NULL),
+            counts AS (
+              SELECT bin,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb
+              FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                    CAST(sum(nb) AS BIGINT) AS tb FROM counts)
+            SELECT bin, na, nb, na * tb - nb * ta AS dev
+            FROM counts, t"""))
+
   // Benford leading-digit profile: digits from exact cent integers'
   // decimal strings (never from float formatting), truncating milli
   // shares — the fraud/synthetic-data sanity check per event type
@@ -6577,7 +6603,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, positionAttributionQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, intervalCoverageQ, rollingDistinctQ,
+    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, histogramDriftQ, intervalCoverageQ, rollingDistinctQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)

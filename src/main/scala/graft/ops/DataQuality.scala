@@ -70,6 +70,43 @@ object DataQuality {
       constraints.map(c => col(s"`violations_${c._1}`") === 0L).reduce(_ && _))
   }
 
+  /** Two-sample histogram drift: fixed-width bins over [lo, hi) shared
+    * by populations A and B of `typeCol`, with the per-bin EXACT
+    * cross-proportion deviation `dev = na·Nb − nb·Na` — zero exactly
+    * when the bin's share is identical in both samples, sign giving
+    * the direction, and Σ|dev|/(Na·Nb) the total-variation distance.
+    * The chi-square-style divergence core without any division or
+    * float accumulation, so the drift table hash-matches across
+    * engines (the cross-sectional companion to [[cusumAlarms]]'s
+    * temporal drift: "does this week's score distribution still look
+    * like last week's"). Bin assignment is the same clamped IEEE
+    * scaling as the z-order/Hilbert coordinates; out-of-range values
+    * clamp into the edge bins, so every row is counted. Bins empty in
+    * BOTH samples are absent (their deviation is zero by definition).
+    * One conditional-sum aggregation plus a broadcast one-row totals
+    * join. Overflow bound: Na·Nb must stay under 2⁶³ (fine through
+    * ~3·10⁹ rows per side).
+    */
+  def histogramDrift(df: DataFrame, typeCol: String, valueCol: String,
+                     typeA: String, typeB: String, nBins: Int,
+                     lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need >= 2 bins over a non-empty range")
+    val span = hi - lo
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(span) * nBins)
+        .cast("long"), lit(0L)), lit((nBins - 1).toLong))
+    val counts = df
+      .filter(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
+      .select(col(typeCol), bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("nb"))
+    val totals = counts.agg(sum(col("na")).as("__ta"), sum(col("nb")).as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("na"), col("nb"),
+        (col("na") * col("__tb") - col("nb") * col("__ta")).as("dev"))
+  }
+
   /** Benford leading-digit profile per key — the fraud/synthetic-data
     * smell test: naturally-occurring amounts lead with 1 ~30% of the
     * time; fabricated ones drift uniform. Defined EXACTLY: amounts are

@@ -69,6 +69,27 @@ class DataQualitySpec extends SparkTestBase {
       s"profile must read its input once:\n$pplan")
   }
 
+  test("histogramDrift: identical shares give zero dev; shift shows signed dev") {
+    // A and B identical distributions -> every dev exactly 0
+    val same = (1 to 40).map(i => ("a", (i % 4) * 10.0 + 1)) ++
+      (1 to 40).map(i => ("b", (i % 4) * 10.0 + 1))
+    val dSame = graft.ops.DataQuality.histogramDrift(
+      same.toDF("t", "v"), "t", "v", "a", "b", nBins = 4, lo = 0.0, hi = 40.0)
+    assert(dSame.collect().forall(_.getLong(3) == 0L))
+
+    // B shifted up a bin: dev positive where A is heavy, negative where B is
+    val shifted = (1 to 30).map(_ => ("a", 5.0)) ++
+      (1 to 30).map(_ => ("b", 15.0)) :+ (("a", 999.0)) // clamps to top bin
+    val d = graft.ops.DataQuality.histogramDrift(
+        shifted.toDF("t", "v"), "t", "v", "a", "b", 4, 0.0, 40.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(d(0L)._3 > 0 && d(1L)._3 < 0, s"got $d")
+    assert(d(3L) == ((1L, 0L, 30L)), "out-of-range value clamps into the edge bin")
+    // total-variation identity: sum of dev over bins is zero
+    assert(d.values.map(_._3).sum == 0L)
+  }
+
   test("benfordProfile: digits from exact cents; non-positive amounts drop") {
     val df = Seq(
       ("a", 10.00),   // 1000 cents -> 1
