@@ -2770,6 +2770,91 @@ object Queries {
                 ORDER BY score DESC, cand_id) AS INTEGER) AS rank
               FROM rescored) WHERE rank <= 5"""))
 
+  // ANN recall audit as a first-class query: the binary-quantized
+  // search's top-5 intersected with exact brute-force top-5 per probe,
+  // recall in exact milli units — the pipeline-health metric an ANN
+  // deployment alerts on, oracled end to end (both arms are already
+  // engine-exact, so their intersection is too)
+  private val annRecallAudit = Q(
+    "ann_recall_audit",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+        .select(col("probe_id"), col("cand_id"))
+      val bin = Similarity.binaryHammingTopK(emb, probes, "vec_id",
+          "embedding", dim = 64, k = 5, candidates = 20)
+        .select(col("probe_id"), col("cand_id"))
+      val hits = brute.join(bin, Seq("probe_id", "cand_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_milli", expr("(n_hits * 1000) div 5"))
+    },
+    Some("""WITH scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                  AS score
+              FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id < 10),
+            brute AS (
+              SELECT probe_id, cand_id FROM (
+                SELECT probe_id, cand_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, cand_id) AS rank
+                FROM scored) WHERE rank <= 5),
+            codes AS (
+              SELECT vec_id, embedding,
+                CAST(list_sum(list_transform(list_zip(embedding[1:32], range(1, 33)),
+                  z -> CASE WHEN z[1] >= 0 THEN 1::BIGINT << (z[2] - 1)
+                       ELSE 0 END)) AS BIGINT) AS sig0,
+                CAST(list_sum(list_transform(list_zip(embedding[33:64], range(1, 33)),
+                  z -> CASE WHEN z[1] >= 0 THEN 1::BIGINT << (z[2] - 1)
+                       ELSE 0 END)) AS BIGINT) AS sig1
+              FROM embeddings),
+            cand AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                bit_count(xor(p.sig0, c.sig0))
+                  + bit_count(xor(p.sig1, c.sig1)) AS hamming,
+                p.embedding AS pv, c.embedding AS cv
+              FROM codes p JOIN codes c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id < 10),
+            pool AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY hamming, cand_id) AS hrank
+                FROM cand) WHERE hrank <= 20),
+            rescored AS (
+              SELECT probe_id, cand_id,
+                round(list_dot_product(pv::DOUBLE[], cv::DOUBLE[])
+                  / (sqrt(list_dot_product(pv::DOUBLE[], pv::DOUBLE[]))
+                   * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6)
+                  AS score
+              FROM pool),
+            bin AS (
+              SELECT probe_id, cand_id FROM (
+                SELECT probe_id, cand_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, cand_id) AS rank
+                FROM rescored) WHERE rank <= 5),
+            hits AS (
+              SELECT b.probe_id, count(*) AS n_hits
+              FROM brute b
+              WHERE EXISTS (SELECT 1 FROM bin x
+                            WHERE x.probe_id = b.probe_id
+                              AND x.cand_id = b.cand_id)
+              GROUP BY 1)
+            SELECT p.vec_id AS probe_id,
+              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 1000) // 5
+                AS recall_milli
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p
+            LEFT JOIN hits h ON h.probe_id = p.vec_id"""))
+
   // oracled since round 2: the heap operator's tie-break (score desc,
   // cand_id asc) makes its row set identical to the window formulation
   private val annTopkOperator = Q(
@@ -6573,7 +6658,7 @@ object Queries {
     dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,
-    annBrute, annTopkOperator, annBinaryHamming, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
+    annBrute, annTopkOperator, annBinaryHamming, annRecallAudit, knnGraph, hardNegatives, annIvf, annLsh, annLshIndexed, embQuantize,
     embPqCodes, annPqAdc, embRandomProjection, pcaTopDirection,
     textLangid, textLangConsistency, textQuality, gopherQuality, featureHashBow, qualityScoreLinear,
     dedupLinesWithinDocQ, textRepetition,
