@@ -1403,6 +1403,78 @@ object Queries {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2"""))
 
+  // week-over-week growth per type: counts lagged on the weekly
+  // aggregate, growth in exact milli units ((cur - prev)*1000 div prev)
+  // — the trend readout every weekly pipeline reports; first weeks
+  // emit NULL growth (no denominator), which both engines agree on
+  private val weeklyGrowthQ = Q(
+    "weekly_growth",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("week_start"))
+      events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("week_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("prev_events", lag(col("n_events"), 1).over(w))
+        .withColumn("growth_milli",
+          expr("((n_events - prev_events) * 1000) div prev_events"))
+    },
+    Some("""WITH wk AS (
+              SELECT date_trunc('week', ts) AS week_start, event_type,
+                count(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT *, lag(n_events) OVER (PARTITION BY event_type
+                ORDER BY week_start) AS prev_events
+              FROM wk)
+            SELECT week_start, event_type, n_events, prev_events,
+              ((n_events - prev_events) * 1000) // prev_events
+                AS growth_milli
+            FROM lagged"""))
+
+  // exact trimmed aggregates per group: drop the k smallest and k
+  // largest cent values by rank (actual stored values, ties by id),
+  // then integer sum/count and the milli mean — the robust center
+  // without the winsorize clamp semantics
+  private val trimmedMeanQ = Q(
+    "trimmed_mean",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("__c"), col("event_id"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wg))
+        .filter(col("__rn") > 50 && col("__rn") <= col("__n") - 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("__c")).as("sum_cents"))
+        .withColumn("mean_milli_cents",
+          expr("(sum_cents * 1000) div n_kept"))
+    },
+    Some("""WITH c AS (
+              SELECT event_type, event_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY cents, event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+            kept AS (
+              SELECT event_type, cents FROM ranked
+              WHERE rn > 50 AND rn <= n - 50)
+            SELECT event_type, count(*) AS n_kept,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              (CAST(sum(cents) AS BIGINT) * 1000) // count(*)
+                AS mean_milli_cents
+            FROM kept GROUP BY 1"""))
+
   // The weekly incremental load as a REAL Structured Streaming query:
   // events land as two OVERLAPPING parquet drops in a file-source
   // directory (%3 != 0 and %3 != 1 — union covers everything, overlap
@@ -6648,7 +6720,7 @@ object Queries {
     setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
-    incrWindow, sessionize, sessionStats, weeklyAgg, incrWeeklyMerge,
+    incrWindow, sessionize, sessionStats, weeklyAgg, weeklyGrowthQ, trimmedMeanQ, incrWeeklyMerge,
     incrBloomDedup, incrSessionStream, jsonlRoundtrip,
     parseRatings,
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
