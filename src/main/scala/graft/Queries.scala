@@ -1120,6 +1120,80 @@ object Queries {
             EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
               AND o_orderdate >= TIMESTAMP '1999-01-01'"""))
 
+  // multiset set ops: INTERSECT ALL / EXCEPT ALL keep multiplicities
+  // (min / truncated-difference of per-value counts) — the bag
+  // semantics the DISTINCT variants above erase; verified as counts
+  // per user so the result is aggregate-shaped and order-free
+  private val setopAllQ = Q(
+    "setop_all_variants",
+    (s, d) => {
+      val clicks = events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val views = events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"))
+      val inter = clicks.intersectAll(views)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_inter"))
+      val exc = clicks.exceptAll(views)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_except"))
+      inter.join(exc, Seq("user_id"), "full")
+        .select(col("user_id"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+    },
+    Some("""WITH i AS (
+              SELECT user_id, count(*) AS n_inter FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT ALL
+                SELECT user_id FROM events WHERE event_type = 'view')
+              GROUP BY 1),
+            e AS (
+              SELECT user_id, count(*) AS n_except FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT ALL
+                SELECT user_id FROM events WHERE event_type = 'view')
+              GROUP BY 1)
+            SELECT coalesce(i.user_id, e.user_id) AS user_id,
+              CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+              CAST(coalesce(e.n_except, 0) AS BIGINT) AS n_except
+            FROM i FULL JOIN e ON i.user_id = e.user_id"""))
+
+  // Gini mean-difference numerator per group via the rank identity
+  // Σ(2·rn − n − 1)·x over sorted cents — the O(n log n) window form
+  // of the O(n²) pairwise |xi − xj| sum, exact integers end to end
+  private val giniDispersionQ = Q(
+    "gini_dispersion",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("__c"), col("event_id"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("__c"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wg))
+        .groupBy(col("event_type"))
+        .agg(max(col("__n")).as("n"),
+          sum((col("__rn") * 2 - col("__n") - 1) * col("__c"))
+            .as("gini_numerator_cents"),
+          sum(col("__c")).as("sum_cents"))
+    },
+    Some("""WITH c AS (
+              SELECT event_type, event_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY cents, event_id) AS BIGINT) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM c)
+            SELECT event_type, max(n) AS n,
+              CAST(sum((rn * 2 - n - 1) * cents) AS BIGINT)
+                AS gini_numerator_cents,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM ranked GROUP BY 1"""))
+
   // ---------------------------------------------------------------- rollup
   private val rollupAgg = Q(
     "rollup_agg",
@@ -6717,7 +6791,7 @@ object Queries {
     histogramEquidepth,
     windowRank, windowRunning,
     windowAnalytics, topkSort,
-    setOps, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
+    setOps, setopAllQ, giniDispersionQ, rollupAgg, cubeAgg, groupingSets, unpivotMeasures, arrayFuncs,
     stringFuncs, dateParts,
     skewSaltedAgg, skewSaltedJoin,
     incrWindow, sessionize, sessionStats, weeklyAgg, weeklyGrowthQ, trimmedMeanQ, incrWeeklyMerge,
