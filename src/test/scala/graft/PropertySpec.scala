@@ -142,6 +142,55 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("containmentPairs matches a naive shingle-set recount on arbitrary corpora") {
+    val corpusGen = Gen.listOfN(5, textGen)
+    samples(corpusGen, 10).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(docs, "doc_id", "text", 2,
+          thresholdPermille = 500)
+        .select("id_contained", "id_container", "containment_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      // naive: distinct 2-shingle sets (short docs fall back to the
+      // whole text, the shingles() contract), all ordered pairs
+      def sh(t: String): Set[String] = {
+        val toks = t.split("\\s+").toSeq
+        if (toks.size < 2) Set(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.map(sh).zipWithIndex
+      val expected = (for {
+        (sa, ia) <- sets; (sb, ib) <- sets if ia != ib
+        inter = (sa intersect sb).size
+        if inter * 1000 >= 500 * sa.size
+      } yield (ia.toLong, ib.toLong, (inter * 1000L) / sa.size)).toSet
+      assert(got == expected, s"corpus=$texts")
+    }
+  }
+
+  test("prioritySample: sample is the top-k of the naive priority ordering") {
+    val corpusGen = Gen.listOfN(30, textGen)
+    samples(corpusGen, 8).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, (t.length + 1).toLong, "g") }
+        .toDF("id", "text", "w", "grp")
+      val got = graft.ops.Splits.prioritySample(docs, "id", "text", "w", "grp", 7)
+        .select("id").as[Long].collect().toSet
+      // naive: recompute q = (w << 30) div u from the same md5 math
+      def u(t: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1073741824L + 1L
+      }
+      val expected = texts.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, (t.length + 1).toLong * 1073741824L / u(t)) }
+        .sortBy { case (id, q) => (-q, id) }
+        .take(7).map(_._1).toSet
+      assert(got == expected, s"corpus=$texts")
+    }
+  }
+
   test("winsorize: clipped values always inside the observed bounds, count preserved") {
     val valsGen = Gen.listOfN(40, Gen.chooseNum(-1000.0, 1000.0))
     samples(valsGen, 10).foreach { vs =>
