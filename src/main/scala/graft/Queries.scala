@@ -6467,6 +6467,43 @@ object Queries {
             JOIN anchors a ON a.event_type = c.event_type AND a.day = c.day
             GROUP BY 1, 2"""))
 
+  // DAU/WAU stickiness per (type, day): the rolling-distinct operator
+  // at windows 1 and 7 joined on the shared anchors, ratio in exact
+  // milli units — the engagement-health metric product teams track
+  private val stickinessQ = Q(
+    "stickiness_ratio",
+    (s, d) => {
+      val dau = EventAnalytics.rollingDistinct(events(s, d), "event_type",
+          "ts", "user_id", windowDays = 1)
+        .withColumnRenamed("n_users", "dau")
+      val wau = EventAnalytics.rollingDistinct(events(s, d), "event_type",
+          "ts", "user_id", windowDays = 7)
+        .withColumnRenamed("n_users", "wau")
+      dau.join(wau, Seq("event_type", "day"))
+        .withColumn("stickiness_milli", expr("(dau * 1000) div wau"))
+    },
+    Some("""WITH act AS (
+              SELECT DISTINCT event_type,
+                datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                user_id
+              FROM events),
+            anchors AS (SELECT DISTINCT event_type, day FROM act),
+            dau AS (
+              SELECT event_type, day, count(DISTINCT user_id) AS dau
+              FROM act GROUP BY 1, 2),
+            contrib AS (
+              SELECT event_type, day + off AS day, user_id
+              FROM act, unnest(range(0, 7)) AS t(off)),
+            wau AS (
+              SELECT c.event_type, c.day, count(DISTINCT c.user_id) AS wau
+              FROM contrib c
+              JOIN anchors a ON a.event_type = c.event_type AND a.day = c.day
+              GROUP BY 1, 2)
+            SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.dau, w.wau,
+              (d.dau * 1000) // w.wau AS stickiness_milli
+            FROM dau d JOIN wau w
+              ON w.event_type = d.event_type AND w.day = d.day"""))
+
   // time-to-convert: first signup -> first later purchase per user;
   // totals/max/median delay in exact integer micros (median is a rank
   // selection over the bounded converted-user table)
@@ -6834,7 +6871,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, positionAttributionQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, histogramDriftQ, intervalCoverageQ, rollingDistinctQ,
+    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, histogramDriftQ, intervalCoverageQ, rollingDistinctQ, stickinessQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)
