@@ -880,6 +880,44 @@ object Queries {
               ex.n_exact
             FROM kth k JOIN ex USING (event_type)"""))
 
+  // AGMS/CMS join-size estimation: |click ⋈ purchase on user_id| as
+  // min over depths of the sketch inner product — the optimizer-
+  // statistics estimator, never an undercount, exact size riding along
+  private val sketchJoinSize = Q(
+    "sketch_join_size",
+    (s, d) => ops.Sketches.cmsJoinSize(events(s, d), "user_id",
+      "event_type", "click", "purchase", depth = 4),
+    Some(s"""WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            rows_ AS (
+              SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+                  AS side, user_id
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            h AS (
+              SELECT side, j,
+                ${duckBucketOf("j::VARCHAR || '_' || user_id::VARCHAR")} AS b
+              FROM rows_ CROSS JOIN js),
+            counts AS (
+              SELECT side, j, b, count(*) AS c FROM h GROUP BY 1, 2, 3),
+            est AS (
+              SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS e
+              FROM counts a JOIN counts b
+                ON a.side = 'a' AND b.side = 'b'
+                AND a.j = b.j AND a.b = b.b
+              GROUP BY 1),
+            ex AS (
+              SELECT CAST(coalesce(SUM(na * nb), 0) AS BIGINT)
+                  AS exact_join_size
+              FROM (
+                SELECT user_id,
+                  CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS na,
+                  CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nb
+                FROM rows_ GROUP BY 1))
+            SELECT (SELECT MIN(e) FROM est) AS est_join_size,
+              ex.exact_join_size
+            FROM ex"""))
+
   // theta-sketch set algebra: bottom-64 hash samples per side, k-th
   // union hash as theta, retained-intersection estimator — audience
   // overlap from 128 hashes, with the exact counts riding along
@@ -6822,7 +6860,7 @@ object Queries {
     asofJoin, asofForward, rangeJoin,
     q1Agg, q3TopkJoin, q5JoinChain, havingAgg, casePivot,
     aggDistinct, percentileAgg, sketchAgg, sketchHllDistinct, sketchCmsFreq,
-    sketchMgTopk, sketchKmvDistinct, sketchKmvIntersect, topkRankRewrite, topkRankAgg,
+    sketchMgTopk, sketchKmvDistinct, sketchKmvIntersect, sketchJoinSize, topkRankRewrite, topkRankAgg,
     momentStats, statsProfile,
     histogramFixed,
     histogramEquidepth,

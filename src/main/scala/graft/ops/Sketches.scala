@@ -13,6 +13,51 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** CMS join-size estimation (the AGMS/Count-Min inner-product
+    * estimator, Alon-Matias-Szegedy / Cormode-Muthukrishnan): the
+    * equi-join cardinality |A ⋈_key B| = Σ_k na_k·nb_k is estimated as
+    * min over depths j of Σ_cells cmsA_j[c]·cmsB_j[c] — never an
+    * undercount, overcount bounded by ‖na‖₁·‖nb‖₁/w per depth. The
+    * optimizer-statistics primitive: join size from two fixed d×w
+    * sketches without touching the other table's keys. Buckets come
+    * from the same md5 derivation as the frequency CMS, every counter
+    * and product is BIGINT, so the estimate hash-matches any engine;
+    * the exact join size rides along for in-row audit. Overflow: Σ
+    * ca·cb per cell pair stays under 2⁶³ through ~3·10⁹ rows per side.
+    *
+    * One conditional-count aggregation per depth (map-side
+    * combinable), a (depth, cell)-keyed join of two d·w-row tables,
+    * and a d-row min — at any input size the estimation stage costs
+    * the same. Returns one row (est_join_size, exact_join_size).
+    */
+  def cmsJoinSize(events: DataFrame, keyCol: String, typeCol: String,
+                  typeA: String, typeB: String,
+                  depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1, 8]")
+    val rows = events.filter(col(typeCol).isin(typeA, typeB))
+      .select(when(col(typeCol) === typeA, lit("a")).otherwise(lit("b"))
+        .as("side"), col(keyCol))
+    val bucketed = rows.select(col("side"),
+      explode(array((0 until depth).map(j => struct(lit(j).as("j"),
+        graft.functions.Expressions
+          .md5_bits(concat_ws("_", lit(j), col(keyCol)), 2).cast("int")
+          .as("b"))): _*)).as("jb"))
+      .select(col("side"), col("jb.j"), col("jb.b"))
+    val counts = bucketed.groupBy(col("side"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = counts.filter(col("side") === "a")
+      .select(col("j"), col("b"), col("c").as("ca"))
+      .join(counts.filter(col("side") === "b")
+        .select(col("j"), col("b"), col("c").as("cb")), Seq("j", "b"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("e"))
+      .agg(min(col("e")).as("est_join_size"))
+    val exact = rows.groupBy(col(keyCol))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("nb"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join_size"))
+    est.crossJoin(broadcast(exact))
+  }
+
   /** Theta-sketch intersection of two key populations (the audience-
     * overlap question answered from k hashes per side instead of two
     * full distinct sets): per side keep the k smallest distinct

@@ -105,6 +105,26 @@ class AggregatorsSpec extends SparkTestBase {
     assert(r.toSeq == r2.toSeq)
   }
 
+  test("cmsJoinSize: never undercounts; exact on disjoint cells; invariant") {
+    // join size = sum over keys of na*nb: keys 0..9 with na=3, nb=2 -> 60
+    val rows = ((0 until 10).flatMap(k => Seq.fill(3)((k.toLong, "click")))
+      ++ (0 until 10).flatMap(k => Seq.fill(2)((k.toLong, "purchase")))
+      ++ (100 until 120).map(k => (k.toLong, "click"))) // A-only keys
+      .toDF("user_id", "event_type")
+    val r = graft.ops.Sketches.cmsJoinSize(rows, "user_id", "event_type",
+      "click", "purchase", depth = 4).head()
+    val (est, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact == 60L)
+    assert(est >= exact, "CMS inner product never undercounts")
+    // 256 cells, ~30 distinct keys: collisions are rare; the estimate
+    // stays within the e*|A||B|/w bound with big margin
+    assert(est <= exact + (50L * 20L * 4L) / 256L * 8L + 60L,
+      s"overcount too large: $est vs $exact")
+    val r2 = graft.ops.Sketches.cmsJoinSize(rows.repartition(13), "user_id",
+      "event_type", "click", "purchase", 4).head()
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("Count-Min: never undercounts, overcount bounded, partitioning-invariant") {
     import graft.functions.Aggregators.CountMinFreq
     val depth = 4
