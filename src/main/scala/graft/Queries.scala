@@ -2096,6 +2096,50 @@ object Queries {
                 // greatest(1, (n * sxx - sx * sx) // 1000) AS slope_micro
             FROM s"""))
 
+  // seasonality-adjusted outliers: residual vs the (type, hour-of-day)
+  // integer mean, flagged beyond 4x the seasonal cell's mean absolute
+  // deviation — the time-of-day-aware twin of robust_outliers_mad
+  // (a 3am spike is judged against 3am traffic, not the whole-day mix);
+  // all cents-integer arithmetic, truncating divs
+  private val seasonalResidualQ = Q(
+    "seasonal_residual_outliers",
+    (s, d) => {
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("hod"))
+      val base = events(s, d).select(col("event_type"), col("event_id"),
+          hour(col("ts")).cast("long").as("hod"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .withColumn("cell_mean", expr("CAST(sum(c) OVER (PARTITION BY " +
+          "event_type, hod) AS BIGINT) div count(*) OVER (PARTITION BY " +
+          "event_type, hod)"))
+        .withColumn("resid", col("c") - col("cell_mean"))
+      base
+        .withColumn("mad_mean", expr("CAST(sum(abs(resid)) OVER (PARTITION " +
+          "BY event_type, hod) AS BIGINT) div count(*) OVER (PARTITION BY " +
+          "event_type, hod)"))
+        .filter(abs(col("resid")) > col("mad_mean") * 4)
+        .select(col("event_type"), col("event_id"), col("hod"), col("c"),
+          col("cell_mean"), col("resid"), col("mad_mean"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type, event_id,
+                CAST(hour(ts) AS BIGINT) AS hod,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            m AS (
+              SELECT *, CAST(sum(c) OVER w AS BIGINT)
+                  // count(*) OVER w AS cell_mean
+              FROM base
+              WINDOW w AS (PARTITION BY event_type, hod)),
+            r AS (SELECT *, c - cell_mean AS resid FROM m),
+            md AS (
+              SELECT *, CAST(sum(abs(resid)) OVER w AS BIGINT)
+                  // count(*) OVER w AS mad_mean
+              FROM r
+              WINDOW w AS (PARTITION BY event_type, hod))
+            SELECT event_type, event_id, hod, c, cell_mean, resid, mad_mean
+            FROM md WHERE abs(resid) > mad_mean * 4"""))
+
   // CUSUM drift alarms: Page's sequential max(0, S+d) recursion
   // rewritten as the exact prefix-sum / running-min window identity —
   // pure BIGINT window arithmetic over micro-quantized values, so the
@@ -6909,7 +6953,7 @@ object Queries {
     erFuzzyPairs, dqExpectations, dqProfile,
     multimodalFeatures, multimodalDecodeStats,
     activityStreaksQ, lastTouchQ, positionAttributionQ, maxConcurrencyQ, kCoreQ, q17SmallQtyQ,
-    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, histogramDriftQ, intervalCoverageQ, rollingDistinctQ, stickinessQ,
+    robustOutliersMadQ, cusumDriftQ, trendOlsQ, rollingCovarianceQ, benfordProfileQ, decileBinQ, histogramDriftQ, intervalCoverageQ, rollingDistinctQ, stickinessQ, seasonalResidualQ,
     funnelTimeStatsQ, bpeEncodeQ, q15TopSupplierQ,
     latenessProfileQ, nucleusTopPQ, labelPropagationQ,
     seasonalNaiveErrorQ, quantileContQ, modalDowQ)
