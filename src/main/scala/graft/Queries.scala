@@ -5665,6 +5665,56 @@ object Queries {
                 AS value_cents
             FROM events GROUP BY 1"""))
 
+  // streaming leaderboard through transformWithState MapState: per-type
+  // user->count map accumulates across two micro-batches, each batch
+  // emits the current top-3 stamped with the monotone processed total,
+  // and the converged (max-stamp) rows equal the batch top-3 — the
+  // multi-entry state shape ValueState cannot hold
+  private val incrStreamTopk = Q(
+    "incr_stream_topk",
+    (s, d) => {
+      import s.implicits._
+      val base = scratchDir("graft_twstopk_")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        col("user_id"))
+      ev.filter(col("event_id") % 2 === 0).select("event_type", "user_id")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      ev.filter(col("event_id") % 2 =!= 0).select("event_type", "user_id")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      withStreamingConfs(s, statePartitions = 4, noDataBatch = false,
+        providerClass = Some("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")) {
+        val stream = s.readStream
+          .schema("event_type STRING, user_id LONG")
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .as[(String, Long)]
+        streaming.Stateful.topKMembers(stream, 3)
+          .toDF("event_type", "n_seen", "user_id", "n_events", "rank")
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .start().awaitTermination()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      s.read.parquet(outDir)
+        .withColumn("__mx", max(col("n_seen")).over(w))
+        .filter(col("n_seen") === col("__mx"))
+        .select("event_type", "user_id", "n_events", "rank")
+    },
+    Some("""WITH c AS (
+              SELECT event_type, user_id, count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, user_id, n_events,
+              CAST(rn AS INTEGER) AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY n_events DESC, user_id) AS rn
+              FROM c)
+            WHERE rn <= 3"""))
+
   // stream-stream LEFT OUTER interval join as a REAL streaming job —
   // the WATERMARK-FINALIZATION path the inner join never exercises:
   // matched (purchase, click) pairs emit in their arrival batch, but a
@@ -6934,7 +6984,7 @@ object Queries {
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, funnelUnorderedQ, retentionCohortsQ, eventTransitionsQ,
     commonNeighborsQ, linkPredRaQ, schemaEvolutionQ, incrStreamDedup, incrStreamJoin,
-    incrStreamOuterJoin, incrRunningTotals, ivmAggMaintain, ivmJoinMaintain,
+    incrStreamOuterJoin, incrRunningTotals, incrStreamTopk, ivmAggMaintain, ivmJoinMaintain,
     textNfcNormalize,
     imageAHashDedupQ, bitmapDistinctQ, audienceOverlapQ, q7NationVolume,
     bfsHopsQ, scd2PitJoinQ, videoFrameStatsQ, ssspBoundedQ,

@@ -185,6 +185,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState MapState leaderboard carries counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Stateful.topKMembers(mem.toDS(), k = 2)
+      .toDF("k", "n_seen", "member", "cnt", "rank")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_topk").start()
+    try {
+      // batch 1: member 1 leads key "a" (2 vs 1)
+      mem.addData(("a", 1L), ("a", 1L), ("a", 2L))
+      q.processAllAvailable()
+      val b1 = spark.table("tws_topk").filter(col("n_seen") === 3)
+        .orderBy("rank").select("member", "cnt")
+        .as[(Long, Long)].collect().toSeq
+      assert(b1 == Seq((1L, 2L), (2L, 1L)))
+      // batch 2: three more 2s — MAP STATE must carry batch 1's counts,
+      // so member 2 now leads 4 to 2 (fresh state would say 3 to 0)
+      mem.addData(("a", 2L), ("a", 2L), ("a", 2L))
+      q.processAllAvailable()
+      val b2 = spark.table("tws_topk").filter(col("n_seen") === 6)
+        .orderBy("rank").select("member", "cnt")
+        .as[(Long, Long)].collect().toSeq
+      assert(b2 == Seq((2L, 4L), (1L, 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join attributes purchases to in-horizon clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
