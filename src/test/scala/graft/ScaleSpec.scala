@@ -368,4 +368,26 @@ class ScaleSpec extends SparkTestBase {
     assert(exchanges("hilbert_value") == 0,
       "hilbertColumn must not shuffle")
   }
+
+  test("closing-batch queries keep bounded exchange counts") {
+    def exchanges(name: String): Int =
+      SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+        .executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+    // rank window + rollup reuse one key partitioning each
+    assert(exchanges("trimmed_mean") <= 2)
+    assert(exchanges("gini_dispersion") <= 2)
+    // weekly lag: one (week, type) aggregate + one type-keyed window
+    assert(exchanges("weekly_growth") <= 2)
+    // both windows share the (type, hour-of-day) partitioning
+    assert(exchanges("seasonal_residual_outliers") <= 2)
+    // one conditional-count aggregate + a broadcast one-row totals join
+    assert(exchanges("histogram_drift") <= 2)
+    // drift alarms: per-key mean + ONE ordered window (plus its
+    // broadcast-back); the lang screen is a pure narrow projection
+    assert(exchanges("cusum_drift") <= 3)
+    assert(exchanges("text_lang_consistency") == 0,
+      "per-half language ID must not shuffle")
+  }
 }
