@@ -750,10 +750,77 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         graft.functions.Expressions.long_vector_dot(col("__sv"), col("__tv"))
           .as("dot_q"))
+    marginMineFrom(dots, k)
+  }
+
+  /** Candidate-bounded margin mining: the [[marginMine]] criterion fed
+    * from IVF candidate lists instead of the exact bipartite dot table —
+    * the shape that scales. A shared scaled-integer Lloyd codebook
+    * (trained over src ∪ tgt, so training is engine-replayable from the
+    * union corpus) assigns every target to its ONE nearest cell; each
+    * source visits only its `nProbe` nearest cells; pairs are the
+    * cell-join of the two — each (src, tgt) pair arises at most once
+    * (targets live in exactly one cell), so no dedup pass is needed.
+    * Downstream of the candidate table the mass/margin pipeline of
+    * [[marginMineFrom]] applies unchanged: neighborhood mass becomes
+    * mass over the RETRIEVED neighborhood, exactly the CCMatrix
+    * trade-off (margins are relative to what ANN can see).
+    *
+    * Shape at 100 TB: candidate volume is |S|·nProbe·E[cell size] —
+    * linear in each side for fixed kCells density, never |S|·|T|. The
+    * only broadcast is the probe side's (src_id, quantized vec, cells)
+    * projection if small, else the cell join shuffles both sides on the
+    * cell id; no all-pairs stage exists anywhere.
+    */
+  def marginMineAnn(src: DataFrame, tgt: DataFrame, idCol: String,
+                    vecCol: String, k: Int, kCells: Int = 16,
+                    nProbe: Int = 3, iters: Int = 2,
+                    codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    val sq = src.select(col(idCol).as("src_id"),
+      quantized(col(vecCol)).as("__sv")).localCheckpoint(true)
+    val tq = tgt.select(col(idCol).as("tgt_id"),
+      quantized(col(vecCol)).as("__tv")).localCheckpoint(true)
+    val centroids = codebook.getOrElse {
+      // train over src ∪ tgt so an oracle can replay the Lloyd loop
+      // from the union corpus; ids should be disjoint across sides
+      // (a shared id appears twice in the per-cell integer means)
+      val union = sq.select(col("src_id").as("__id"), col("__sv").as("vq"))
+        .unionByName(tq.select(col("tgt_id").as("__id"), col("__tv").as("vq")))
+      trainIvfQuantized(union.localCheckpoint(true), kCells, iters)
+    }
+    val tCells = tq.select(col("tgt_id"), col("__tv"),
+      nearestCellQ(col("__tv"), centroids).as("cell"))
+    // probe side mirrors ivfTopK: nProbe nearest cells by lexicographic
+    // (integer dist, cell) — equidistant cells tie to the lowest id
+    val probeDists = centroids.zipWithIndex.map { case (cent, i) =>
+      val cCol = array(cent.map(lit).toIndexedSeq: _*)
+      struct(aggregate(zip_with(col("__sv"), cCol, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("dist"), lit(i).as("cell"))
+    }
+    val sCells = sq
+      .select(col("src_id"), col("__sv"),
+        slice(array_sort(array(probeDists.toIndexedSeq: _*)), 1, nProbe).as("cells"))
+      .select(col("src_id"), col("__sv"), explode(col("cells.cell")).as("cell"))
+    val dots = tCells.join(broadcast(sCells), Seq("cell"))
+      .select(col("src_id"), col("tgt_id"),
+        graft.functions.Expressions.long_vector_dot(col("__sv"), col("__tv"))
+          .as("dot_q"))
+    marginMineFrom(dots, k)
+  }
+
+  /** The margin pipeline downstream of the pair table: takes ANY
+    * bounded (src_id, tgt_id, dot_q) candidate table — exact bipartite
+    * dots ([[marginMine]]), IVF candidate lists ([[marginMineAnn]]), or
+    * an external k′-NN join — and emits the best positive-margin target
+    * per source. Reads each endpoint's candidate list three ways (two
+    * masses + the margin pass), hence the one materialization.
+    */
+  def marginMineFrom(dots: DataFrame, k: Int): DataFrame = {
     // materialized once: both mass aggregates AND the final margin pass
     // read the pair table — without the checkpoint the pair-scoring
     // subtree would replay three times in one plan. Bounded by
-    // construction (|S|·|T| here; the ANN candidate lists at scale).
+    // construction (|S|·|T| in the exact entry; the ANN candidate lists
+    // at scale).
     // NOTE: localCheckpoint truncates lineage — a lost block fails the
     // job and the caller retries.
     val pairs = dots.localCheckpoint(true)

@@ -68,6 +68,14 @@ object Sketches {
     * truncating integer op both engines reproduce verbatim. Exact
     * distinct-both/distinct-union ride along for in-row audit.
     *
+    * Below-k exact mode (standard theta-sketch semantics, mirroring
+    * [[graft.functions.Aggregators.KmvDistinct]]): when the union
+    * retains FEWER than k distinct hashes the populations are fully
+    * observed, so estimating through θ = max retained hash would
+    * grossly overstate them; instead θ emits the 2⁶⁰ sentinel, ρ is
+    * every retained both-sides hash, and est_inter/est_union are the
+    * exact retained counts.
+    *
     * Scale shape: the log collapses to DISTINCT (side, hash) first,
     * the per-side bottom-k is a rank window over that collapsed table
     * (k-bounded, TopK-rewritable), and everything after operates on
@@ -96,21 +104,30 @@ object Sketches {
     val unionKept = kept.select(col("h")).distinct()
       .withColumn("__rn", row_number().over(wU))
       .filter(col("__rn") <= k)
-    val theta = unionKept.agg(max(col("h")).as("theta"))
+    val stats = unionKept
+      .agg(max(col("h")).as("theta_raw"), count(lit(1)).as("nu"))
     val both = kept.filter(col("side") === "a").select(col("h"))
       .intersect(kept.filter(col("side") === "b").select(col("h")))
-    val rho = both.crossJoin(broadcast(theta))
-      .filter(col("h") < col("theta"))
-      .agg(count(lit(1)).as("rho"))
+    val rhoCnt = both.crossJoin(broadcast(stats))
+      .agg(coalesce(sum(when(col("h") < col("theta_raw"), 1L)
+          .otherwise(0L)), lit(0L)).as("rho_lt"),
+        count(lit(1)).as("rho_all"))
     val exact = hashed
       .groupBy(col(keyCol))
       .agg(countDistinct(col("side")).as("__ns"))
       .agg(sum(when(col("__ns") === 2, 1L).otherwise(0L)).as("n_exact_both"),
         count(lit(1)).as("n_exact_union"))
-    theta.crossJoin(broadcast(rho)).crossJoin(broadcast(exact))
-      .select(col("theta"), col("rho"),
-        expr(s"rho * (${full}L div theta)").as("est_inter"),
-        expr(s"${k - 1}L * (${full}L div theta)").as("est_union"),
+    val exactMode = col("nu") < k
+    stats.crossJoin(broadcast(rhoCnt)).crossJoin(broadcast(exact))
+      .select(
+        when(exactMode, lit(full)).otherwise(col("theta_raw")).as("theta"),
+        when(exactMode, col("rho_all")).otherwise(col("rho_lt")).as("rho"),
+        when(exactMode, col("rho_all"))
+          .otherwise(expr(s"rho_lt * (${full}L div theta_raw)"))
+          .as("est_inter"),
+        when(exactMode, col("nu"))
+          .otherwise(expr(s"${k - 1}L * (${full}L div theta_raw)"))
+          .as("est_union"),
         col("n_exact_both"), col("n_exact_union"))
   }
 }

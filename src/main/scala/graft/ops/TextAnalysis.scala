@@ -461,9 +461,21 @@ object TextAnalysis {
                queryTerms: Seq[String], k: Int = 20): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
     val qtf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    bm25Score(qtf, dl, idCol, k)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25TopK]] (tokenize-on-query)
+    * and [[bm25TopKIndexed]] (serve-from-postings): takes the
+    * query-term tf table (id, term, tf) and the doc-length table
+    * (id, dl) and produces the exact integer-rational top-k. Corpus
+    * stats (N, T) reduce from dl; df for the handful of query terms
+    * reduces from qtf; both broadcast.
+    */
+  private def bm25Score(qtf: DataFrame, dl: DataFrame, idCol: String,
+                        k: Int): DataFrame = {
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
     val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     qtf.join(broadcast(df), "term")
       .join(dl, idCol)
@@ -477,6 +489,72 @@ object TextAnalysis {
         sum(col("term_score_milli")).as("score_milli"))
       .orderBy(col("score_milli").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Persist the BM25 serving index: ONE tokenize pass produces the
+    * (doc, term, tf) posting table; doc lengths DERIVE from it
+    * (dl = Σ tf per doc), so the corpus text is read exactly once and
+    * never re-tokenized at query time. Postings are clustered by term
+    * (hash-repartitioned + sorted within partitions) so a query-term
+    * lookup prunes parquet row groups by the term min/max stats instead
+    * of scanning the full posting table; both tables append via the
+    * dedup-keyed store (idempotent re-ingest), family-stamped so a
+    * reader with a different tokenizer fails loudly.
+    *
+    * Shape at 100 TB: the store IS the scale story — tokenization cost
+    * is paid once per ingested document, a query touches |terms| posting
+    * ranges plus the narrow two-column doclen table, and df/N/T reduce
+    * from those. Incremental growth is append-only on (doc, term).
+    *
+    * `batchId` is ingest bookkeeping, the same contract a streaming
+    * sink's commit log gives: when set, a batch already marked committed
+    * in this store is skipped WITHOUT re-reading the corpus (the
+    * underlying appendDedup would absorb a replay anyway, but only after
+    * paying the full tokenize — the marker makes the no-op free). Use
+    * distinct ids for distinct corpus slices; None always ingests.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     storeDir: String, batchId: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    graft.operators.Sinks.requireFamily(spark, storeDir, bm25Family)
+    val marker = batchId.map { id =>
+      new org.apache.hadoop.fs.Path(storeDir, s"_batch_$id")
+    }
+    val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    if (marker.zip(fs).exists { case (m, f) => f.exists(m) }) return
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // one tokenize pass feeds postings AND doclens
+    graft.operators.Sinks.appendDedup(
+      tf.repartition(col("term")).sortWithinPartitions("term", "doc_id"),
+      s"$storeDir/postings", Seq("doc_id", "term"))
+    graft.operators.Sinks.appendDedup(
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      s"$storeDir/doclens", Seq("doc_id"))
+    graft.operators.Sinks.stampFamily(spark, storeDir, bm25Family)
+    // committed LAST: a crash before this line leaves no marker, so the
+    // retry re-ingests and appendDedup absorbs the partial first attempt
+    marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
+  }
+
+  private val bm25Family = "bm25 tokenizer=ws-lower v1"
+
+  /** BM25 served from the persisted posting store of [[buildBm25Index]]
+    * — no tokenization anywhere on the query path: query-term tf rows
+    * come straight off the term-clustered posting parquet (term IN
+    * filter pushed to the scan), doc lengths off the doclen table, and
+    * the scoring tail is byte-identical to [[bm25TopK]]'s, so both
+    * entries satisfy one oracle.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, queryTerms: Seq[String],
+                      k: Int = 20): DataFrame = {
+    graft.operators.Sinks.requireFamily(spark, storeDir, bm25Family)
+    val qtf = spark.read.parquet(s"$storeDir/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val dl = spark.read.parquet(s"$storeDir/doclens")
+    bm25Score(qtf, dl, "doc_id", k)
   }
 
   /** CCNet-style language-model quality bucketing (Wenzek et al. 2020)

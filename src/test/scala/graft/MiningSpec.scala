@@ -77,6 +77,37 @@ class MiningSpec extends SparkTestBase {
     assert(out.get(0L).contains(1L), "s0's only aligned target is t1")
   }
 
+  test("marginMineAnn with one cell equals the exact marginMine") {
+    // kCells=1 puts every target in the single cell and every source
+    // probes it, so the candidate table IS the full bipartite dot table
+    // and the ANN entry must reproduce the exact entry bit-for-bit.
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ann = Similarity.marginMineAnn(src, tgt, "vec_id", "embedding",
+        k = 4, kCells = 1, nProbe = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture corpus must mine at least one pair")
+    assert(ann == exact, "one cell = full candidate table = exact result")
+  }
+
+  test("marginMineAnn mines only candidate-visible, positive-margin pairs") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val out = Similarity.marginMineAnn(src, tgt, "vec_id", "embedding",
+        k = 4, kCells = 8, nProbe = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 > 0), "only positive margins are mined")
+    assert(out.map(_._1).distinct.size == out.size,
+      "at most one mined target per source")
+    assert(out.forall(r => r._1 % 2 == 0 && r._2 % 2 == 1),
+      "sides must not leak across the bitext split")
+  }
+
   // ----------------------------------------------------- BPE statistics
   test("bpePairStats: adjacent pair counts with distinct-word support") {
     val docs = Seq((1L, "abc ab x")).toDF("doc_id", "text")

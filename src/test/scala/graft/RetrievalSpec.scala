@@ -38,6 +38,49 @@ class RetrievalSpec extends SparkTestBase {
     assert(out == Seq((1L, 1L, 0L), (2L, 1L, 0L)))
   }
 
+  test("bm25TopKIndexed serves the exact bm25TopK result from the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_").toString + "/idx"
+    TextAnalysis.buildBm25Index(corpus, "doc_id", "text", dir)
+    val direct = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      Seq("cat", "fish"), k = 10).as[(Long, Long, Long)].collect().toSeq
+    val served = TextAnalysis.bm25TopKIndexed(spark, dir,
+      Seq("cat", "fish"), k = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(served == direct, "postings round-trip must lose nothing")
+    // re-ingest is idempotent: the dedup-keyed store absorbs the replay
+    TextAnalysis.buildBm25Index(corpus, "doc_id", "text", dir)
+    val again = TextAnalysis.bm25TopKIndexed(spark, dir,
+      Seq("cat", "fish"), k = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(again == direct, "double ingest must not double-count tf/dl")
+  }
+
+  test("buildBm25Index: a committed batchId is skipped, a new one ingests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_b_").toString + "/idx"
+    TextAnalysis.buildBm25Index(corpus, "doc_id", "text", dir, Some("b0"))
+    val base = TextAnalysis.bm25TopKIndexed(spark, dir, Seq("cat", "bird"),
+      k = 10).as[(Long, Long, Long)].collect().toSeq
+    // same batchId with a DIFFERENT frame: marker wins, nothing is read
+    val extra = Seq((9L, "bird bird")).toDF("doc_id", "text")
+    TextAnalysis.buildBm25Index(extra, "doc_id", "text", dir, Some("b0"))
+    assert(TextAnalysis.bm25TopKIndexed(spark, dir, Seq("cat", "bird"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq == base,
+      "a committed batch id must be a free no-op")
+    // a fresh batchId ingests the increment
+    TextAnalysis.buildBm25Index(extra, "doc_id", "text", dir, Some("b1"))
+    val grown = TextAnalysis.bm25TopKIndexed(spark, dir, Seq("cat", "bird"),
+      k = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(grown.map(_._1).contains(9L), "the new batch must be served")
+  }
+
+  test("bm25TopKIndexed refuses a store stamped by a different tokenizer family") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_fam_").toString + "/idx"
+    TextAnalysis.buildBm25Index(corpus, "doc_id", "text", dir)
+    graft.operators.Sinks.stampFamily(spark, dir, "bm25 tokenizer=other v9")
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.bm25TopKIndexed(spark, dir, Seq("cat"), k = 10)
+    }
+    assert(e.getMessage.contains("family"))
+  }
+
   test("invertedIndex: df/cf and bounded doc-id-sorted posting heads") {
     val out = TextAnalysis.invertedIndex(corpus, "doc_id", "text", headLen = 20)
       .as[(String, Long, Long, String)].collect().toMap2
