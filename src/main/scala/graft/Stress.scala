@@ -302,6 +302,23 @@ object Stress {
         graft.ops.Similarity.marginMine(vecs(n, "s"), vecs(200L, "t"),
           "vec_id", "embedding", k = 4)
       }),
+      // candidate-bounded mining with BOTH sides scaling — the r12
+      // broadcast fix's contract. kCells grows ~sqrt(union) (the IVF
+      // operating point), so E[cell] and candidate volume per source
+      // stay density-bounded; no all-pairs stage, no forced broadcast.
+      // Assignment cost is n*kCells ~ n^1.5 in raw ops, but the cell
+      // join and mass aggregates — the shuffle-bearing stages — carry
+      // only |S|*nProbe*E[cell] pairs, linear at this operating point
+      // (bench: margin_mine_ann)
+      ("margin_mine_ann", n => {
+        val src = embeddingsAt(spark, n, 16).select(
+          col("vec_id") * 2 as "vec_id", col("embedding"))
+        val tgt = embeddingsAt(spark, n, 16).select(
+          col("vec_id") * 2 + 1 as "vec_id", col("embedding"))
+        val kCells = math.max(8, math.sqrt(2.0 * n).round.toInt / 2)
+        graft.ops.Similarity.marginMineAnn(src, tgt, "vec_id", "embedding",
+          k = 4, kCells = kCells, nProbe = 2, iters = 1)
+      }),
       // Pareto front: per-x max (map-side combinable) + composed local
       // fronts before the global sweep — distinct-x volume dominates
       // (bench: pareto_front)

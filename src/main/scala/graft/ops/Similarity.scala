@@ -735,8 +735,10 @@ object Similarity {
     * (ivfTopK / lshTopK with k′ ≥ k) instead, and the window + mass +
     * margin pipeline downstream of `dots` applies UNCHANGED — margin
     * mining only ever reads each endpoint's bounded candidate list. The
-    * two neighborhood-mass aggregates are map-side combinable and tiny
-    * (one row per distinct endpoint); both re-joins broadcast.
+    * two neighborhood-mass aggregates are map-side combinable and
+    * narrow (one row per distinct endpoint); the re-joins carry no
+    * broadcast hint — AQE broadcasts them when the endpoint count is
+    * small and shuffles on the id otherwise.
     * Overflow bound: 2k·dot ≤ 2k·d·(5·10^5)² must stay under 2^63 —
     * holds through k ~ 10^4 at d = 64.
     */
@@ -768,14 +770,28 @@ object Similarity {
     *
     * Shape at 100 TB: candidate volume is |S|·nProbe·E[cell size] —
     * linear in each side for fixed kCells density, never |S|·|T|. The
-    * only broadcast is the probe side's (src_id, quantized vec, cells)
-    * projection if small, else the cell join shuffles both sides on the
-    * cell id; no all-pairs stage exists anywhere.
+    * cell join carries NO broadcast hint: AQE broadcasts the probe
+    * side's (src_id, quantized vec, cell) projection when its runtime
+    * size is under the threshold, and shuffles both sides on the cell
+    * id otherwise — a corpus-sized source can never be forced through
+    * the driver. No all-pairs stage exists anywhere.
     */
   def marginMineAnn(src: DataFrame, tgt: DataFrame, idCol: String,
                     vecCol: String, k: Int, kCells: Int = 16,
                     nProbe: Int = 3, iters: Int = 2,
-                    codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+                    codebook: Option[Array[Array[Long]]] = None): DataFrame =
+    marginMineFrom(
+      annCandidates(src, tgt, idCol, vecCol, kCells, nProbe, iters, codebook), k)
+
+  /** The candidate stage of [[marginMineAnn]], exposed so plan-shape
+    * tests can assert the cell join's exchange structure (the mining
+    * entry checkpoints this table, which truncates the visible plan).
+    * Emits the bounded (src_id, tgt_id, dot_q) pair table.
+    */
+  private[graft] def annCandidates(src: DataFrame, tgt: DataFrame,
+                    idCol: String, vecCol: String, kCells: Int,
+                    nProbe: Int, iters: Int,
+                    codebook: Option[Array[Array[Long]]]): DataFrame = {
     val sq = src.select(col(idCol).as("src_id"),
       quantized(col(vecCol)).as("__sv")).localCheckpoint(true)
     val tq = tgt.select(col(idCol).as("tgt_id"),
@@ -801,11 +817,13 @@ object Similarity {
       .select(col("src_id"), col("__sv"),
         slice(array_sort(array(probeDists.toIndexedSeq: _*)), 1, nProbe).as("cells"))
       .select(col("src_id"), col("__sv"), explode(col("cells.cell")).as("cell"))
-    val dots = tCells.join(broadcast(sCells), Seq("cell"))
+    // no broadcast hint: sCells is |S|·nProbe rows each carrying a
+    // 64-long quantized vector — corpus-sized at bitext scale. AQE
+    // picks broadcast only when the runtime size actually permits it.
+    tCells.join(sCells, Seq("cell"))
       .select(col("src_id"), col("tgt_id"),
         graft.functions.Expressions.long_vector_dot(col("__sv"), col("__tv"))
           .as("dot_q"))
-    marginMineFrom(dots, k)
   }
 
   /** The margin pipeline downstream of the pair table: takes ANY
@@ -835,9 +853,12 @@ object Similarity {
       .agg(topkSum(col("dot_q")).as("__tgt_mass"))
     // best (margin, then lowest tgt_id) per source: a single argmax
     // aggregate via MaxByRow — one exchange, again no sort
+    // no broadcast hints: the mass tables are one row per distinct
+    // endpoint — narrow but corpus-sized at bitext scale. AQE broadcasts
+    // them when small, else the joins shuffle on src_id / tgt_id.
     val scored = pairs
-      .join(broadcast(srcMass), "src_id")
-      .join(broadcast(tgtMass), "tgt_id")
+      .join(srcMass, "src_id")
+      .join(tgtMass, "tgt_id")
       .withColumn("margin_q",
         lit(2L * k) * col("dot_q") - col("__src_mass") - col("__tgt_mass"))
     scored.groupBy("src_id")

@@ -390,4 +390,46 @@ class ScaleSpec extends SparkTestBase {
     assert(exchanges("text_lang_consistency") == 0,
       "per-half language ID must not shuffle")
   }
+
+  test("marginMineAnn carries no forced broadcast: plan shuffles when broadcast is off") {
+    // With the broadcast threshold disabled a broadcast() HINT would
+    // still force a BroadcastExchange (hints override the threshold) —
+    // so "zero BroadcastExchange under threshold -1" proves the cell
+    // join and both mass re-joins are free to shuffle at corpus scale,
+    // exactly what the operator's scale contract promises.
+    val ab = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aab = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.embeddings(spark, sf("sf0.001"))
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      // candidate stage: visible pre-checkpoint, so the cell join's
+      // exchanges can be asserted directly
+      val cand = graft.ops.Similarity.annCandidates(
+        src, tgt, "vec_id", "embedding", kCells = 4, nProbe = 2, iters = 2,
+        codebook = None)
+      cand.collect()
+      val candPlan = cand.queryExecution.executedPlan.toString
+      assert(!candPlan.contains("BroadcastExchange"),
+        s"the cell join must not force a broadcast; plan:\n$candPlan")
+      assert(candPlan.contains("Exchange hashpartitioning(cell"),
+        s"the cell join must shuffle both sides on the cell id; plan:\n$candPlan")
+      // full mining entry: the mass re-joins downstream of the
+      // checkpoint are likewise hint-free
+      val out = graft.ops.Similarity.marginMineAnn(
+        src, tgt, "vec_id", "embedding", k = 4, kCells = 4, nProbe = 2)
+      out.collect() // execute so AQE finalizes the plan
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"no join in the ANN mining path may force a broadcast; plan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", ab)
+      aab match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
