@@ -4874,10 +4874,18 @@ object Queries {
   private val bm25TopkIndexed = Q(
     "bm25_topk_indexed",
     (s, d) => {
-      val dir = bm25IdxDirs.computeIfAbsent(
-        d, _ => scratchDir("graft_bm25idx_") + "/index")
-      TextAnalysis.buildBm25Index(documents(s, d), "doc_id", "text", dir,
-        batchId = Some("full"))
+      // the INGEST runs inside computeIfAbsent: ConcurrentHashMap runs
+      // the mapping function exactly once per corpus dir and blocks
+      // concurrent callers until it returns, so two simultaneous
+      // invocations can never race appendDedup's anti-join into
+      // double-written postings. A failed ingest installs nothing, so
+      // the next call rebuilds; later calls serve the completed store.
+      val dir = bm25IdxDirs.computeIfAbsent(d, _ => {
+        val idx = scratchDir("graft_bm25idx_") + "/index"
+        TextAnalysis.buildBm25Index(documents(s, d), "doc_id", "text", idx,
+          batchId = Some("full"))
+        idx
+      })
       TextAnalysis.bm25TopKIndexed(s, dir, Seq("dup", "vector", "merge"), k = 20)
     },
     Some(bm25OracleSql))

@@ -319,6 +319,18 @@ object Stress {
         graft.ops.Similarity.marginMineAnn(src, tgt, "vec_id", "embedding",
           k = 4, kCells = kCells, nProbe = 2, iters = 1)
       }),
+      // BPE trainer with the frequency-capped working vocabulary: the
+      // distinct-word table is n (every doc a unique word) but the cap
+      // holds the per-round re-segmentation at maxVocab words, so
+      // rounds x working-set cost is SCALE-INVARIANT — only the one-off
+      // vocabulary aggregate grows with the corpus
+      // (spec: MiningSpec bpeMergeRounds; no bench query trains)
+      ("bpe_merge_rounds", n => {
+        val docs = spark.range(n).select(
+          concat(lit("w"), col("id"), lit("end")).as("text"))
+        graft.ops.TextAnalysis.bpeMergeRounds(docs, "text", rounds = 4,
+          maxVocab = 5000)
+      }),
       // Pareto front: per-x max (map-side combinable) + composed local
       // fronts before the global sweep — distinct-x volume dominates
       // (bench: pareto_front)

@@ -254,7 +254,10 @@ object Expressions {
     * candidate-generation loop of a binary-quantized ANN stays inside
     * whole-stage codegen (popcount is a single instruction; the whole
     * distance is a handful of cycles vs ~128 float ops for the cosine
-    * it pre-filters).
+    * it pre-filters). Mismatched code lengths fail loudly: comparing a
+    * 2-word code to a 3-word code is a caller bug (codes from different
+    * packers), and a silent prefix distance would quietly corrupt every
+    * downstream ranking.
     */
   case class HammingPacked(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -264,7 +267,10 @@ object Expressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"hamming_packed: code length mismatch ($n vs ${y.numElements()} words)")
       var s = 0
       var i = 0
       while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
@@ -277,7 +283,12 @@ object Expressions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "hamming_packed: code length mismatch (" + $n + " vs " +
+           |    $b.numElements() + " words)");
+           |}
            |int $s = 0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));

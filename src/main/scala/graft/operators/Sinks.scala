@@ -193,15 +193,26 @@ object Sinks {
     *    integrity-violation SQLState class 23xxx — exactly the reference's
     *    try/except-constraint-error loop, kept as the portable fallback.
     */
+  /** The statement [[appendJdbc]] prepares, exposed so specs can assert
+    * the exact SQL text per dialect: against Postgres it is the
+    * reference's dup-tolerant form — a plain parameterized INSERT with
+    * the `ON CONFLICT DO NOTHING` clause appended (ref
+    * `src/movie_etl/tasks/etl_task.py:509-513`); every other dialect
+    * gets the bare INSERT and relies on the client-side
+    * constraint-violation swallow.
+    */
+  private[graft] def insertStatement(table: String, cols: Seq[String],
+                                     url: String): String = {
+    val base = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    if (url.startsWith("jdbc:postgresql")) base + " ON CONFLICT DO NOTHING" else base
+  }
+
   def appendJdbc(df: DataFrame, url: String, table: String,
                  batchSize: Int = 500,
                  properties: java.util.Properties = new java.util.Properties): Unit = {
     val cols = df.schema.fieldNames
-    val insertSql = {
-      val base = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
-      if (url.startsWith("jdbc:postgresql")) base + " ON CONFLICT DO NOTHING" else base
-    }
+    val insertSql = insertStatement(table, cols, url)
     val serverSideConflicts = url.startsWith("jdbc:postgresql")
     val sqlTypes: Array[Int] = df.schema.fields.map(f => f.dataType match {
       case org.apache.spark.sql.types.LongType      => java.sql.Types.BIGINT
@@ -407,7 +418,7 @@ object Sinks {
     * deliberately does not fake.
     */
   def commitVersion(df: DataFrame, tableDir: String): Int = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
     val spark = df.sparkSession
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -417,9 +428,12 @@ object Sinks {
     val ptr = new Path(tableDir, "_latest")
     val os = fs.create(tmp, true)
     try os.write(next.toString.getBytes("UTF-8")) finally os.close()
-    fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr))
-      throw new IllegalStateException(s"could not swap $ptr to v$next")
+    // single-step rename-overwrite (FileContext, not the two-step
+    // delete+rename FileSystem offers): a concurrent readVersion(None)
+    // sees either the old pointer or the new one, never a gap
+    val fc = FileContext.getFileContext(new Path(tableDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
     next
   }
 
@@ -450,11 +464,18 @@ object Sinks {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.getOrElse {
       val ptr = new Path(tableDir, "_latest")
-      if (!fs.exists(ptr))
-        throw new IllegalStateException(s"$tableDir has no _latest pointer")
-      val in = fs.open(ptr)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else
+        // pointer missing but commits exist: a writer crashed between
+        // landing v<N> and swapping the pointer — the newest immutable
+        // version IS the latest durable commit, so serve it instead of
+        // failing a table that has data
+        listVersions(spark, tableDir).lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"$tableDir has no _latest pointer and no committed versions"))
     }
     val path = s"$tableDir/v$v"
     if (!fs.exists(new Path(path)))

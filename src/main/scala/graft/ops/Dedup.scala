@@ -667,20 +667,38 @@ object Dedup {
     // downstream, documents become sorted long arrays, candidate joins
     // key on longs, and verification intersects longs, never strings.
     // The bijection makes every count identical to the string
-    // formulation. The global rank runs over the VOCABULARY table (df
-    // distinct shingles), not the corpus; at a scale where that
-    // outgrows one window partition, rank per df-band and offset by the
-    // bands' running totals — same order, no single sort
+    // formulation. The rank is BANDED, never one global sort: rows
+    // partition by (df, first code point) — bands are contiguous runs
+    // of the global (df asc, shingle asc) order because UTF-8 binary
+    // string order starts at the first code point — each band ranks
+    // independently, and a running total over the metadata-scale
+    // (df, band) size table offsets the bands back into one dense
+    // 1..V sequence. Same bijection as a global row_number, but the
+    // widest sort is one band, not the vocabulary.
     import org.apache.spark.sql.expressions.Window
-    val vocab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-      .withColumn("__code", row_number()
-        .over(Window.orderBy(col("__df"), col("shingle"))).cast("long"))
+    val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .withColumn("__band", substring(col("shingle"), 1, 1))
+    val bandOffsets = dfCounts.groupBy(col("__df"), col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__df"), col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bn")
+    val vocab = dfCounts
+      .join(bandOffsets, Seq("__df", "__band"))
+      .withColumn("__code", col("__off") + row_number()
+        .over(Window.partitionBy(col("__df"), col("__band"))
+          .orderBy(col("shingle"))).cast("long"))
+      .select(col("shingle"), col("__df"), col("__code"))
     // per-doc set as the sorted code array; materialized once: probe
     // (twice, via the self-join) and both verification sides all read
     // this table — without the checkpoint the shingle+vocab+sort
     // subtree would replay four times in one plan (NOTE: localCheckpoint
-    // truncates lineage — a lost block fails the job, caller retries)
-    val ordered = sh.join(broadcast(vocab), "shingle")
+    // truncates lineage — a lost block fails the job, caller retries).
+    // No broadcast hint on the vocab join: the vocabulary is corpus-
+    // derived (billions of shingles at 100 TB) — AQE broadcasts it when
+    // its runtime size permits and shuffles on the shingle otherwise.
+    val ordered = sh.join(vocab, "shingle")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__code"))).as("__set"))
       .withColumn("__size", size(col("__set")).cast("long"))
@@ -709,15 +727,19 @@ object Dedup {
               (col("a.__size") + col("b.__size")))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // one bounded row per document — broadcast both verification sides
-    // so the candidate stream verifies in a single narrow pass
+    // one bounded row per document on each verification side — but one
+    // row per document is CORPUS-sized, so no broadcast hint: AQE
+    // broadcasts the set table when its runtime size permits (the
+    // single-pass verify), else the joins shuffle on the pair ids —
+    // the shape that survives a corpus whose code arrays don't fit on
+    // one executor
     val sets = ordered.select(col(idCol), col("__set").as("__arr"),
       col("__size"))
     cands
-      .join(broadcast(sets.select(col(idCol).as("id_a"),
-        col("__arr").as("__arr_a"), col("__size").as("n_a"))), "id_a")
-      .join(broadcast(sets.select(col(idCol).as("id_b"),
-        col("__arr").as("__arr_b"), col("__size").as("n_b"))), "id_b")
+      .join(sets.select(col(idCol).as("id_a"),
+        col("__arr").as("__arr_a"), col("__size").as("n_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"),
+        col("__arr").as("__arr_b"), col("__size").as("n_b")), "id_b")
       .withColumn("n_inter",
         size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))

@@ -512,6 +512,15 @@ object TextAnalysis {
     * underlying appendDedup would absorb a replay anyway, but only after
     * paying the full tokenize — the marker makes the no-op free). Use
     * distinct ids for distinct corpus slices; None always ingests.
+    *
+    * CONTRACT — doc ids are immutable once ingested: the dedup keys are
+    * (doc_id, term) for postings and (doc_id) for doclens, so
+    * re-ingesting a doc_id whose TEXT changed would append only its new
+    * terms while keeping stale tf and dl rows — a mixed-version index
+    * scoring neither text. Treat a changed document as a NEW doc_id
+    * (e.g. key by content hash upstream) and retire the old id by
+    * rebuilding the store; this matches how immutable training-corpus
+    * snapshots version documents.
     */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      storeDir: String, batchId: Option[String] = None): Unit = {
@@ -522,6 +531,14 @@ object TextAnalysis {
     }
     val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
     if (marker.zip(fs).exists { case (m, f) => f.exists(m) }) return
+    // family stamped BEFORE the appends: postings/doclens existence is
+    // checked on their own subdirs, so an early stamp cannot divert an
+    // append path — and a crash between the first append and a
+    // stamp-last would otherwise strand a fresh store in the
+    // "data but no marker" state requireFamily rejects as rebuildable.
+    // With the stamp already down, EVERY partial-crash retry re-enters
+    // here, passes requireFamily, and appendDedup absorbs the partials.
+    graft.operators.Sinks.stampFamily(spark, storeDir, bm25Family)
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -532,9 +549,8 @@ object TextAnalysis {
     graft.operators.Sinks.appendDedup(
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
       s"$storeDir/doclens", Seq("doc_id"))
-    graft.operators.Sinks.stampFamily(spark, storeDir, bm25Family)
-    // committed LAST: a crash before this line leaves no marker, so the
-    // retry re-ingests and appendDedup absorbs the partial first attempt
+    // batch marker committed LAST: a crash before this line leaves no
+    // marker, so the retry re-ingests and the dedup keys absorb it
     marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
   }
 
@@ -662,14 +678,41 @@ object TextAnalysis {
     * single argmax row move between rounds. The argmax collect is one
     * row per round — bounded by construction, the same driver-probe
     * budget as the Lloyd codebooks.
+    *
+    * `maxVocab` bounds the working set at web-corpus scale: when the
+    * distinct-word table exceeds it, training keeps the `maxVocab` most
+    * FREQUENT words (ties to the lexicographically smallest — fully
+    * deterministic) and logs exactly what was dropped. This is the
+    * standard production trainer move (SentencePiece/HF trainers cap
+    * their word tables the same way): the dropped tail is the Zipf
+    * long-tail whose pair mass is negligible by construction, and the
+    * cap turns every round's re-segmentation cost from
+    * O(distinct words) into O(maxVocab) — rounds × full-corpus passes
+    * never happens. The default never triggers below 2²⁰ distinct
+    * words, so small-corpus merge tables are bit-identical to the
+    * uncapped trainer.
     */
   def bpeMergeRounds(docs: DataFrame, textCol: String,
-                     rounds: Int): DataFrame = {
+                     rounds: Int, maxVocab: Int = 1 << 20): DataFrame = {
     import docs.sparkSession.implicits._
+    require(maxVocab > 0, "maxVocab must be positive")
     // vocabulary with corpus frequency — the classical BPE working set
-    var segmented = docs.select(explode(tokens(col(textCol))).as("w"))
+    val fullVocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocabSize = fullVocab.count()
+    val working =
+      if (vocabSize <= maxVocab) fullVocab
+      else {
+        // no silent caps: say what was dropped and by which rule
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bpeMergeRounds: capping working vocabulary $vocabSize -> " +
+          s"$maxVocab most frequent words (ties lexicographic); " +
+          s"${vocabSize - maxVocab} Zipf-tail words excluded from pair counts")
+        fullVocab.orderBy(col("n").desc, col("w")).limit(maxVocab)
+      }
+    var segmented = working
       .select(split(col("w"), "").as("syms"), col("n"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -713,6 +756,7 @@ object TextAnalysis {
       }
     }
     segmented.unpersist()
+    fullVocab.unpersist()
     docs.sparkSession.createDataFrame(merges.toSeq)
       .toDF("round", "pair", "freq")
   }

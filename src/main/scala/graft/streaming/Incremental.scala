@@ -32,8 +32,12 @@ object Incremental {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
   /** Hopping (sliding) window aggregation: overlapping windows of
-    * `sizeSec` seconds every `slideSec` seconds (size must be a
-    * multiple of slide), epoch-aligned like Spark's `window()`. Each
+    * `sizeSec` seconds every `slideSec` seconds, epoch-aligned like
+    * Spark's `window()`. Contract: both durations must be positive and
+    * `sizeSec` must be an exact multiple of `slideSec` — anything else
+    * throws `IllegalArgumentException` at plan-build time (a
+    * non-multiple size would silently mis-bucket boundary events, so
+    * the operator refuses it rather than guessing). Each
     * event lands in size/slide windows; count plus min/max value per
     * (window, key) — selection-only measures, so doubles stay
     * engine-exact. Window bounds emit as EPOCH SECONDS, sidestepping

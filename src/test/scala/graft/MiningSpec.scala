@@ -136,6 +136,27 @@ class MiningSpec extends SparkTestBase {
     assert(out.head._3 == 4L)
   }
 
+  test("bpeMergeRounds: maxVocab keeps the frequent head and drops only the Zipf tail") {
+    // aaab (freq 3) and ccc (freq 1, lex before dd) survive a cap of 2;
+    // dd's lone (d,d) pair can never win a round, so the capped merge
+    // table must equal the uncapped one bit-for-bit
+    val docs = Seq((1L, "aaab aaab aaab ccc dd")).toDF("doc_id", "text")
+    val uncapped = TextAnalysis.bpeMergeRounds(docs, "text", rounds = 3)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    val capped = TextAnalysis.bpeMergeRounds(docs, "text", rounds = 3,
+        maxVocab = 2)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(uncapped.nonEmpty && capped == uncapped,
+      s"cap changed the merge table: $capped vs $uncapped")
+    // a cap that DOES bite the head changes pair mass: with only aaab
+    // retained, ccc's (c,c) pair disappears from every round
+    val only1 = TextAnalysis.bpeMergeRounds(docs, "text", rounds = 9,
+        maxVocab = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(!only1.exists(_._2 == "cc"),
+      "dropped words contribute no pairs")
+  }
+
   // ------------------------------------------------------ OHLC resample
   test("resampleOhlc: open/close by event order, low/high by value") {
     def ts(s: String) = Timestamp.valueOf(s)

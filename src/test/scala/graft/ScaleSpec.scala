@@ -391,6 +391,34 @@ class ScaleSpec extends SparkTestBase {
       "per-half language ID must not shuffle")
   }
 
+  test("prefix-filtered set-sim join: banded vocab rank, no forced broadcast") {
+    val ab = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1 to 300).map(i =>
+        (i.toLong, s"w${i % 40} w${(i + 1) % 40} w${(i + 2) % 40} w${(i + 3) % 40} w${i % 7}"))
+        .toDF("doc_id", "text")
+      val out = graft.ops.Dedup.prefixFilteredJaccardPairs(
+        docs, "doc_id", "text", 3, 0.5)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"vocab + verification joins must be free to shuffle; plan:\n$plan")
+      // the checkpointed `ordered` table hides the vocab subtree from
+      // this plan — assert the banded rank on the subtree directly
+      val sh = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("shingle"))
+      val vocabPlanHost = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("__df"))
+        .withColumn("__band", substring(col("shingle"), 1, 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__df"), col("__band")).orderBy(col("shingle"))
+      val banded = vocabPlanHost.withColumn("__code", row_number().over(w))
+      assert(banded.queryExecution.executedPlan.toString
+          .contains("hashpartitioning(__df"),
+        "the vocabulary rank must partition by (df, band), never one global sort")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", ab)
+  }
+
   test("marginMineAnn carries no forced broadcast: plan shuffles when broadcast is off") {
     // With the broadcast threshold disabled a broadcast() HINT would
     // still force a BroadcastExchange (hints override the threshold) —

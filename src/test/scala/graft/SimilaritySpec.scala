@@ -88,6 +88,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(ham((1L, 3L)) == 4) // dims 0,1,2 flipped + dim 3 zero-vs-neg
   }
 
+  test("hamming_packed fails loudly on mismatched code lengths") {
+    import graft.functions.Expressions.hamming_packed
+    val df = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val err = intercept[Exception] {
+      df.select(hamming_packed(col("a"), col("b"))).collect()
+    }
+    // surfaces wrapped in Spark's execution exception; the root message
+    // must name the mismatch instead of silently prefix-comparing
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m != null && m.contains("code length mismatch")), s"got: $err")
+  }
+
   test("binaryHammingTopK: exact-duplicate recall and recall vs brute force") {
     // clustered corpus: sign patterns separate the clusters, so the
     // Hamming prefilter must keep true neighbors in the pool

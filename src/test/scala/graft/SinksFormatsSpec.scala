@@ -273,6 +273,58 @@ class SinksFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("appendJdbc emits the reference's ON CONFLICT DO NOTHING form for Postgres") {
+    // ref etl_task.py:509-513: INSERT ... ON CONFLICT DO NOTHING — the
+    // server-side dup-tolerant branch no local harness can execute
+    // (Derby only), so the emitted statement text IS the contract
+    assert(Sinks.insertStatement("movies", Seq("movie_id", "title"),
+        "jdbc:postgresql://db:5432/kg") ==
+      "INSERT INTO movies (movie_id, title) VALUES (?, ?) ON CONFLICT DO NOTHING")
+    // any other dialect gets the bare INSERT (conflicts swallowed
+    // client-side by SQLState class 23)
+    assert(Sinks.insertStatement("movies", Seq("movie_id", "title"),
+        "jdbc:derby:memory:kg") ==
+      "INSERT INTO movies (movie_id, title) VALUES (?, ?)")
+  }
+
+  test("versioned table: a concurrent reader never observes a missing pointer") {
+    val dir = Files.createTempDirectory("graft_ver_race_").toString + "/t"
+    Sinks.commitVersion(spark.range(0, 10).toDF("id"), dir)
+    // hammer readVersion(None) while commits swap the pointer: the
+    // FileContext rename-overwrite must make the swap single-step, so
+    // the reader sees either the old pointer or the new one — the
+    // delete-then-rename it replaced had an observable gap
+    @volatile var readerError: Option[Throwable] = None
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done && readerError.isEmpty) {
+        try Sinks.readVersion(spark, dir).queryExecution.logical
+        catch { case t: Throwable => readerError = Some(t) }
+      }
+    })
+    reader.start()
+    try (2 to 12).foreach(i => Sinks.commitVersion(spark.range(0, i).toDF("id"), dir))
+    finally { done = true; reader.join(30000) }
+    assert(readerError.isEmpty,
+      s"reader observed a torn/missing pointer: ${readerError.map(_.getMessage)}")
+    assert(Sinks.readVersion(spark, dir).count() == 12)
+  }
+
+  test("versioned table: a lost pointer falls back to the newest committed version") {
+    val dir = Files.createTempDirectory("graft_ver_crash_").toString + "/t"
+    Sinks.commitVersion(spark.range(0, 5).toDF("id"), dir)
+    Sinks.commitVersion(spark.range(0, 7).toDF("id"), dir)
+    // simulate a writer that crashed between landing v2 and the swap
+    val ptr = new org.apache.hadoop.fs.Path(dir, "_latest")
+    ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ptr, false)
+    assert(Sinks.readVersion(spark, dir).count() == 7,
+      "newest immutable version is the latest durable commit")
+    // truly empty table still fails loudly
+    intercept[IllegalStateException] {
+      Sinks.readVersion(spark, dir + "_nothing_here")
+    }
+  }
+
   test("exportKgCsv: headers + MERGE script round-trip against bulkEdgesFromCsv") {
     val base = Files.createTempDirectory("graft_kgexp_").toString
     val movies = Seq((10L, "A"), (20L, "B")).toDF("movie_id", "title")

@@ -299,6 +299,67 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: a crash between micro-batches recovers exactly-once") {
+    // the incr_weekly_merge shape, killed and restarted: two overlapping
+    // file drops, maxFilesPerTrigger=1, partition-scoped idempotent
+    // merge. Run 1 commits micro-batch 0 then CRASHES as batch 1 opens
+    // (injected throw — a real failed query, not a graceful stop); run 2
+    // restarts from the SAME checkpoint and must redo ONLY the
+    // uncommitted batch; run 3 must be a no-op. This is the reference's
+    // weekly idempotency story surviving a mid-flow death.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val processed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    def run(crashAtBatch: Option[Long]) = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+          if (crashAtBatch.contains(id))
+            throw new RuntimeException(s"injected crash at micro-batch $id")
+          graft.operators.Sinks.mergeUpsertPartitioned(
+            batch, table, Seq("event_id"), "event_type")
+          processed.add(id): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // run 1: batch 0 commits, batch 1 dies
+    val q1 = run(crashAtBatch = Some(1L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(processed.toArray.toSeq == Seq(0L), "exactly batch 0 committed")
+    val partial = spark.read.parquet(table).count()
+    assert(partial > 0 && partial < ev.count(), "crash left a partial table")
+    // run 2: recovery — the committed batch is NOT replayed
+    processed.clear()
+    run(crashAtBatch = None).awaitTermination()
+    assert(processed.toArray.toSeq == Seq(1L),
+      s"restart must redo only the uncommitted batch, got $processed")
+    // recovered table = the batch world, bit-for-bit on the weekly rollup
+    val streamWeekly = Incremental.weeklyCounts(
+        spark.read.parquet(table), "ts", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batchWeekly = Incremental.weeklyCounts(ev, "ts", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamWeekly == batchWeekly,
+      "post-recovery table must hash-match the batch oracle")
+    // run 3: nothing new under the checkpoint — a clean no-op
+    processed.clear()
+    run(crashAtBatch = None).awaitTermination()
+    assert(processed.isEmpty, "an already-caught-up restart replays nothing")
+  }
+
   test("bloom dedup stream: duplicates never re-emitted across batches, state fixed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]

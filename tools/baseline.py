@@ -59,7 +59,11 @@ def main(sf_dir: str, out_dir: str, repeats: int = 2,
          bench_json: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # harness tables are single files; graft.ScaleData corpora are
+        # multi-file directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     per_query = {}
     for name in sorted(oracles):

@@ -21,6 +21,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def table_source(sf_dir: str, t: str) -> str:
+    """Parquet source for a table: the harness single file, or a glob
+    when the table is a multi-file directory (graft.ScaleData layout)."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -39,7 +46,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     for name in sorted(os.listdir(out_dir)):
