@@ -604,22 +604,40 @@ object Queries {
   // booleans TRUE: a sketch straying outside its bound breaks the hash.
   private val sketchAgg = Q(
     "sketch_agg",
-    (s, d) => lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("amed"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
-        percentile(col("l_extendedprice"), lit(0.495)).as("mlo"),
-        percentile(col("l_extendedprice"), lit(0.505)).as("mhi"))
-      .select(col("l_returnflag"), col("n"), col("exact_orders"),
-        col("exact_median"),
-        (abs(col("approx_orders") - col("exact_orders")) * 100 <=
-          col("exact_orders") * 5).as("hll_within_5pct"),
-        (col("amed") >= col("mlo") && col("amed") <= col("mhi"))
-          .as("median_within_rank_bound")),
+    (s, d) => {
+      // exact quantiles via the rank-based windowed interpolation
+      // (Features.quantilesCont, the quantile_cont_agg formulation) —
+      // NOT Spark's exact percentile() aggregate, whose buffer holds
+      // every distinct (value, count) per group: three of those maps
+      // over a 10x lineitem OOM'd a 48 GB heap at the sf1 ledger
+      // bench, while the window sort spills and scales. The sketch
+      // aggregates (HLL, KLL) keep their fixed-size state.
+      val exactQ = ops.Features.quantilesCont(
+        lineitem(s, d), "l_returnflag", "l_extendedprice", Seq(495, 500, 505))
+      // exact distinct lives in its OWN aggregation: fused with
+      // percentile_approx, the distinct rewrite keys the partial
+      // aggregate by (group, orderkey) and allocates an object buffer —
+      // a QuantileSummaries — per DISTINCT KEY, which is millions of
+      // buffers per task at ledger scale (OOM'd 48 GB at sf1). Split,
+      // each aggregation keeps its natural shape: the distinct pass is
+      // plain hash rows, the sketch pass holds 3 buffers total.
+      val exactD = lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("amed"))
+        .join(exactD, "l_returnflag") // per-group tables: tiny
+        .join(exactQ, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("exact_orders"),
+          col("p500_cont").as("exact_median"),
+          (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+            col("exact_orders") * 5).as("hll_within_5pct"),
+          (col("amed") >= col("p495_cont") && col("amed") <= col("p505_cont"))
+            .as("median_within_rank_bound"))
+    },
     Some("""SELECT l_returnflag, count(*) AS n,
               count(DISTINCT l_orderkey) AS exact_orders,
               quantile_cont(l_extendedprice, 0.5) AS exact_median,
@@ -2088,12 +2106,22 @@ object Queries {
   private val trendOlsQ = Q(
     "trend_ols",
     (s, d) => ops.TimeSeries.olsTrend(events(s, d), "event_type", "ts", "value"),
-    Some("""WITH b AS (
+    Some("""WITH b0 AS (
               SELECT event_type,
                 (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type))
-                  // 60000000 AS x,
-                CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                  // 60000000 AS x0,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS y0
               FROM events),
+            b AS (
+              -- truncated per-key mean anchors, mirroring the engine:
+              -- the slope is shift-invariant and centering keeps every
+              -- moment product inside BIGINT at any ledger scale
+              SELECT event_type,
+                x0 - (CAST(SUM(x0) OVER (PARTITION BY event_type) AS BIGINT)
+                  // COUNT(*) OVER (PARTITION BY event_type)) AS x,
+                y0 - (CAST(SUM(y0) OVER (PARTITION BY event_type) AS BIGINT)
+                  // COUNT(*) OVER (PARTITION BY event_type)) AS y
+              FROM b0),
             s AS (
               SELECT event_type, count(*) AS n,
                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -2101,8 +2129,10 @@ object Queries {
                 CAST(SUM(x * y) AS BIGINT) AS sxy
               FROM b GROUP BY 1)
             SELECT event_type, n, sx, sy, sxx, sxy,
-              ((n * sxy - sx * sy) * 1000)
-                // greatest(1, (n * sxx - sx * sx) // 1000) AS slope_micro
+              CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000)
+                // greatest(CAST(1 AS HUGEINT),
+                  (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) // 1000)
+                AS BIGINT) AS slope_micro
             FROM s"""))
 
   // seasonality-adjusted outliers: residual vs the (type, hour-of-day)
@@ -2723,11 +2753,14 @@ object Queries {
   // bucketing is exact-complete (chunks = maxHamming + 1) and every
   // candidate is verified with bit_count(xor).
   // maxBucket: the library default (1000) is a skew guard that DROPS
-  // pairs in degenerate buckets; the harness corpus at sf0.1 has chunk
-  // buckets up to ~1.3k (similar-vocabulary docs -> similar majority-vote
-  // signatures), so the verified query raises it to stay exact-complete.
-  // Worst bucket cost is maxBucket^2/2 comparisons in one task — size it
-  // to the corpus's hot-bucket ceiling, not to infinity.
+  // pairs in degenerate buckets; the harness corpus has chunk buckets
+  // up to ~1.3k at sf0.1 and ~10x that at the sf1 ledger (similar-
+  // vocabulary docs -> similar majority-vote signatures, and bucket
+  // population scales with the corpus), so the verified query raises it
+  // to 50000 — the same exact-complete ceiling the minhash twin uses —
+  // to stay drop-free across every SF the gate runs. The quadratic cost
+  // is paid on ACTUAL bucket sizes, not the cap; size the cap to the
+  // corpus's hot-bucket ceiling, not to infinity.
   /** Brute-force simhash pair rebuild (md5-derived 60-bit signature via
     * per-bit SUMs, hamming join) with a caller-chosen extra predicate —
     * shared by the batch query and the incremental variant.
@@ -2756,7 +2789,7 @@ object Queries {
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text",
-      maxHamming = 7, maxBucket = 5000),
+      maxHamming = 7, maxBucket = 50000),
     Some(duckSimhashPairsSql("")))
 
   // simhash twin of incr_minhash_pairs: store seeded with the % 10 != 0
@@ -2772,9 +2805,9 @@ object Queries {
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val fresh = docs.filter(col("doc_id") % 10 === 0)
       Dedup.incrementalSimhashPairs(old, "doc_id", "text", dir,
-        maxHamming = 7, maxBucket = 5000)
+        maxHamming = 7, maxBucket = 50000)
       Dedup.incrementalSimhashPairs(fresh, "doc_id", "text", dir,
-        maxHamming = 7, maxBucket = 5000)
+        maxHamming = 7, maxBucket = 50000)
     },
     Some(duckSimhashPairsSql(" AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)")))
 
@@ -4414,14 +4447,21 @@ object Queries {
       operators.Sinks.writeBucketedAt(
         customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
         "graft_bkt_customer", "c_custkey", 8, s"$dir/customer")
+      // revenue in exact integer cents (half-up), the ledger-wide
+      // convention: a double SUM over millions of rows is accumulation-
+      // order-dependent in its last digit, so no rounding makes it
+      // engine-exact; the BIGINT sum is
       s.table("graft_bkt_orders")
         .join(s.table("graft_bkt_customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("revenue_cents"),
           count(lit(1)).as("n_orders"))
     },
-    Some("""SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+    Some("""SELECT c_mktsegment,
+              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS revenue_cents,
               count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1"""))
@@ -6854,17 +6894,25 @@ object Queries {
   // The harness stream is perfectly ordered, so arrival is modeled as
   // deterministic ingest jitter (event_id + (event_id % 7) * 6 — events
   // jump ahead by up to 36 sequence slots), which spreads real mass
-  // across ~17 buckets at sf0.01
+  // across ~17 buckets at sf0.01. The jittered sequence COLLIDES
+  // (ids within 36 of each other can land on one slot), and
+  // latenessProfile's arrival window requires a TOTAL order — a tie
+  // would leave the preceding-row hwm engine-defined (it did, at the
+  // sf1 ledger: 6 events flipped) — so the arrival key composes the
+  // slot with the id, (slot * 10^8 + event_id): same arrival order,
+  // id-tiebroken, unique for any harness corpus with event_id < 10^8
   private val latenessProfileQ = Q(
     "event_lateness_profile",
     (s, d) => EventAnalytics.latenessProfile(
       events(s, d).withColumn("arrival_seq",
-        col("event_id") + (col("event_id") % 7) * 6),
+        (col("event_id") + (col("event_id") % 7) * 6) * 100000000L
+          + col("event_id")),
       "user_id", "ts", "arrival_seq", bucketMinutes = 10L),
     Some("""WITH t AS (
               SELECT epoch_us(ts) AS tu,
                 max(epoch_us(ts)) OVER (PARTITION BY user_id
-                  ORDER BY (event_id + (event_id % 7) * 6)
+                  ORDER BY (event_id + (event_id % 7) * 6) * 100000000
+                    + event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
               FROM events),
             l AS (SELECT greatest(0, hwm - tu) AS lateness_us FROM t)

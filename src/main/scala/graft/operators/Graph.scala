@@ -1028,12 +1028,16 @@ object Graph {
     val deg = canon.select(col("u").as("x"))
       .union(canon.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
-    // orient along the (degree, vertex) total order
+    // orient along the (degree, vertex) total order. No broadcast hint:
+    // the degree table is one row per VERTEX — graph-sized at scale —
+    // so AQE broadcasts it when its runtime size permits and shuffles
+    // the attach on the vertex id otherwise (the docstring's
+    // "broadcast-or-shuffle attach", now actually both-way)
     val withDeg = canon
-      .join(broadcast(deg.withColumnRenamed("x", "u")
-        .withColumnRenamed("d", "du")), "u")
-      .join(broadcast(deg.withColumnRenamed("x", "v")
-        .withColumnRenamed("d", "dv")), "v")
+      .join(deg.withColumnRenamed("x", "u")
+        .withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v")
+        .withColumnRenamed("d", "dv"), "v")
     val oriented = withDeg.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
         struct(col("u").as("lo"), col("v").as("hi")))

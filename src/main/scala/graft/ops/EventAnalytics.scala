@@ -220,6 +220,12 @@ object EventAnalytics {
     * X, so this profile IS the loss-vs-latency curve. All integer
     * microseconds, engine-exact.
     *
+    * Contract: `idCol` must be a TOTAL order within each key — with
+    * ties, which of the tied rows counts as "already seen" for the
+    * other is engine-defined and the profile stops being
+    * deterministic. Callers with a non-unique arrival clock should
+    * compose it with a unique id (e.g. `slot * K + id`).
+    *
     * Scale shape: one key-partitioned sort-window (running max over
     * arrival order, per-stream like the watermark itself — never a
     * global order) and a map-side-combinable rollup over a

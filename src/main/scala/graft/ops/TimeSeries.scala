@@ -323,13 +323,25 @@ object TimeSeries {
     * ride along for audit and for computing intercepts/R² downstream
     * without a second scan.
     *
-    * One aggregation pass after a per-key min(ts) window — both hash
-    * by `keyCol`; nothing wider than (key, x, y) shuffles. Overflow
-    * bound (documented, the bm25 convention): n·Σxy and n·Σx² must
-    * stay under 2⁶³ — with minutes-scale x and centi-scale y that
-    * holds through ~10⁶ rows x ~10⁵ minutes per key; beyond that,
-    * coarsen x to hours upstream. Degenerate keys (all events in one
-    * minute: den = 0) emit slope 0, not a division error.
+    * Both x and y are CENTERED before the moment pass — x at whole
+    * minutes since the key's first event SHIFTED by the truncated
+    * per-key mean, y likewise — because the slope is shift-invariant
+    * (both the numerator and denominator are algebraically unchanged
+    * under x→x−c, y→y−d for integer constants), while the raw moments
+    * are not overflow-safe: with uncentered minutes·centi products,
+    * n·Σxy blows through 2⁶³ near ~10⁵ rows × 10⁴ minutes per key (it
+    * did, at the 10× ledger bench — DuckDB threw, Spark would have
+    * wrapped silently). Centered, the binding term is n²·x̂·ŷ over the
+    * mean absolute DEVIATIONS x̂, ŷ — spread-scale, not range-scale —
+    * which holds through ~10⁸ rows per key at minutes/centi spreads;
+    * beyond that, coarsen x to hours upstream. The emitted moment sums
+    * are the centered ones (the meaningful covariance masses).
+    * Degenerate keys (all events in one minute: den = 0) emit slope 0,
+    * not a division error.
+    *
+    * One aggregation pass after the per-key anchor windows — anchors
+    * and moments all hash by `keyCol`, one exchange; nothing wider
+    * than (key, x, y) shuffles.
     */
   def olsTrend(events: DataFrame, keyCol: String, tsCol: String,
                valueCol: String): DataFrame = {
@@ -337,16 +349,32 @@ object TimeSeries {
     val wk = Window.partitionBy(col(keyCol))
     val b = events.select(col(keyCol),
         unix_micros(col(tsCol)).as("__us"),
-        floor(col(valueCol).cast("double") * 100d + 0.5d).cast("long").as("y"))
+        floor(col(valueCol).cast("double") * 100d + 0.5d).cast("long").as("y0"))
       .withColumn("__t0", min(col("__us")).over(wk))
-      .withColumn("x", expr("(__us - __t0) div 60000000"))
+      .withColumn("x0", expr("(__us - __t0) div 60000000"))
+      // truncated per-key means as integer shift anchors (slope is
+      // shift-invariant; the residues keep |Σx|, |Σy| < n). Integer
+      // `div`, never float division: Σ can exceed 2⁵³ where doubles
+      // drop low bits
+      .withColumn("__sx0", sum(col("x0")).over(wk))
+      .withColumn("__sy0", sum(col("y0")).over(wk))
+      .withColumn("__cnt", count(lit(1)).over(wk))
+      .withColumn("x", expr("x0 - (__sx0 div __cnt)"))
+      .withColumn("y", expr("y0 - (__sy0 div __cnt)"))
     b.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))
-      .withColumn("slope_micro",
-        expr("((n * sxy - sx * sy) * 1000) div greatest(1L, (n * sxx - sx * sx) div 1000)"))
+      // the n·Σ cross terms and the ×1000 prescale run in DECIMAL(38,0)
+      // (DuckDB twin: HUGEINT) — exact 128-bit integer arithmetic, so
+      // no ledger scale can wrap them; only the final micro-scale
+      // quotient, which is small by construction, lands back in BIGINT.
+      // Both engines' integral division truncates toward zero.
+      .withColumn("slope_micro", expr(
+        "CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000) div " +
+        "greatest(CAST(1 AS DECIMAL(38,0)), " +
+        "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) div 1000) AS BIGINT)"))
       .select(keyCol, "n", "sx", "sy", "sxx", "sxy", "slope_micro")
   }
 }
