@@ -147,8 +147,11 @@ object DataQuality {
     * micro-quantized, the reference k is the key's truncating integer
     * mean, and every step stays BIGINT — engine-exact alarms.
     *
-    * Scale shape: one aggregation for the per-key means (broadcast
-    * back), one window shuffle keyed by `keyCol` carrying (id, ts, xq)
+    * Scale shape: one aggregation for the per-key means, re-joined
+    * hint-free (key cardinality is caller-defined, so AQE broadcasts
+    * the means only when they fit and otherwise the join shares the
+    * window's key exchange), one window shuffle keyed by `keyCol`
+    * carrying (id, ts, xq)
     * — payload never enters the sort; per-key order is ts with id as
     * the deterministic tie-break. Emits only alarm rows
     * (cusum > thresholdMicro): the monitoring artifact, not the trace.
@@ -164,7 +167,7 @@ object DataQuality {
     val ordered = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.join(broadcast(refs), keyCol)
+    q.join(refs, keyCol)
       .withColumn("__d", col("xq") - col("__k") - lit(slackMicro))
       .withColumn("__p", sum(col("__d")).over(ordered))
       .withColumn("cusum_scaled",

@@ -20,7 +20,11 @@ object Features {
     *
     * Scale shape: one rank window and the bounds aggregation hash by
     * the same group key, then the per-group bounds (rows = groups)
-    * broadcast back onto the rows — the fact side shuffles once.
+    * re-join the rows WITHOUT a broadcast hint — group cardinality is
+    * caller-defined (per-user normalization at corpus scale means
+    * millions of groups), so AQE broadcasts the bounds only when their
+    * runtime size permits and otherwise the join shuffles on the
+    * group key the fact side already hashes by.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 pLowPct: Int, pHighPct: Int): DataFrame = {
@@ -52,7 +56,7 @@ object Features {
     // and unmatchable by the null-unsafe equi-join anyway) and rows
     // with a null value pass through unclipped rather than vanishing
     val unbounded = col(valueCol).isNull || col("__lo").isNull
-    df.join(broadcast(bounds), Seq(groupCol), "left")
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn(s"${valueCol}_clipped",
         when(unbounded, col(valueCol))
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
@@ -73,7 +77,7 @@ object Features {
       .agg(min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
     // LEFT join: a null group key has no bounds row; scale to null
     // instead of dropping the row
-    df.join(broadcast(bounds), Seq(groupCol), "left")
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn(s"${valueCol}_scaled",
         when(col("__max") === col("__min"), lit(null))
           .otherwise((col(valueCol) - col("__min")) / (col("__max") - col("__min"))))

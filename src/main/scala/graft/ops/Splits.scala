@@ -113,9 +113,12 @@ object Splits {
     * HUGEINT promotion), so corpus size never silently wraps them; the
     * resulting permille is back in long range by definition.
     *
-    * Plan shape: one map-side-combinable count per source, a broadcast
-    * of the tiny per-source rate table, and a narrow filter — the
-    * corpus itself never shuffles.
+    * Plan shape: one map-side-combinable count per source, the
+    * per-source rate table re-joined hint-free (named-dataset mixtures
+    * keep it tiny and AQE broadcasts it; per-domain mixing makes it
+    * web-scale and the join shuffles on the source key instead), and a
+    * narrow filter — the corpus itself never shuffles in the broadcast
+    * regime.
     */
   def mixtureSqrtSample(docs: DataFrame, idCol: String, contentCol: String,
                         sourceCol: String,
@@ -132,7 +135,7 @@ object Splits {
           expr(s"CAST(($targetPermille * CAST(__tot_n AS DECIMAL(38,0)) * __ss)" +
             s" div (CAST(__tot_ss AS DECIMAL(38,0)) * __n) AS BIGINT)"))
           .as("keep_permille"))
-    docs.join(broadcast(rates), sourceCol)
+    docs.join(rates, sourceCol)
       .filter(graft.functions.Expressions.md5_bits(col(contentCol), 5) * lit(1000L) <
         col("keep_permille") * lit(1048576L))
   }

@@ -585,10 +585,14 @@ object TextAnalysis {
     * log-probs changes only the per-token cost column, never the plan.
     *
     * Shape at 100 TB: one explode feeding two map-side-combinable
-    * aggregations (corpus unigram counts, per-doc cost sums); the
-    * unigram table is Zipf-bounded so it broadcasts; the only wide
-    * exchange is the per-source ntile window, which partitions by
-    * source — the CCNet sharding axis.
+    * aggregations (corpus unigram counts, per-doc cost sums). The
+    * unigram table carries NO broadcast hint: it is the corpus's full
+    * distinct-token dictionary — web-scale corpora push it to hundreds
+    * of millions of types (typos, URLs, numbers), far past driver
+    * memory — so AQE broadcasts it only when its runtime size permits
+    * and the cost join otherwise shuffles both sides on the term. The
+    * only other wide exchange is the per-source ntile window, which
+    * partitions by source — the CCNet sharding axis.
     */
   def ccnetPplBuckets(docs: DataFrame, idCol: String, textCol: String,
                       sourceCol: String): DataFrame = {
@@ -597,7 +601,7 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
     val unigram = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = unigram.agg(sum(col("cnt")).as("t_tokens"))
-    val cost = toks.join(broadcast(unigram), "term")
+    val cost = toks.join(unigram, "term")
       .crossJoin(broadcast(total))
       .select(col(idCol), col(sourceCol),
         expr("(t_tokens * 1000) div cnt").as("surprisal_milli"))
@@ -818,9 +822,13 @@ object TextAnalysis {
     *
     * Shape at 100 TB: the per-doc distinct-token explode self-joins
     * INSIDE the document only (bounded by per-doc vocabulary²), then
-    * one map-side-combinable pair count; unary document frequencies are
-    * vocabulary-scale and broadcast back. The minSupport filter lands
-    * on the aggregate, pruning the Zipf tail before the join.
+    * one map-side-combinable pair count. The unary document-frequency
+    * table re-joins WITHOUT a broadcast hint: it is the corpus token
+    * dictionary — vocabulary-scale, which at web scale exceeds driver
+    * memory — so AQE broadcasts it only when its runtime size permits
+    * and otherwise both re-joins shuffle on the term key (the pair
+    * table is already minSupport-pruned by then, so the shuffled side
+    * is the filtered survivor set, not the raw pair stream).
     */
   def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
                        minSupport: Long = 2L): DataFrame = {
@@ -835,10 +843,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     pairs
-      .join(broadcast(dfTbl.select(col("term").as("term_a"),
-        col("n_t").as("n_a"))), "term_a")
-      .join(broadcast(dfTbl.select(col("term").as("term_b"),
-        col("n_t").as("n_b"))), "term_b")
+      .join(dfTbl.select(col("term").as("term_a"),
+        col("n_t").as("n_a")), "term_a")
+      .join(dfTbl.select(col("term").as("term_b"),
+        col("n_t").as("n_b")), "term_b")
       .crossJoin(broadcast(nDocs))
       .withColumn("lift_milli",
         expr("(n_ab * n_docs * 1000) div (n_a * n_b)"))

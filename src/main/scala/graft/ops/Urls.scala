@@ -124,8 +124,11 @@ object Urls {
     val sufs = df.select(col(idCol), h.as("host"))
       .select(col(idCol), col("host"),
         explode_outer(domainSuffixes(col("host"))).as("suffix"))
-    sufs.join(broadcast(blocklist.withColumnRenamed("domain", "suffix")
-        .withColumn("__hit", lit(1))), Seq("suffix"), "left")
+    // no broadcast hint, matching the contract above: AQE broadcasts
+    // the list when it fits and shuffles the suffix join when a
+    // multi-million-entry list does not
+    sufs.join(blocklist.withColumnRenamed("domain", "suffix")
+        .withColumn("__hit", lit(1)), Seq("suffix"), "left")
       .groupBy(col(idCol), col("host"))
       .agg(max(col("__hit") === 1).as("blocked"),
         // most specific (longest) matching rule, host tiebreak moot:

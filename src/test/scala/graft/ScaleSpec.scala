@@ -460,4 +460,55 @@ class ScaleSpec extends SparkTestBase {
       }
     }
   }
+
+  test("corpus-derived re-join sides carry no broadcast hint: plans shuffle when broadcast is off") {
+    // Same proof shape as the marginMineAnn test above: a broadcast()
+    // HINT overrides the disabled threshold, so a hash exchange on the
+    // join key under threshold -1 proves the corpus-sized side (a token
+    // dictionary, a per-group stats table, a domain blocklist) is free
+    // to shuffle at scale instead of being forced through the driver.
+    // The surviving BroadcastExchanges in these plans are the
+    // documented 1-row aggregates (corpus totals), which are bounded by
+    // construction.
+    val ab = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aab = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Seq(
+        (1L, "alpha beta gamma alpha", "web"),
+        (2L, "beta gamma delta beta beta", "web"),
+        (3L, "alpha delta epsilon", "books"),
+        (4L, "gamma gamma epsilon alpha", "books"),
+        (5L, "delta alpha beta", "web")).toDF("doc_id", "text", "source")
+      def assertShuffles(df: org.apache.spark.sql.DataFrame, key: String,
+                         what: String): Unit = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains(s"Exchange hashpartitioning($key"),
+          s"$what must be free to shuffle on $key; plan:\n$plan")
+      }
+      assertShuffles(
+        graft.ops.TextAnalysis.ccnetPplBuckets(docs, "doc_id", "text", "source"),
+        "term", "ccnet unigram-dictionary join")
+      assertShuffles(
+        graft.ops.TextAnalysis.cooccurrenceLift(docs, "doc_id", "text",
+          minSupport = 1L),
+        "term_a", "cooccurrence df re-join")
+      val vals = (1 to 400).map(i => (s"g${i % 7}", i.toDouble)).toDF("g", "v")
+      assertShuffles(graft.ops.Features.winsorize(vals, "g", "v", 5, 95),
+        "g", "winsorize bounds re-join")
+      val urls = Seq((1L, "http://www.ads.example.com/x"),
+        (2L, "https://ok.org/y")).toDF("id", "url")
+      val block = Seq("example.com").toDF("domain")
+      assertShuffles(graft.ops.Urls.blocklistFilter(urls, "id", "url", block),
+        "suffix", "blocklist suffix join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", ab)
+      aab match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
