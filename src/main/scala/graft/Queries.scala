@@ -493,9 +493,14 @@ object Queries {
   private val q3TopkJoin = Q(
     "q3_topk_join",
     (s, d) => {
+      // no broadcast hint on the filtered orders side: the date filter
+      // keeps ~half the ORDERS fact table — corpus-sized, not a dim —
+      // so AQE broadcasts it only when its runtime size permits and
+      // otherwise both facts shuffle on the order key (at sf1 the
+      // forced broadcast built a ~7M-entry driver hash table)
       val o = orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01"))
       lineitem(s, d)
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
