@@ -473,18 +473,35 @@ object Queries {
   // ---------------------------------------------------------------- aggregates
   private val q1Agg = Q(
     "q1_agg",
+    // money sums in EXACT integer units (cents, and cents x
+    // (100 - discount cents) for the discounted sum — the q15
+    // convention): a double SUM over a whole-corpus group is
+    // accumulation-order-dependent in its last digit (it flipped at
+    // the 100x ledger probe), and round() cannot mask an error in the
+    // 16th significant digit. Accumulation runs in decimal(38,0)
+    // (DuckDB twin: HUGEINT promotion of its BIGINT sum) so no corpus
+    // size wraps it; the emitted unit totals land back in BIGINT.
+    // sum_qty stays a double sum: quantities are integral and the
+    // exact-integer window of IEEE doubles (2^53) covers any per-group
+    // quantity mass a bench reaches.
     (s, d) => lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2000-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5)
+          .cast("decimal(38,0)")).cast("long").as("sum_base_cents"),
+        sum((floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .cast("decimal(38,0)")).cast("long").as("sum_disc_unit"),
         count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
               sum(l_quantity) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_base,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_base_cents,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS sum_disc_unit,
               count(*) AS n
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02'
