@@ -5153,6 +5153,12 @@ object Queries {
   // per target, 3 probe cells per source) — no all-pairs stage. The
   // oracle replays the Lloyd training (shared prefix), the cell join,
   // then the identical mass/margin windows over the candidate table.
+  // kCells is FIXED at 8 here because the static replay SQL must train
+  // the same codebook — correct for the gate's corpus sizes, but NOT
+  // the scale operating point: at fixed kCells the candidate table is
+  // |S|·|T|/kCells (the 100x probe measured exactly that blow-up). A
+  // caller without a replay oracle should pass kCells = 0 and get the
+  // derived √n point (see marginMineAnn's scale note + MiningSpec).
   private val marginMineAnnQ = Q(
     "margin_mine_ann",
     (s, d) => {

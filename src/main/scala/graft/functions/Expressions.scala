@@ -1418,6 +1418,81 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** The `nProbe` nearest cell ids of a micro-quantized vector against a
+    * baked integer codebook, ordered by (squared L2 distance, cell id)
+    * ascending — bit-identical to the HOF
+    * `slice(array_sort(array(struct(dist, cell)*)), 1, nProbe)`
+    * formulation, which evaluated an interpreted lambda per (row × cell)
+    * and dominated every IVF probe at corpus scale. One allocation-free
+    * selection loop: cells are visited in ascending id order and a
+    * candidate only displaces a kept entry on STRICTLY smaller distance,
+    * so equal-distance ties keep the lower cell id exactly like the
+    * struct sort.
+    */
+  case class NearestCellsQ(child: Expression, centroids: Array[Array[Long]],
+                           nProbe: Int)
+      extends UnaryExpression {
+    require(centroids.nonEmpty && nProbe >= 1)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nearest_cells_q requires array<bigint>, got ${other.sql}")
+      }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_cells_q"
+
+    private val keep = math.min(nProbe, centroids.length)
+
+    def compute(arr: ArrayData): ArrayData = {
+      val bd = new Array[Long](keep)
+      val bc = new Array[Int](keep)
+      var filled = 0
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(arr.numElements(), cent.length)
+        var d = 0L
+        var i = 0
+        while (i < n) {
+          val diff = arr.getLong(i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        // insertion into the kept (dist, cell) list: ascending visit
+        // order + strict < keeps the lower cell on distance ties
+        if (filled < keep) {
+          var j = filled
+          while (j > 0 && bd(j - 1) > d) {
+            bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+          }
+          bd(j) = d; bc(j) = c; filled += 1
+        } else if (d < bd(keep - 1)) {
+          var j = keep - 1
+          while (j > 0 && bd(j - 1) > d) {
+            bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+          }
+          bd(j) = d; bc(j) = c
+        }
+        c += 1
+      }
+      val out = new Array[Int](filled)
+      System.arraycopy(bc, 0, out, 0, filled)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestcells", this, classOf[NearestCellsQ].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // -------- Column-facing wrappers --------
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def float_vector_dot(a: Column, b: Column): Column =
@@ -1464,6 +1539,9 @@ object Expressions {
     column(HammingPacked(expression(a), expression(b)))
   def nearest_cell_q(vq: Column, centroids: Array[Array[Long]]): Column =
     column(NearestCellQ(expression(vq), centroids))
+  def nearest_cells_q(vq: Column, centroids: Array[Array[Long]],
+                      nProbe: Int): Column =
+    column(NearestCellsQ(expression(vq), centroids, nProbe))
   def z_value(coords: Column, nCols: Int, bits: Int): Column =
     column(ZValue(expression(coords), nCols, bits))
   def hilbert_value(coords: Column, bits: Int): Column =

@@ -293,19 +293,15 @@ object Similarity {
     val centroids = codebook.getOrElse(trainIvfQuantized(prepared, kCells, iters = 2))
     val c = prepared.select(col("__id").as("cand_id"), col("cand_vec"),
       col("cand_norm"), nearestCellQ(col("vq"), centroids).as("cell"))
-    // probe side: nProbe nearest cells by (integer dist, cell) — the
-    // struct sort is lexicographic, so equidistant cells tie to lowest id
-    val probeDists = centroids.zipWithIndex.map { case (cent, i) =>
-      val cCol = array(cent.map(lit).toIndexedSeq: _*)
-      struct(aggregate(zip_with(col("__pq"), cCol, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("dist"), lit(i).as("cell"))
-    }
+    // probe side: nProbe nearest cells by (integer dist, cell) through
+    // the codegen'd selection loop (NearestCellsQ — same (dist, cell)
+    // order as the struct-sort HOF it replaced, which interpreted a
+    // lambda per (row × cell) and dominated the probe at corpus scale)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         norm(col(vecCol)).as("probe_norm"), quantized(col(vecCol)).as("__pq"))
       .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
-        slice(array_sort(array(probeDists.toIndexedSeq: _*)), 1, nProbe).as("cells"))
-      .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
-        explode(col("cells.cell")).as("cell"))
+        explode(graft.functions.Expressions.nearest_cells_q(
+          col("__pq"), centroids, nProbe)).as("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("score", round(
@@ -768,16 +764,26 @@ object Similarity {
     * mass over the RETRIEVED neighborhood, exactly the CCMatrix
     * trade-off (margins are relative to what ANN can see).
     *
-    * Shape at 100 TB: candidate volume is |S|·nProbe·E[cell size] —
-    * linear in each side for fixed kCells density, never |S|·|T|. The
-    * cell join carries NO broadcast hint: AQE broadcasts the probe
-    * side's (src_id, quantized vec, cell) projection when its runtime
-    * size is under the threshold, and shuffles both sides on the cell
-    * id otherwise — a corpus-sized source can never be forced through
-    * the driver. No all-pairs stage exists anywhere.
+    * Shape at 100 TB: candidate volume is |S|·nProbe·E[cell size] =
+    * |S|·nProbe·(|T|/kCells). A FIXED kCells is therefore NOT a scale
+    * contract — hold it constant while both sides grow and the
+    * candidate table grows |S|·|T|/kCells, i.e. quadratically (the
+    * 100× ledger probe hit exactly this: kCells=8 at 200k vectors
+    * computed multi-GB candidate partitions and exhausted local disk).
+    * The contract operating point is kCells ~ √(|S|+|T|), which keeps
+    * E[cell] ~ √n and the candidate table ~ n^1.5/√n·nProbe — the
+    * measured e≈0.83 STRESS row. Pass `kCells <= 0` to derive that
+    * point from a cheap count of the (already checkpointed) inputs;
+    * an explicit kCells is honored verbatim for oracle-replayable
+    * fixed-codebook runs at a KNOWN corpus size. The cell join carries
+    * NO broadcast hint: AQE broadcasts the probe side's (src_id,
+    * quantized vec, cell) projection when its runtime size is under
+    * the threshold, and shuffles both sides on the cell id otherwise —
+    * a corpus-sized source can never be forced through the driver. No
+    * all-pairs stage exists anywhere.
     */
   def marginMineAnn(src: DataFrame, tgt: DataFrame, idCol: String,
-                    vecCol: String, k: Int, kCells: Int = 16,
+                    vecCol: String, k: Int, kCells: Int = 0,
                     nProbe: Int = 3, iters: Int = 2,
                     codebook: Option[Array[Array[Long]]] = None): DataFrame =
     marginMineFrom(
@@ -796,27 +802,32 @@ object Similarity {
       quantized(col(vecCol)).as("__sv")).localCheckpoint(true)
     val tq = tgt.select(col(idCol).as("tgt_id"),
       quantized(col(vecCol)).as("__tv")).localCheckpoint(true)
+    // kCells <= 0: derive the √n operating point (see the scale note on
+    // [[marginMineAnn]]) from the checkpointed inputs — two cheap local
+    // counts, clamped so tiny corpora still get a real partition fan-out
+    // and the codebook table stays driver-bounded
+    val kc =
+      if (kCells > 0) kCells
+      else math.min(4096L, math.max(4L,
+        math.sqrt((sq.count() + tq.count()).toDouble).toLong / 2)).toInt
     val centroids = codebook.getOrElse {
       // train over src ∪ tgt so an oracle can replay the Lloyd loop
       // from the union corpus; ids should be disjoint across sides
       // (a shared id appears twice in the per-cell integer means)
       val union = sq.select(col("src_id").as("__id"), col("__sv").as("vq"))
         .unionByName(tq.select(col("tgt_id").as("__id"), col("__tv").as("vq")))
-      trainIvfQuantized(union.localCheckpoint(true), kCells, iters)
+      trainIvfQuantized(union.localCheckpoint(true), kc, iters)
     }
     val tCells = tq.select(col("tgt_id"), col("__tv"),
       nearestCellQ(col("__tv"), centroids).as("cell"))
-    // probe side mirrors ivfTopK: nProbe nearest cells by lexicographic
-    // (integer dist, cell) — equidistant cells tie to the lowest id
-    val probeDists = centroids.zipWithIndex.map { case (cent, i) =>
-      val cCol = array(cent.map(lit).toIndexedSeq: _*)
-      struct(aggregate(zip_with(col("__sv"), cCol, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("dist"), lit(i).as("cell"))
-    }
+    // probe side mirrors ivfTopK: nProbe nearest cells by (integer
+    // dist, cell), equidistant cells to the lowest id, through the
+    // codegen'd NearestCellsQ selection loop (the struct-sort HOF it
+    // replaced interpreted a lambda per (row × cell))
     val sCells = sq
       .select(col("src_id"), col("__sv"),
-        slice(array_sort(array(probeDists.toIndexedSeq: _*)), 1, nProbe).as("cells"))
-      .select(col("src_id"), col("__sv"), explode(col("cells.cell")).as("cell"))
+        explode(graft.functions.Expressions.nearest_cells_q(
+          col("__sv"), centroids, nProbe)).as("cell"))
     // no broadcast hint: sCells is |S|·nProbe rows each carrying a
     // 64-long quantized vector — corpus-sized at bitext scale. AQE
     // picks broadcast only when the runtime size actually permits it.

@@ -108,6 +108,27 @@ class MiningSpec extends SparkTestBase {
       "sides must not leak across the bitext split")
   }
 
+  test("marginMineAnn auto-sizes kCells to the sqrt-n operating point") {
+    // kCells <= 0 derives kCells from the input counts: the sf0.001
+    // corpus has 500 embeddings -> floor(sqrt(500)) div 2 = 11, so the
+    // auto entry must equal the explicit kCells = 11 run bit-for-bit
+    // (same codebook training, same cells, same candidates). This pins the
+    // scale contract: a FIXED kCells is quadratic when both sides grow,
+    // and the auto point is what a caller without a known corpus size
+    // gets by default.
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val auto = Similarity.marginMineAnn(src, tgt, "vec_id", "embedding",
+        k = 4, kCells = 0, nProbe = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val explicit = Similarity.marginMineAnn(src, tgt, "vec_id", "embedding",
+        k = 4, kCells = 11, nProbe = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(auto.nonEmpty)
+    assert(auto == explicit, "auto sizing must equal the derived explicit point")
+  }
+
   // ----------------------------------------------------- BPE statistics
   test("bpePairStats: adjacent pair counts with distinct-word support") {
     val docs = Seq((1L, "abc ab x")).toDF("doc_id", "text")
