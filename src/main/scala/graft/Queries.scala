@@ -2774,15 +2774,15 @@ object Queries {
   // hamming join — equal to Spark's pigeonhole-bucketed set because the
   // bucketing is exact-complete (chunks = maxHamming + 1) and every
   // candidate is verified with bit_count(xor).
-  // maxBucket: the library default (1000) is a skew guard that DROPS
-  // pairs in degenerate buckets; the harness corpus has chunk buckets
-  // up to ~1.3k at sf0.1 and ~10x that at the sf1 ledger (similar-
-  // vocabulary docs -> similar majority-vote signatures, and bucket
-  // population scales with the corpus), so the verified query raises it
-  // to 50000 — the same exact-complete ceiling the minhash twin uses —
-  // to stay drop-free across every SF the gate runs. The quadratic cost
-  // is paid on ACTUAL bucket sizes, not the cap; size the cap to the
-  // corpus's hot-bucket ceiling, not to infinity.
+  // maxBucket: buckets over the cap REFINE on the complement
+  // sub-chunks (recursive pigeonhole — still exact-complete), so the
+  // cap is a PERFORMANCE knob (level-1 pair generation is bucket², so
+  // cap it where refinement gets cheaper) plus a residual valve one
+  // level down. 8000 keeps the harness corpus drop-free through the
+  // 100x probe (hot buckets ~1.3k at sf0.1 scale ~linearly to ~130k at
+  // 100x; their sub-buckets are 2^6 smaller, well under the cap) — the
+  // brute-force oracle verifies the zero-drop claim end to end at
+  // every gate SF.
   /** Brute-force simhash pair rebuild (md5-derived 60-bit signature via
     * per-bit SUMs, hamming join) with a caller-chosen extra predicate —
     * shared by the batch query and the incremental variant.
@@ -2811,7 +2811,7 @@ object Queries {
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text",
-      maxHamming = 7, maxBucket = 50000),
+      maxHamming = 7, maxBucket = 8000),
     Some(duckSimhashPairsSql("")))
 
   // simhash twin of incr_minhash_pairs: store seeded with the % 10 != 0
@@ -2827,9 +2827,9 @@ object Queries {
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val fresh = docs.filter(col("doc_id") % 10 === 0)
       Dedup.incrementalSimhashPairs(old, "doc_id", "text", dir,
-        maxHamming = 7, maxBucket = 50000)
+        maxHamming = 7, maxBucket = 8000)
       Dedup.incrementalSimhashPairs(fresh, "doc_id", "text", dir,
-        maxHamming = 7, maxBucket = 50000)
+        maxHamming = 7, maxBucket = 8000)
     },
     Some(duckSimhashPairsSql(" AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)")))
 

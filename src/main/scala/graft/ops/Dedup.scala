@@ -303,9 +303,12 @@ object Dedup {
     * id), and probe the new batch's pigeonhole chunks against the full
     * store's, so old-vs-old pairs are never recomputed and per-run work
     * is O(new x collision rate). Store chunk buckets over `maxBucket`
-    * are dropped (the skew valve; the hot list is tiny so its anti-join
-    * broadcasts). Returns (id_a, id_b, hamming) pairs where at least one
-    * side is new, ordered id_a < id_b.
+    * REFINE on the complement sub-chunks (the [[simhashPairs]] recursive
+    * pigeonhole — exact-complete at one more level) rather than drop;
+    * only sub-buckets still over the cap are dropped (residual valve;
+    * the hot lists are tiny so their anti-joins broadcast). Returns
+    * (id_a, id_b, hamming) pairs where at least one side is new,
+    * ordered id_a < id_b.
     */
   def incrementalSimhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
                               storePath: String, maxHamming: Int = 3,
@@ -335,7 +338,39 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
       .select(col("chunk"), col("cv"))
-    newB.join(storeB.join(hot, Seq("chunk", "cv"), "left_anti"), Seq("chunk", "cv"))
+    val coldPairs = newB
+      .join(storeB.join(hot, Seq("chunk", "cv"), "left_anti"), Seq("chunk", "cv"))
+    // hot store buckets REFINE on the complement sub-chunks instead of
+    // dropping — same recursive pigeonhole as [[simhashPairs]]: both
+    // sides of a qualifying pair agree on (chunk, cv), so their
+    // <= maxHamming differing bits lie in the compacted complement and
+    // one of its (maxHamming+1) disjoint sub-chunks must agree. The
+    // residual valve drops only sub-buckets still over maxBucket.
+    val subW = (60 - width) / chunks
+    val pairs =
+      if (subW == 0) coldPairs
+      else {
+        def subBuckets(b: DataFrame, shCol: String): DataFrame = b
+          .join(hot, Seq("chunk", "cv"))
+          .withColumn("__comp", expr(
+            s"($shCol & (shiftleft(1L, chunk * $width) - 1)) | " +
+            s"shiftleft(shiftright($shCol, (chunk + 1) * $width), chunk * $width)"))
+          .select(b.columns.map(col).toIndexedSeq :+
+            explode(expr(s"transform(sequence(0, ${chunks - 1}), j -> " +
+              s"struct(j as sub, shiftright(__comp, j * $subW) & ${(1L << subW) - 1} as sv))")).as("s2"): _*)
+          .select(b.columns.map(col).toIndexedSeq :+
+            col("s2.sub").as("sub") :+ col("s2.sv").as("sv"): _*)
+        val storeSub = subBuckets(storeB, "simhash")
+        val hotSub = storeSub.groupBy(col("chunk"), col("cv"), col("sub"), col("sv"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("chunk"), col("cv"), col("sub"), col("sv"))
+        val hotPairs = subBuckets(newB, "__new_sh")
+          .join(storeSub.join(hotSub, Seq("chunk", "cv", "sub", "sv"), "left_anti"),
+            Seq("chunk", "cv", "sub", "sv"))
+        coldPairs.unionByName(hotPairs.select(coldPairs.columns.map(col).toIndexedSeq: _*))
+      }
+    pairs
       .filter(col("__new_id") =!= col(idCol))
       .withColumn("hamming",
         bit_count(col("__new_sh").bitwiseXOR(col("simhash"))).cast("int"))
@@ -352,6 +387,20 @@ object Dedup {
     * alone gives completeness: the <= maxHamming differing bits can touch
     * at most maxHamming of the chunks+1 chunks, so some chunk agrees even
     * when 60 % chunks bits are left uncovered.)
+    *
+    * Hot buckets REFINE instead of pairing: in-bucket pair generation is
+    * Σ(bucket²), and bucket population grows with the corpus in
+    * similar-vocabulary regions (the 100× probe measured the resulting
+    * super-linear curve). A bucket over `maxBucket` re-applies the SAME
+    * pigeonhole to the 60−width complement bits its members do NOT
+    * already agree on: a qualifying pair's ≤ maxHamming differing bits
+    * all lie in that complement, so splitting it into (maxHamming+1)
+    * disjoint sub-chunks guarantees agreement on one — bucketing by
+    * (chunk, cv, sub-chunk, sub-value) is exact-complete again, with
+    * E[sub-bucket] = bucket / 2^subWidth. `maxBucket` remains the
+    * RESIDUAL valve at the refined level (a sub-bucket still over it is
+    * dropped — size the cap so that never fires at the target corpus;
+    * the ledger's brute-force oracle verifies zero drops end to end).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
@@ -362,16 +411,40 @@ object Dedup {
         s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"struct(c as chunk, shiftright(simhash, c * $width) & ${(1L << width) - 1} as cv))")).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk"), col("b.cv"))
-    // bucket build + degenerate-bucket guard (`maxBucket`, the skew
-    // safety valve) + pair generation + hamming verify in ONE shuffle:
+    // bucket build + pair generation + hamming verify in ONE shuffle:
     // each bucket collects its (id, simhash) members and a tight-loop
     // expression emits only the verified pairs — nothing wide happens
     // after the aggregation, where the window+self-join formulation
     // paid a second sort+join pass for the same pair set
-    buckets.groupBy(col("chunk"), col("cv"))
+    val grouped = buckets.groupBy(col("chunk"), col("cv"))
       .agg(collect_list(struct(col(idCol), col("simhash"))).as("__m"))
-      .filter(size(col("__m")).between(2, maxBucket))
+    val level1 = grouped.filter(size(col("__m")).between(2, maxBucket))
       .select(explode(simhash_id_pairs(col("__m"), maxHamming)).as("p"))
+    // level 2: compact the complement (bits outside the agreed chunk)
+    // into a 60−width-bit value, sub-chunk it, and re-bucket within the
+    // (chunk, cv) group. subW == 0 (maxHamming = 0: exact duplicates,
+    // 60-bit chunk, empty complement) degenerates to the plain valve.
+    val subW = (60 - width) / chunks
+    val pairs =
+      if (subW == 0) level1
+      else {
+        val level2 = grouped.filter(size(col("__m")) > maxBucket)
+          .select(col("chunk"), col("cv"), explode(col("__m")).as("m"))
+          .select(col("chunk"), col("cv"),
+            col(s"m.$idCol").as(idCol), col("m.simhash").as("simhash"))
+          .withColumn("__comp", expr(
+            s"(simhash & (shiftleft(1L, chunk * $width) - 1)) | " +
+            s"shiftleft(shiftright(simhash, (chunk + 1) * $width), chunk * $width)"))
+          .select(col("chunk"), col("cv"), col(idCol), col("simhash"),
+            explode(expr(s"transform(sequence(0, ${chunks - 1}), j -> " +
+              s"struct(j as sub, shiftright(__comp, j * $subW) & ${(1L << subW) - 1} as sv))")).as("s2"))
+          .groupBy(col("chunk"), col("cv"), col("s2.sub"), col("s2.sv"))
+          .agg(collect_list(struct(col(idCol), col("simhash"))).as("__m"))
+          .filter(size(col("__m")).between(2, maxBucket))
+          .select(explode(simhash_id_pairs(col("__m"), maxHamming)).as("p"))
+        level1.unionByName(level2)
+      }
+    pairs
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.hamming").as("hamming"))
       .distinct()
   }

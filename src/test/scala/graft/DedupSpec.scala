@@ -244,6 +244,30 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhash hot-bucket refinement: a tight cap stays exact-complete") {
+    // On the fixture corpus, hamming-7 chunk buckets run far past 50
+    // members (similar-vocabulary docs share majority-vote bits), so a
+    // 50-cap run exercises the recursive complement sub-chunking — and
+    // must still equal the effectively-unpruned run pair for pair. A
+    // pre-refinement build DROPPED everything in hot buckets here
+    // (measured: 209 of 366 pairs at cap 5).
+    val real = Tables.documents(spark, sf("sf0.001"))
+    val sims = real.select(Dedup.simhash("text").as("sh"))
+    val chunksHot = sims.select(explode(expr(
+        "transform(sequence(0, 7), c -> shiftright(sh, c * 7) & 127)")).as("cv"))
+      .groupBy(col("cv")).count().agg(max(col("count"))).as[Long].head()
+    assert(chunksHot > 50, s"fixture must have hot buckets (max=$chunksHot)")
+    val full = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = 7,
+        maxBucket = 1000000)
+      .as[(Long, Long, Int)].collect().toSet
+    val refined = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = 7,
+        maxBucket = 50)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full.nonEmpty)
+    assert(refined == full,
+      "refinement must recover every pair the level-1 valve would drop")
+  }
+
   test("near-dup clusters: pairs collapse to one canonical survivor") {
     val out = Dedup.nearDupClusters(docs, "doc_id", "text",
       n = 3, k = 32, bands = 16, threshold = 0.4)
