@@ -1394,7 +1394,13 @@ object Expressions {
       var c = 0
       while (c < centroids.length) {
         val cent = centroids(c)
-        val n = math.min(arr.numElements(), cent.length)
+        // a dimension mismatch must fail loudly — a truncated-prefix
+        // distance silently ranks cells against the wrong geometry
+        if (arr.numElements() != cent.length)
+          throw new IllegalArgumentException(
+            s"nearest_cell_q: vector dimension ${arr.numElements()} != " +
+              s"codebook dimension ${cent.length}")
+        val n = cent.length
         var d = 0L
         var i = 0
         while (i < n) {
@@ -1453,7 +1459,13 @@ object Expressions {
       var c = 0
       while (c < centroids.length) {
         val cent = centroids(c)
-        val n = math.min(arr.numElements(), cent.length)
+        // fail loudly on dimension mismatch — a truncated-prefix
+        // distance gives a silently wrong cell ranking
+        if (arr.numElements() != cent.length)
+          throw new IllegalArgumentException(
+            s"nearest_cells_q: vector dimension ${arr.numElements()} != " +
+              s"codebook dimension ${cent.length}")
+        val n = cent.length
         var d = 0L
         var i = 0
         while (i < n) {

@@ -430,10 +430,25 @@ object Sinks {
     try os.write(next.toString.getBytes("UTF-8")) finally os.close()
     // single-step rename-overwrite (FileContext, not the two-step
     // delete+rename FileSystem offers): a concurrent readVersion(None)
-    // sees either the old pointer or the new one, never a gap
-    val fc = FileContext.getFileContext(new Path(tableDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+    // sees either the old pointer or the new one, never a gap. The
+    // no-gap guarantee holds on HDFS-like stores only — object stores
+    // implement rename as copy+delete, and filesystems without an
+    // AbstractFileSystem binding (s3a/gs unless fs.AbstractFileSystem.*
+    // .impl is configured) can't serve FileContext at all, so fall back
+    // to the two-step FileSystem swap there: a reader racing the swap
+    // may observe a missing pointer, which readVersion already handles
+    // via the _SUCCESS-gated newest-version fallback.
+    try {
+      val fc = FileContext.getFileContext(new Path(tableDir).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(ptr, false)
+        if (!fs.rename(tmp, ptr))
+          throw new IllegalStateException(
+            s"failed to swap _latest pointer in $tableDir")
+    }
     next
   }
 
@@ -468,14 +483,21 @@ object Sinks {
         val in = fs.open(ptr)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
         finally in.close()
-      } else
+      } else {
         // pointer missing but commits exist: a writer crashed between
-        // landing v<N> and swapping the pointer — the newest immutable
-        // version IS the latest durable commit, so serve it instead of
-        // failing a table that has data
-        listVersions(spark, tableDir).lastOption.getOrElse(
-          throw new IllegalStateException(
-            s"$tableDir has no _latest pointer and no committed versions"))
+        // landing v<N> and swapping the pointer — the newest COMPLETE
+        // immutable version IS the latest durable commit, so serve it
+        // instead of failing a table that has data. "Complete" is
+        // gated on parquet's _SUCCESS marker: a writer that died
+        // mid-df.write leaves a v<N> directory with no _SUCCESS, and
+        // serving that partial corpus silently is exactly the failure
+        // this module's contract refuses.
+        listVersions(spark, tableDir).reverse.find { n =>
+          fs.exists(new Path(s"$tableDir/v$n", "_SUCCESS"))
+        }.getOrElse(throw new IllegalStateException(
+          s"$tableDir has no _latest pointer and no complete " +
+            "(_SUCCESS-marked) committed versions"))
+      }
     }
     val path = s"$tableDir/v$v"
     if (!fs.exists(new Path(path)))

@@ -102,6 +102,35 @@ class SimilaritySpec extends SparkTestBase {
       m != null && m.contains("code length mismatch")), s"got: $err")
   }
 
+  test("nearest_cell(s)_q fail loudly on probe/codebook dimension mismatch") {
+    import graft.functions.Expressions.{nearest_cell_q, nearest_cells_q}
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    // a 3-dim probe against a 4-dim codebook must not silently rank
+    // cells on a truncated prefix distance
+    val codebook = Array(Array(0L, 0L, 0L, 0L), Array(10L, 10L, 10L, 10L))
+    val df = Seq(Tuple1(Array(1L, 2L, 3L))).toDF("vq")
+    val e1 = intercept[Exception] {
+      df.select(nearest_cell_q(col("vq"), codebook)).collect()
+    }
+    assert(messages(e1).exists(m =>
+      m != null && m.contains("vector dimension 3 != codebook dimension 4")),
+      s"got: $e1")
+    val e2 = intercept[Exception] {
+      df.select(nearest_cells_q(col("vq"), codebook, 2)).collect()
+    }
+    assert(messages(e2).exists(m =>
+      m != null && m.contains("vector dimension 3 != codebook dimension 4")),
+      s"got: $e2")
+    // matching dimensions still rank correctly (closest cell first)
+    val ok = Seq(Tuple1(Array(9L, 9L, 9L, 9L))).toDF("vq")
+      .select(nearest_cell_q(col("vq"), codebook).as("c"),
+        nearest_cells_q(col("vq"), codebook, 2).as("cs"))
+      .head()
+    assert(ok.getInt(0) == 1)
+    assert(ok.getSeq[Int](1) == Seq(1, 0))
+  }
+
   test("binaryHammingTopK: exact-duplicate recall and recall vs brute force") {
     // clustered corpus: sign patterns separate the clusters, so the
     // Hamming prefilter must keep true neighbors in the pool

@@ -319,6 +319,27 @@ class SinksFormatsSpec extends SparkTestBase {
     ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ptr, false)
     assert(Sinks.readVersion(spark, dir).count() == 7,
       "newest immutable version is the latest durable commit")
+    // a writer that died MID-df.write leaves a v<N> dir without a
+    // _SUCCESS marker: the fallback must skip that partial corpus and
+    // serve the newest COMPLETE version instead of silently reading
+    // torn data
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partial = new org.apache.hadoop.fs.Path(dir, "v3")
+    hfs.mkdirs(partial)
+    val torn = hfs.create(
+      new org.apache.hadoop.fs.Path(partial, "part-00000.parquet"), true)
+    try torn.write("not parquet".getBytes("UTF-8")) finally torn.close()
+    assert(Sinks.readVersion(spark, dir).count() == 7,
+      "fallback must skip the _SUCCESS-less partial v3 and serve v2")
+    // when NO complete version exists, fail loudly rather than serve a
+    // partial corpus
+    val dir2 = Files.createTempDirectory("graft_ver_torn_").toString + "/t"
+    val onlyPartial = new org.apache.hadoop.fs.Path(dir2, "v1")
+    hfs.mkdirs(onlyPartial)
+    val ex = intercept[IllegalStateException] {
+      Sinks.readVersion(spark, dir2)
+    }
+    assert(ex.getMessage.contains("_SUCCESS"))
     // truly empty table still fails loudly
     intercept[IllegalStateException] {
       Sinks.readVersion(spark, dir + "_nothing_here")
