@@ -333,8 +333,11 @@ object Queries {
     (s, d) => Graph.buildEdges(
       lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
         col("l_partkey").as("p_partkey")),
-      orders(s, d), part(s, d), "o_orderkey", "p_partkey", "CONTAINS",
-      broadcastTails = true),
+      // tails = `part`, which scales with SF — NOT one of the small
+      // static dimensions buildEdges' broadcastTails knob is for; the
+      // r14 broadcast-hygiene gate caught the hint, so let AQE pick the
+      // semi-join strategy at runtime instead
+      orders(s, d), part(s, d), "o_orderkey", "p_partkey", "CONTAINS"),
     Some("""SELECT DISTINCT
               l_orderkey AS o_orderkey, l_partkey AS p_partkey,
               l_orderkey || '-' || l_partkey AS relationship_id,
