@@ -386,4 +386,132 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(3L, 4L),
       "event 2 sits exactly on the exclusive start boundary; event 4 on the inclusive end")
   }
+
+  test("restart from checkpoint: stream-stream join state survives a mid-query crash") {
+    // the incr_stream_join shape killed and restarted: clicks committed
+    // in micro-batch 0 live in JOIN STATE (not the sink) when the crash
+    // lands in batch 1 — recovery must restore that state so batch 1's
+    // purchases still attribute to batch 0's clicks. A fresh-state
+    // restart would lose every cross-batch match.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ssj_restart_").toString
+    val clickDir = s"$base/clicks"; val purchDir = s"$base/purchases"
+    val pairs = s"$base/pairs"; val ckpt = s"$base/ckpt"
+    def t(m: Int) = ts(f"2024-03-01 10:$m%02d:00")
+    val clicks1 = Seq((1L, t(0)), (2L, t(1))).toDF("click_user", "click_ts")
+    val clicks2 = Seq((3L, t(2))).toDF("click_user", "click_ts")
+    // purchases in file 2 attribute to CLICKS FROM FILE 1 — the
+    // cross-batch state the crash puts at risk
+    val purch1 = Seq((9L, t(5), 1.0)).toDF("purchase_user", "purchase_ts", "amount")
+    val purch2 = Seq((1L, t(30), 10.0), (2L, t(31), 20.0), (3L, t(32), 30.0))
+      .toDF("purchase_user", "purchase_ts", "amount")
+    clicks1.coalesce(1).write.mode("append").parquet(clickDir)
+    purch1.coalesce(1).write.mode("append").parquet(purchDir)
+    clicks2.coalesce(1).write.mode("append").parquet(clickDir)
+    purch2.coalesce(1).write.mode("append").parquet(purchDir)
+    val committed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    def run(crashAtBatch: Option[Long]) = {
+      val cs = spark.readStream.schema(clicks1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(clickDir)
+      val ps = spark.readStream.schema(purch1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(purchDir)
+      Incremental.streamStreamAttribution(cs, ps)
+        .select(col("purchase_user"), col("purchase_ts"), col("amount"),
+          col("click_user"), col("click_ts"))
+        .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+          if (crashAtBatch.contains(id))
+            throw new RuntimeException(s"injected crash at micro-batch $id")
+          graft.operators.Sinks.appendDedup(batch, pairs,
+            Seq("purchase_user", "purchase_ts", "click_ts"))
+          committed.add(id): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = run(crashAtBatch = Some(1L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(committed.toArray.toSeq == Seq(0L), "exactly batch 0 committed")
+    committed.clear()
+    run(crashAtBatch = None).awaitTermination()
+    assert(committed.toArray.toSeq.forall(_.asInstanceOf[Long] >= 1L),
+      s"restart must not replay the committed batch, got $committed")
+    val got = spark.read.parquet(pairs)
+      .select("purchase_user", "click_user", "amount")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch oracle: the same interval join run as one batch query
+    val oracle = purch1.union(purch2).join(clicks1.union(clicks2),
+        expr("""click_user = purchase_user AND click_ts <= purchase_ts AND
+                click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+      .select("purchase_user", "click_user", "amount")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(oracle.nonEmpty && got == oracle,
+      s"post-recovery pairs must match the batch join oracle: $got vs $oracle")
+    assert(got.contains((1L, 1L, 10.0)) && got.contains((2L, 2L, 20.0)),
+      "batch 1's purchases must attribute to batch 0's clicks via RESTORED state")
+  }
+
+  test("restart from checkpoint: transformWithState value state survives a mid-query crash") {
+    // the transformWithState shape killed and restarted: RunningTotals'
+    // ValueState holds batch 0's per-key (count, sum) when the crash
+    // lands in batch 1 — recovery must CONTINUE the totals from the
+    // RocksDB snapshot, not restart them at zero. Output rows carry the
+    // cumulative count, so a state reset is directly visible.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_restart_").toString
+    val inDir = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val f1 = Seq((7L, 10L), (7L, 2L), (8L, 5L)).toDF("k", "v")
+    val f2 = Seq((7L, 100L), (8L, 1L), (9L, 9L)).toDF("k", "v")
+    f1.coalesce(1).write.mode("append").parquet(inDir)
+    f2.coalesce(1).write.mode("append").parquet(inDir)
+    val committed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    def run(crashAtBatch: Option[Long]) = {
+      val stream = spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .select(col("k"), col("v")).as[(Long, Long)]
+      graft.streaming.Stateful.runningTotals(stream)
+        .toDF("k", "n", "s")
+        .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+          if (crashAtBatch.contains(id))
+            throw new RuntimeException(s"injected crash at micro-batch $id")
+          // (k, n) is monotone per key, so replays converge first-write-wins
+          graft.operators.Sinks.appendDedup(batch, out, Seq("k", "n"))
+          committed.add(id): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    try {
+      val q1 = run(crashAtBatch = Some(1L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      assert(committed.toArray.toSeq == Seq(0L), "exactly batch 0 committed")
+      committed.clear()
+      run(crashAtBatch = None).awaitTermination()
+      assert(committed.toArray.toSeq.forall(_.asInstanceOf[Long] >= 1L),
+        s"restart must not replay the committed batch, got $committed")
+      // converged totals = max-count row per key (the pinned contract)
+      val got = spark.read.parquet(out).groupBy(col("k"))
+        .agg(max_by(struct(col("n"), col("s")), col("n")).as("t"))
+        .select(col("k"), col("t.n"), col("t.s"))
+        .as[(Long, Long, Long)].collect().toSet
+      // a state reset would leave key 7 at (1, 100) and key 8 at (1, 1)
+      assert(got == Set((7L, 3L, 112L), (8L, 2L, 6L), (9L, 1L, 9L)),
+        s"totals must CONTINUE from restored state, got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
