@@ -3275,7 +3275,11 @@ object Queries {
     * `//` = Scala Long `/`), so cell membership is bit-identical to the
     * engine's. Consumed by the ann_ivf_topk and dedup_semantic oracles.
     */
-  private def lloydReplayPrefix(kCells: Int, iters: Int, dim: Int): String = {
+  /** `kCells` is a SQL expression so the auto-sized √n operating point
+    * can be replayed too (DuckDB accepts a scalar subquery in LIMIT);
+    * fixed-codebook oracles pass the integer literal as a string.
+    */
+  private def lloydReplayPrefix(kCells: String, iters: Int, dim: Int): String = {
     val dimRange = s"range(1, ${dim + 1})"
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
     def lloydRound(prev: String, n: Int): String =
@@ -3316,7 +3320,7 @@ object Queries {
 
   /** Generated Lloyd-replay SQL for ann_ivf_topk (see the Q above). */
   private lazy val annIvfOracleSql: String = {
-    val kCells = 8; val iters = 2; val dim = 64; val nProbe = 3; val k = 5
+    val kCells = "8"; val iters = 2; val dim = 64; val nProbe = 3; val k = 5
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
     s"""WITH ${lloydReplayPrefix(kCells, iters, dim)},
         pc AS (
@@ -3362,7 +3366,7 @@ object Queries {
     * over within-cell lower-id pairs at the same rounded-cosine
     * threshold. */
   private lazy val dedupSemanticOracleSql: String =
-    s"""WITH ${lloydReplayPrefix(kCells = 8, iters = 2, dim = 64)},
+    s"""WITH ${lloydReplayPrefix(kCells = "8", iters = 2, dim = 64)},
         dup AS (
           SELECT DISTINCT a.vec_id
           FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
@@ -5172,13 +5176,50 @@ object Queries {
     },
     Some(marginMineAnnOracleSql))
 
+  // the auto-sized scale path, oracled: kCells = 0 lets marginMineAnn
+  // derive the √n operating point from the corpus (the contract every
+  // non-replay caller should use — see the 100x probe note above), the
+  // oracle derives the SAME count inside its Lloyd LIMIT, and the
+  // artifact records it as a k_cells column so the operating point is
+  // part of the verified result, not a side note
+  private val marginMineAnnAutoQ = Q(
+    "margin_mine_ann_auto",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val kc = math.min(4096L, math.max(4L,
+        math.sqrt(emb.count().toDouble).toLong / 2)).toInt
+      Similarity.marginMineAnn(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        k = 4, kCells = 0, nProbe = 3)
+        .withColumn("k_cells", lit(kc))
+    },
+    Some(marginMineAnnAutoOracleSql))
+
   /** Generated Lloyd-replay SQL for margin_mine_ann: the shared
     * training prefix (union corpus = all embeddings), target cells from
     * the final assignment `af`, each even-id source's 3 nearest cells,
     * the cell-join candidate table with exact BIGINT dots, then the
     * margin_mine_bitext mass/margin tail confined to those candidates. */
-  private lazy val marginMineAnnOracleSql: String = {
-    val kCells = 8; val iters = 2; val dim = 64; val nProbe = 3; val k = 4
+  private lazy val marginMineAnnOracleSql: String =
+    marginMineAnnOracle(kCells = "8", extraCols = "")
+
+  /** The auto-sized twin: the LIMIT inside the Lloyd prefix derives the
+    * SAME √n operating point the Spark side computes
+    * (min(4096, max(4, ⌊√n⌋ / 2)) over the union corpus — sqrt is
+    * IEEE-exact, so both engines truncate the identical double), and
+    * the derived cell count is recorded as a `k_cells` column in the
+    * artifact itself.
+    */
+  private lazy val marginMineAnnAutoOracleSql: String = {
+    val kc = "(SELECT least(4096, greatest(4, " +
+      "CAST(trunc(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) // 2)) " +
+      "FROM embeddings)"
+    marginMineAnnOracle(kCells = kc,
+      extraCols = s", CAST($kc AS INTEGER) AS k_cells")
+  }
+
+  private def marginMineAnnOracle(kCells: String, extraCols: String): String = {
+    val iters = 2; val dim = 64; val nProbe = 3; val k = 4
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
     s"""WITH ${lloydReplayPrefix(kCells, iters, dim)},
         tc AS (SELECT vec_id AS tgt_id, cell FROM af WHERE vec_id % 2 = 1),
@@ -5214,7 +5255,7 @@ object Queries {
               ORDER BY ${2 * k} * d.dot_q - sm.src_mass - tm.tgt_mass DESC,
                        d.tgt_id) AS rk
           FROM d JOIN sm USING (src_id) JOIN tm USING (tgt_id))
-        SELECT src_id, tgt_id, dot_q, CAST(margin_q AS BIGINT) AS margin_q
+        SELECT src_id, tgt_id, dot_q, CAST(margin_q AS BIGINT) AS margin_q$extraCols
         FROM m WHERE rk = 1 AND margin_q > 0"""
   }
 
@@ -7169,6 +7210,7 @@ object Queries {
     bm25Topk, bm25TopkIndexed, invertedIndexQ, ccnetPplBucket, urlBlocklist,
     cdcApply,
     setsimPrefixJoin, containmentJoinQ, marginMineBitext, marginMineAnnQ,
+    marginMineAnnAutoQ,
     bpePairStatsQ, resampleOhlcQ,
     triangleCountQ, cooccurrenceLiftQ, bigramLmQ, hoppingWindowQ,
     funnelConversionQ, funnelUnorderedQ, retentionCohortsQ, eventTransitionsQ,

@@ -333,7 +333,14 @@ object Dedup {
         .select(col(idCol), col("simhash"), col("b.chunk"), col("b.cv"))
     val newB = chunkBuckets(newSims).select(col(idCol).as("__new_id"),
       col("simhash").as("__new_sh"), col("chunk"), col("cv"))
-    val storeB = chunkBuckets(store)
+    // pin the probe join's parallelism: the store parquet is a handful
+    // of file splits, and the new side broadcasts, so without this the
+    // whole new-vs-store candidate verify (output >> input — the shape
+    // AQE's input-size coalescing cannot see) runs in one or two tasks.
+    // An explicit-count repartition is exempt from AQE coalescing.
+    val shuffleN = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val storeB = chunkBuckets(store).repartition(shuffleN, col("chunk"), col("cv"))
     val hot = storeB.groupBy(col("chunk"), col("cv"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
@@ -361,6 +368,8 @@ object Dedup {
           .select(b.columns.map(col).toIndexedSeq :+
             col("s2.sub").as("sub") :+ col("s2.sv").as("sv"): _*)
         val storeSub = subBuckets(storeB, "simhash")
+          // the refined verify is the same exploding join one level down
+          .repartition(shuffleN, col("chunk"), col("cv"), col("sub"), col("sv"))
         val hotSub = storeSub.groupBy(col("chunk"), col("cv"), col("sub"), col("sv"))
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") > maxBucket)
@@ -416,7 +425,17 @@ object Dedup {
     // expression emits only the verified pairs — nothing wide happens
     // after the aggregation, where the window+self-join formulation
     // paid a second sort+join pass for the same pair set
-    val grouped = buckets.groupBy(col("chunk"), col("cv"))
+    // pin the bucket stage's parallelism: the exploded signature table
+    // is only ~8 narrow rows per doc, so AQE's input-size coalescing
+    // would collapse the post-shuffle stage to one or two tasks — but
+    // the work BELOW this exchange is Σ(bucket²) pair generation, whose
+    // output dwarfs its input (the classic exploding-stage shape AQE
+    // cannot see). An explicit-count repartition is exempt from AQE
+    // coalescing, so the pair loops run at full width.
+    val shuffleN = math.max(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val grouped = buckets.repartition(shuffleN, col("chunk"), col("cv"))
+      .groupBy(col("chunk"), col("cv"))
       .agg(collect_list(struct(col(idCol), col("simhash"))).as("__m"))
     val level1 = grouped.filter(size(col("__m")).between(2, maxBucket))
       .select(explode(simhash_id_pairs(col("__m"), maxHamming)).as("p"))
@@ -438,6 +457,9 @@ object Dedup {
           .select(col("chunk"), col("cv"), col(idCol), col("simhash"),
             explode(expr(s"transform(sequence(0, ${chunks - 1}), j -> " +
               s"struct(j as sub, shiftright(__comp, j * $subW) & ${(1L << subW) - 1} as sv))")).as("s2"))
+          // same exploding-stage shape one level down: pin the width
+          .repartition(shuffleN, col("chunk"), col("cv"), col("s2.sub"),
+            col("s2.sv"))
           .groupBy(col("chunk"), col("cv"), col("s2.sub"), col("s2.sv"))
           .agg(collect_list(struct(col(idCol), col("simhash"))).as("__m"))
           .filter(size(col("__m")).between(2, maxBucket))
