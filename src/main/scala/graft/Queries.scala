@@ -113,6 +113,19 @@ object Queries {
     }
   }
 
+  /** State shard count derived from the state VOLUME a streaming job
+    * will hold, not a gate-SF constant: ~250k keys per shard keeps an
+    * HDFS-backed in-heap shard comfortably inside an executor's young
+    * gen, and the clamp keeps tiny corpora at the round-11 floor (4)
+    * and degenerate ones bounded (64 at local[32]; a real cluster
+    * raises the cap with its executor count). The r13 sf1 bench showed
+    * why this must scale with the corpus: the one job holding 13M keys
+    * in 4 in-heap shards cost 24x its sf0.1 time IN-FLEET (GC/page-cache
+    * pressure) vs 5x isolated.
+    */
+  private def stateShardsFor(stateRows: Long, rowsPerShard: Long = 250000L): Int =
+    math.min(64L, math.max(4L, stateRows / rowsPerShard)).toInt
+
   // ---------------------------------------------------------------- S1
   private val s1DiscoverScan = Q(
     "s1_discover_scan",
@@ -5639,9 +5652,16 @@ object Queries {
       ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
         .write.mode("append").parquet(inDir)
       // dedup emits first-seen rows in their arrival batch; the no-data
-      // batch only evicts expired keys — skip it, size state partitions
-      // to the ~60k-key state (see withStreamingConfs).
-      withStreamingConfs(s, statePartitions = 4, noDataBatch = false) {
+      // batch only evicts expired keys — skip it. This job's state is
+      // one entry PER DISTINCT EVENT ID (13M at sf1), the largest state
+      // on the surface, so shards derive from the corpus size and the
+      // store is RocksDB: off-heap state removes the whole-ledger GC
+      // pressure the r13 bench measured (39 s in-fleet vs 7.96 s
+      // isolated with 4 in-heap shards).
+      val shards = stateShardsFor(ev.count())
+      withStreamingConfs(s, statePartitions = shards, noDataBatch = false,
+        providerClass = Some("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")) {
         s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
           .withWatermark("ts", "90 days")
