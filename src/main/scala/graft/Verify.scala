@@ -24,14 +24,25 @@ object Verify {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Optional subset while iterating (same contract as Bench):
     // SPARK_GRAFT_QUERIES=name1,name2 limits the dump; unset = all.
+    // SPARK_GRAFT_SKIP=name1,name2 excludes queries (for above-gate SF
+    // runs where a documented-exact entry would exhaust local disk) —
+    // every skip is printed so no exclusion is silent.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    skip.toSeq.sorted.foreach(n => println(s"[verify] SKIPPED (env): $n"))
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+      .filter { case (n, _) => !skip(n) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        println(f"[verify] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Files.createDirectories(errDir)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Above-gate correctness sweep with a per-oracle wall-clock budget.
+
+Usage:
+  python3 tools/compare_budget.py <sfDir> <verifyOutDir> <outJson> [budgetSec]
+
+Same comparison as tools/compare.py (schema + rowcount + exact values
+after normalization), but every oracle runs in its OWN child process
+that is killed when it exceeds the budget (default 300 s) — so the
+quadratic brute-force oracles that can never finish at 100x document
+themselves as named, budget-bounded skips instead of hanging the sweep
+(the no-silent-caps rule). The child does the full compare and returns
+only the verdict, so 60M-row results never cross the process boundary.
+
+Writes <outJson> with one entry per query:
+  {"status": "ok"|"fail"|"skip_budget"|"rows_only"|"oracle_error",
+   "rows": N, "seconds": duck_wall, "detail": "..."}
+"""
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from compare import TABLES, table_source, normalize  # noqa: E402
+
+
+def child(sf_dir, result_path, sql, q):
+    import duckdb
+    import pandas as pd
+    try:
+        got = pd.read_parquet(result_path)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
+        t0 = time.time()
+        exp = con.execute(sql).df()
+        duck_s = time.time() - t0
+        g, e = normalize(got.copy()), normalize(exp.copy())
+        if list(g.columns) != list(e.columns):
+            q.put({"status": "fail", "rows": len(g), "seconds": duck_s,
+                   "detail": f"schema spark={list(g.columns)} duck={list(e.columns)}"})
+            return
+        if len(g) != len(e):
+            q.put({"status": "fail", "rows": len(g), "seconds": duck_s,
+                   "detail": f"rowcount spark={len(g)} duck={len(e)}"})
+            return
+        import pandas.api.types as pt
+        for c in g.columns:
+            a, b = g[c], e[c]
+            if pt.is_float_dtype(a):
+                eq = (a == b) | (a.isna() & b.isna())
+            else:
+                eq = (a.astype(object).where(a.notna(), None)
+                      == b.astype(object).where(b.notna(), None)) | (a.isna() & b.isna())
+            if not eq.all():
+                i = int((~eq).idxmax())
+                q.put({"status": "fail", "rows": len(g), "seconds": duck_s,
+                       "detail": f"value col={c} row={i} "
+                                 f"spark={a.iloc[i]!r} duck={b.iloc[i]!r}"})
+                return
+        q.put({"status": "ok", "rows": len(g), "seconds": duck_s, "detail": ""})
+    except Exception as ex:  # oracle SQL or IO failure
+        q.put({"status": "oracle_error", "rows": -1, "seconds": -1,
+               "detail": str(ex)[:500]})
+
+
+def main(sf_dir, out_dir, out_json, budget_s):
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    names = [n for n in sorted(os.listdir(out_dir))
+             if os.path.isdir(os.path.join(out_dir, n)) and n != "_errors"]
+    for name in names:
+        path = os.path.join(out_dir, name)
+        if name not in oracles:
+            import pandas as pd
+            n_rows = len(pd.read_parquet(path))
+            results[name] = {"status": "rows_only", "rows": n_rows,
+                             "seconds": 0, "detail": ""}
+            print(f"  [rows-only] {name}: {n_rows} rows")
+            continue
+        q = mp.Queue()
+        p = mp.Process(target=child, args=(sf_dir, path, oracles[name], q))
+        t0 = time.time()
+        p.start()
+        p.join(budget_s)
+        wall = time.time() - t0
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            results[name] = {"status": "skip_budget", "rows": -1,
+                             "seconds": round(wall, 1),
+                             "detail": f"oracle exceeded {budget_s}s budget"}
+            print(f"  SKIP(budget>{budget_s}s) {name}")
+            continue
+        try:
+            r = q.get_nowait()
+        except Exception:
+            results[name] = {"status": "oracle_error", "rows": -1,
+                             "seconds": round(wall, 1),
+                             "detail": "child died without a verdict "
+                                       "(likely OOM-killed)"}
+            print(f"  !! {name}: child died without a verdict")
+            continue
+        r["seconds"] = round(r.get("seconds", wall), 1)
+        results[name] = r
+        tag = {"ok": "OK", "fail": "!!", "oracle_error": "!!"}[r["status"]]
+        print(f"  {tag} {name}: {r['rows']} rows ({r['seconds']}s)"
+              + (f" {r['detail']}" if r["detail"] else ""))
+    counts = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    summary = {"sf_dir": sf_dir, "budget_seconds": budget_s,
+               "counts": counts, "queries": results}
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"\ncounts: {counts}")
+    return 1 if counts.get("fail", 0) or counts.get("oracle_error", 0) else 0
+
+
+if __name__ == "__main__":
+    budget = int(sys.argv[4]) if len(sys.argv) > 4 else 300
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], budget))
