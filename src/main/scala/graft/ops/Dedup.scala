@@ -756,6 +756,17 @@ object Dedup {
   def prefixFilteredJaccardPairs(docs: DataFrame, idCol: String,
                                  textCol: String, n: Int,
                                  threshold: Double): DataFrame = {
+    val ordered = setsimOrdered(docs, idCol, textCol, n, threshold)
+    setsimVerify(ordered, setsimCandidates(ordered, idCol, threshold),
+      idCol, threshold)
+  }
+
+  /** Stage 1 of [[prefixFilteredJaccardPairs]] (exposed for the scale
+    * profiler): the checkpointed per-doc sorted-code-set table with its
+    * prefix. */
+  private[graft] def setsimOrdered(docs: DataFrame, idCol: String,
+                                   textCol: String, n: Int,
+                                   threshold: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     // vocabulary pass: df per shingle, plus a DENSE INTEGER CODE whose
     // rank order IS the global (df asc, shingle asc) frequency order —
@@ -793,7 +804,7 @@ object Dedup {
     // No broadcast hint on the vocab join: the vocabulary is corpus-
     // derived (billions of shingles at 100 TB) — AQE broadcasts it when
     // its runtime size permits and shuffles on the shingle otherwise.
-    val ordered = sh.join(vocab, "shingle")
+    sh.join(vocab, "shingle")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__code"))).as("__set"))
       .withColumn("__size", size(col("__set")).cast("long"))
@@ -802,6 +813,12 @@ object Dedup {
           (col("__size") - floor(lit(threshold) * col("__size")) + 1)
             .cast("int")))
       .localCheckpoint(true)
+  }
+
+  /** Stage 2 of [[prefixFilteredJaccardPairs]]: the distinct candidate
+    * pair table from the prefix join with the PPJoin positional filter. */
+  private[graft] def setsimCandidates(ordered: DataFrame, idCol: String,
+                                      threshold: Double): DataFrame = {
     // 0-based position inside the frequency-ordered prefix rides along
     // for the PPJoin positional filter below
     val probe = ordered.select(col(idCol), col("__size"),
@@ -811,7 +828,7 @@ object Dedup {
     // prefix positions (i, j) can still share at most
     // 1 + min(|A|−i−1, |B|−j−1) shingles — rows whose bound cannot
     // reach α die HERE, per matching row, before the distinct
-    val cands = probe.alias("a").join(probe.alias("b"),
+    probe.alias("a").join(probe.alias("b"),
         col("a.__code") === col("b.__code") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           col("b.__size") >= lit(threshold) * col("a.__size") &&
@@ -822,6 +839,13 @@ object Dedup {
               (col("a.__size") + col("b.__size")))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Stage 3 of [[prefixFilteredJaccardPairs]]: exact verification of a
+    * candidate pair table against the full per-doc code sets. */
+  private[graft] def setsimVerify(ordered: DataFrame, cands: DataFrame,
+                                  idCol: String,
+                                  threshold: Double): DataFrame = {
     // one bounded row per document on each verification side — but one
     // row per document is CORPUS-sized, so no broadcast hint: AQE
     // broadcasts the set table when its runtime size permits (the
