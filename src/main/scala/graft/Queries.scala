@@ -6083,13 +6083,21 @@ object Queries {
   // rollup for dictionary-encoded id domains
   private val bitmapDistinctQ = Q(
     "bitmap_distinct_users",
-    (s, d) => events(s, d)
-      .groupBy(col("event_type"))
-      .agg(
-        udaf(new graft.functions.Aggregators.BitmapDistinct(65535),
-          org.apache.spark.sql.Encoders.scalaLong)
-          .apply(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_rows")),
+    (s, d) => {
+      // the dense-bitmap contract needs the id domain bound — derive it
+      // from the corpus (one cheap max() scan, the dictionary-domain
+      // probe a warehouse gets from its surrogate-key dimension) instead
+      // of a gate-SF constant: the hardcoded 65535 wall crashed the r14
+      // sf10 sweep the moment user ids outgrew it
+      val maxId = events(s, d).agg(max(col("user_id"))).head.getLong(0)
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          udaf(new graft.functions.Aggregators.BitmapDistinct(maxId.toInt),
+            org.apache.spark.sql.Encoders.scalaLong)
+            .apply(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"))
+    },
     Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
               count(*) AS n_rows
             FROM events GROUP BY 1"""))
@@ -6098,12 +6106,15 @@ object Queries {
   // bitmaps, popcounts of A/B/AND/OR — never a self-join of the log
   private val audienceOverlapQ = Q(
     "bitmap_audience_overlap",
-    (s, d) => events(s, d)
+    (s, d) => {
+      // same corpus-derived id-domain bound as bitmap_distinct_users
+      val maxId = events(s, d).agg(max(col("user_id"))).head.getLong(0)
+      events(s, d)
       .select(col("user_id"),
         (col("event_type") === "click").as("in_a"),
         (col("event_type") === "purchase").as("in_b"))
       .agg(
-        udaf(new graft.functions.Aggregators.AudienceOverlap(65535),
+        udaf(new graft.functions.Aggregators.AudienceOverlap(maxId.toInt),
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.scalaLong,
             org.apache.spark.sql.Encoders.scalaBoolean,
@@ -6111,7 +6122,8 @@ object Queries {
           .apply(col("user_id"), col("in_a"), col("in_b")).as("o"))
       .select(col("o._1").as("n_click_users"),
         col("o._2").as("n_purchase_users"),
-        col("o._3").as("n_both"), col("o._4").as("n_either")),
+        col("o._3").as("n_both"), col("o._4").as("n_either"))
+    },
     Some("""WITH a AS (
               SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
             b AS (

@@ -39,7 +39,12 @@ object Verify {
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce merges the query's
+        // whole final stage into one task (a final join or aggregate
+        // would execute single-threaded — observed 15+ min stalls in
+        // the sf10 sweep); repartition inserts an exchange so the query
+        // runs wide and only the file write is single-task
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         println(f"[verify] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable =>
