@@ -1745,13 +1745,24 @@ object Queries {
         .write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
+      // The OPERATOR's contract is approximate (a ~fpp fraction of true
+      // uniques drops as the filter fills — one-sided, documented); the
+      // LEDGER pairs it with an exact DISTINCT oracle, so the filter
+      // must be sized to the corpus, not a gate-SF constant: the r14
+      // sf10 sweep measured 86,692 dropped uniques (0.87% of 10M keys)
+      // with the old fixed 2^17 words/shard — exactly the fill-curve
+      // prediction. ~250 bits/key keeps the average fill ~1% and
+      // expected drops ~1e-3 at any SF (the floor keeps tiny corpora at
+      // the old sizing).
+      val nKeys = ev.count()
+      val words = math.max(131072L, nKeys * 250 / 64 / 8).toInt
       // only 8 shard keys exist, so >8 state partitions are pure empty
       // store overhead; NoTimeout state means the no-data batch does
       // nothing (no timeouts to fire) — skip it (see withStreamingConfs).
       withStreamingConfs(s, statePartitions = 8, noDataBatch = false) {
         streaming.Incremental.bloomDedupStream(
             stream.select(col("event_id")).as[Long],
-            shards = 8, numWords = 131072, numHashes = 5)
+            shards = 8, numWords = words, numHashes = 5)
           .writeStream.format("parquet")
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
