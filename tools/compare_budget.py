@@ -26,12 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare import TABLES, table_source, normalize  # noqa: E402
 
 
-def child(sf_dir, result_path, sql, q):
+def child(sf_dir, result_path, sql, q, spill_dir):
     import duckdb
     import pandas as pd
     try:
         got = pd.read_parquet(result_path)
         con = duckdb.connect()
+        # spill into a parent-owned dir so a budget-killed child can't
+        # orphan tens of GB of duckdb_temp_storage files (observed: 50 GB
+        # left behind by terminated quadratic oracles)
+        con.execute(f"SET temp_directory='{spill_dir}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
@@ -81,8 +85,12 @@ def main(sf_dir, out_dir, out_json, budget_s):
                              "seconds": 0, "detail": ""}
             print(f"  [rows-only] {name}: {n_rows} rows")
             continue
+        import shutil
+        import tempfile
+        spill_dir = tempfile.mkdtemp(prefix="graft_duck_spill_")
         q = mp.Queue()
-        p = mp.Process(target=child, args=(sf_dir, path, oracles[name], q))
+        p = mp.Process(target=child,
+                       args=(sf_dir, path, oracles[name], q, spill_dir))
         t0 = time.time()
         p.start()
         p.join(budget_s)
@@ -90,11 +98,13 @@ def main(sf_dir, out_dir, out_json, budget_s):
         if p.is_alive():
             p.terminate()
             p.join(10)
+            shutil.rmtree(spill_dir, ignore_errors=True)
             results[name] = {"status": "skip_budget", "rows": -1,
                              "seconds": round(wall, 1),
                              "detail": f"oracle exceeded {budget_s}s budget"}
             print(f"  SKIP(budget>{budget_s}s) {name}")
             continue
+        shutil.rmtree(spill_dir, ignore_errors=True)
         try:
             r = q.get_nowait()
         except Exception:
