@@ -1304,9 +1304,14 @@ object Queries {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal")),
+      // integer cents like cube_agg: the rollup's grand-total row has
+      // the same order-dependent double-sum exposure at scale
+      .agg(count(lit(1)).as("n_cust"),
+        sum(floor(col("c_acctbal") * 100 + 0.5).cast("decimal(38,0)"))
+          .cast("long").as("acctbal_cents")),
     Some("""SELECT r_name, n_name, count(*) AS n_cust,
-              round(sum(c_acctbal), 2) AS acctbal
+              CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS acctbal_cents
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -1319,13 +1324,17 @@ object Queries {
     (s, d) => {
       customer(s, d).createOrReplaceTempView("gs_customer")
       nation(s, d).createOrReplaceTempView("gs_nation")
+      // integer cents: the () grouping set is a grand total with the
+      // same order-dependent double-sum exposure as cube_agg at scale
       s.sql("""SELECT n_name, c_mktsegment, count(*) AS n_cust,
-                 round(sum(c_acctbal), 2) AS acctbal
+                 CAST(sum(CAST(floor(c_acctbal * 100 + 0.5)
+                   AS DECIMAL(38,0))) AS BIGINT) AS acctbal_cents
                FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
                GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
     },
     Some("""SELECT n_name, c_mktsegment, count(*) AS n_cust,
-              round(sum(c_acctbal), 2) AS acctbal
+              CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS acctbal_cents
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())"""))
 
@@ -1387,13 +1396,20 @@ object Queries {
             FROM orders"""))
 
   // CUBE: all grouping combinations (rollup's sibling)
+  // money in exact integer cents (the q1_agg treatment): the CUBE's
+  // grand-total cell accumulates EVERY order, and at sf10 (15M rows)
+  // order-dependent double summation drifted past round(2) — the r14
+  // sf10 sweep caught .94 vs .96 on the global cell
   private val cubeAgg = Q(
     "cube_agg",
     (s, d) => orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("decimal(38,0)"))
+          .cast("long").as("total_cents")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              round(sum(o_totalprice), 2) AS total
+              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
 
   // array-function battery over collected groups: sort, slice, contains,
@@ -3306,13 +3322,18 @@ object Queries {
   private def lloydReplayPrefix(kCells: String, iters: Int, dim: Int): String = {
     val dimRange = s"range(1, ${dim + 1})"
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
+    // assignment = argmin over (dist, cell) — a LEXICOGRAPHIC STRUCT MIN
+    // aggregate, identical to the row_number()-over-(dist, cell)-rn=1
+    // formulation it replaces but streaming through a hash aggregate:
+    // the window version materialized and SORTED the |ve| x kCells cross
+    // join (64-long arrays riding along), which exhausted 64 GB of
+    // DuckDB spill at the sf10 auto-sized replay (200k vectors x 223
+    // cells); the aggregate keeps one struct per vector
     def lloydRound(prev: String, n: Int): String =
       s"""a$n AS (
-            SELECT vec_id, cell FROM (
-              SELECT v.vec_id, c.cell,
-                row_number() OVER (PARTITION BY v.vec_id
-                  ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
-              FROM ve v CROSS JOIN $prev c) WHERE rn = 1),
+            SELECT v.vec_id,
+              (min({'d': ${distExpr("v", "c")}, 'c': c.cell})).c AS cell
+            FROM ve v CROSS JOIN $prev c GROUP BY v.vec_id),
           u$n AS (
             SELECT a.cell, i.i AS dim, CAST(SUM(v.vq[i.i]) // COUNT(*) AS BIGINT) AS cv
             FROM a$n a JOIN ve v USING (vec_id), $dimRange AS i(i)
@@ -3335,11 +3356,9 @@ object Queries {
           FROM (SELECT vec_id, vq FROM ve ORDER BY vec_id LIMIT $kCells)),
         $rounds,
         af AS (
-          SELECT vec_id, cell FROM (
-            SELECT v.vec_id, c.cell,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
-            FROM ve v CROSS JOIN c$iters c) WHERE rn = 1)"""
+          SELECT v.vec_id,
+            (min({'d': ${distExpr("v", "c")}, 'c': c.cell})).c AS cell
+          FROM ve v CROSS JOIN c$iters c GROUP BY v.vec_id)"""
   }
 
   /** Generated Lloyd-replay SQL for ann_ivf_topk (see the Q above). */
@@ -5247,13 +5266,15 @@ object Queries {
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
     s"""WITH ${lloydReplayPrefix(kCells, iters, dim)},
         tc AS (SELECT vec_id AS tgt_id, cell FROM af WHERE vec_id % 2 = 1),
+        pc0 AS (
+          SELECT v.vec_id AS src_id,
+            list_sort(list({'d': ${distExpr("v", "c")}, 'c': c.cell}))
+              [:$nProbe] AS cells
+          FROM ve v CROSS JOIN c$iters c WHERE v.vec_id % 2 = 0
+          GROUP BY v.vec_id),
         pc AS (
-          SELECT vec_id AS src_id, cell FROM (
-            SELECT v.vec_id, c.cell,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY ${distExpr("v", "c")}, c.cell) AS rn
-            FROM ve v CROSS JOIN c$iters c WHERE v.vec_id % 2 = 0)
-          WHERE rn <= $nProbe),
+          SELECT src_id, c AS cell FROM (
+            SELECT src_id, unnest(cells, recursive := true) FROM pc0)),
         d AS (
           SELECT p.src_id, t.tgt_id,
             CAST(list_dot_product(sv.vq::DOUBLE[], tv.vq::DOUBLE[])

@@ -40,7 +40,15 @@ def child(sf_dir, result_path, sql, q, spill_dir):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
         t0 = time.time()
-        exp = con.execute(sql).df()
+        try:
+            exp = con.execute(sql).df()
+        except duckdb.OutOfMemoryException:
+            # the .df() conversion (not the query) can exhaust memory on
+            # results with very large strings (observed: 500k docs of
+            # reassembled text at sf10); round-trip through parquet
+            out = os.path.join(spill_dir, "exp.parquet")
+            con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+            exp = pd.read_parquet(out)
         duck_s = time.time() - t0
         g, e = normalize(got.copy()), normalize(exp.copy())
         if list(g.columns) != list(e.columns):
@@ -71,11 +79,12 @@ def child(sf_dir, result_path, sql, q, spill_dir):
                "detail": str(ex)[:500]})
 
 
-def main(sf_dir, out_dir, out_json, budget_s):
+def main(sf_dir, out_dir, out_json, budget_s, only=None):
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     names = [n for n in sorted(os.listdir(out_dir))
-             if os.path.isdir(os.path.join(out_dir, n)) and n != "_errors"]
+             if os.path.isdir(os.path.join(out_dir, n)) and n != "_errors"
+             and (only is None or n in only)]
     for name in names:
         path = os.path.join(out_dir, name)
         if name not in oracles:
@@ -132,4 +141,5 @@ def main(sf_dir, out_dir, out_json, budget_s):
 
 if __name__ == "__main__":
     budget = int(sys.argv[4]) if len(sys.argv) > 4 else 300
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], budget))
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], budget, only))
