@@ -26,11 +26,75 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare import TABLES, table_source, normalize  # noqa: E402
 
 
+# Above this many result rows the child compares inside DuckDB
+# (EXCEPT ALL both ways on name-sorted, type-normalized projections)
+# instead of row-by-row in pandas: the pandas object-compare on a 60M-row
+# result costs more than the oracle query itself and was the actual cause
+# of most sf10 budget skips.
+DUCK_COMPARE_ROWS = int(os.environ.get("GRAFT_DUCK_COMPARE_ROWS", 2_000_000))
+
+
+def _casted_projection(con, rel_name):
+    """Name-sorted SELECT list with the same type normalization the pandas
+    path applies: timestamps -> microsecond TIMESTAMP, all ints -> BIGINT,
+    FLOAT/REAL/DECIMAL -> DOUBLE (pandas .df() renders DECIMAL as float64),
+    everything else as-is. Returns (sorted_names, select_list_sql)."""
+    cols = con.execute(f"DESCRIBE {rel_name}").fetchall()
+    names, exprs = [], []
+    for name, typ, *_ in sorted(cols, key=lambda r: r[0]):
+        t = typ.upper()
+        if t.startswith("TIMESTAMP"):
+            cast = f'CAST("{name}" AS TIMESTAMP)'
+        elif t in ("FLOAT", "REAL", "DOUBLE") or t.startswith("DECIMAL"):
+            cast = f'CAST("{name}" AS DOUBLE)'
+        elif t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                   "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "HUGEINT"):
+            cast = f'CAST("{name}" AS BIGINT)'
+        else:
+            cast = f'"{name}"'
+        names.append(name)
+        exprs.append(f'{cast} AS "{name}"')
+    return names, ", ".join(exprs)
+
+
+def duck_compare(con, sql, result_path, n_got, q):
+    """Set-exact comparison computed entirely inside DuckDB. EXCEPT ALL
+    uses IS-NOT-DISTINCT-FROM equality (NULL==NULL, NaN==NaN), the same
+    semantics as the pandas path's isna-aware compare."""
+    t0 = time.time()
+    con.execute(f"CREATE TEMP TABLE exp AS {sql}")
+    duck_s = time.time() - t0
+    got_cols, got_sel = _casted_projection(con, "got")
+    exp_cols, exp_sel = _casted_projection(con, "exp")
+    if got_cols != exp_cols:
+        q.put({"status": "fail", "rows": n_got, "seconds": duck_s,
+               "detail": f"schema spark={got_cols} duck={exp_cols}"})
+        return
+    n_exp = con.execute("SELECT count(*) FROM exp").fetchone()[0]
+    if n_got != n_exp:
+        q.put({"status": "fail", "rows": n_got, "seconds": duck_s,
+               "detail": f"rowcount spark={n_got} duck={n_exp}"})
+        return
+    extra = con.execute(
+        f"SELECT count(*) FROM (SELECT {got_sel} FROM got "
+        f"EXCEPT ALL SELECT {exp_sel} FROM exp)").fetchone()[0]
+    missing = con.execute(
+        f"SELECT count(*) FROM (SELECT {exp_sel} FROM exp "
+        f"EXCEPT ALL SELECT {got_sel} FROM got)").fetchone()[0]
+    if extra or missing:
+        q.put({"status": "fail", "rows": n_got, "seconds": duck_s,
+               "detail": f"value diff: {extra} rows only in spark, "
+                         f"{missing} only in duck (duck-side EXCEPT ALL)"})
+    else:
+        q.put({"status": "ok", "rows": n_got,
+               "seconds": round(time.time() - t0, 1),
+               "detail": "duck-side EXCEPT ALL compare"})
+
+
 def child(sf_dir, result_path, sql, q, spill_dir):
     import duckdb
     import pandas as pd
     try:
-        got = pd.read_parquet(result_path)
         con = duckdb.connect()
         # spill into a parent-owned dir so a budget-killed child can't
         # orphan tens of GB of duckdb_temp_storage files (observed: 50 GB
@@ -39,6 +103,13 @@ def child(sf_dir, result_path, sql, q, spill_dir):
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
+        con.execute("CREATE VIEW got AS SELECT * FROM "
+                    f"read_parquet('{result_path}/*.parquet')")
+        n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
+        if n_got > DUCK_COMPARE_ROWS:
+            duck_compare(con, sql, result_path, n_got, q)
+            return
+        got = pd.read_parquet(result_path)
         t0 = time.time()
         try:
             exp = con.execute(sql).df()
