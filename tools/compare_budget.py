@@ -33,6 +33,29 @@ from compare import TABLES, table_source, normalize  # noqa: E402
 # of most sf10 budget skips.
 DUCK_COMPARE_ROWS = int(os.environ.get("GRAFT_DUCK_COMPARE_ROWS", 2_000_000))
 
+# ... and above this many parquet bytes on disk, regardless of row count:
+# a 500k-row result of reassembled document text is small in rows but
+# gigabytes in pandas, and the r14 sf10 sweep saw that child OOM-KILLED by
+# the kernel (so duckdb's own OutOfMemoryException fallback never fired).
+DUCK_COMPARE_BYTES = int(os.environ.get("GRAFT_DUCK_COMPARE_BYTES",
+                                        256 * 1024 * 1024))
+
+# Cap the child's DuckDB memory so heavy oracles spill to temp_directory
+# instead of tripping the kernel OOM killer (which yields a verdict-less
+# dead child, not a clean oracle_error).
+DUCK_MEMORY_LIMIT = os.environ.get("GRAFT_DUCK_MEMORY_LIMIT", "48GB")
+
+
+def _dir_bytes(path):
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
 
 def _casted_projection(con, rel_name):
     """Name-sorted SELECT list with the same type normalization the pandas
@@ -100,13 +123,14 @@ def child(sf_dir, result_path, sql, q, spill_dir):
         # orphan tens of GB of duckdb_temp_storage files (observed: 50 GB
         # left behind by terminated quadratic oracles)
         con.execute(f"SET temp_directory='{spill_dir}'")
+        con.execute(f"SET memory_limit='{DUCK_MEMORY_LIMIT}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
         con.execute("CREATE VIEW got AS SELECT * FROM "
                     f"read_parquet('{result_path}/*.parquet')")
         n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
-        if n_got > DUCK_COMPARE_ROWS:
+        if n_got > DUCK_COMPARE_ROWS or _dir_bytes(result_path) > DUCK_COMPARE_BYTES:
             duck_compare(con, sql, result_path, n_got, q)
             return
         got = pd.read_parquet(result_path)

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Above-gate (sf10, 100x) sweep orchestration: chunk the ledger's queries
+# across N sequential Verify JVMs (shuffle scratch is reclaimed at JVM
+# exit — one JVM over 227 queries at 100x exhausts local disk), then run
+# the budgeted DuckDB compare. See .claude/skills/verify/SKILL.md.
+set -euo pipefail
+SF_DIR=${1:-/tmp/graft_sf10}
+OUT=${2:-/tmp/verify_sf10}
+CHUNKS=${3:-4}
+SKIP=${SPARK_GRAFT_SKIP:-margin_mine_bitext}
+
+cd "$(dirname "$0")/.."
+grep -oP '(?<=^    ")[a-z0-9_]+(?=",$)' src/main/scala/graft/Queries.scala \
+  | sort -u | grep -vxF "$(echo "$SKIP" | tr ',' '\n')" > /tmp/sweep_names.txt
+TOTAL=$(wc -l < /tmp/sweep_names.txt)
+echo "[sweep] $TOTAL queries, $CHUNKS chunks, skipping: $SKIP"
+mkdir -p "$OUT"
+PER=$(( (TOTAL + CHUNKS - 1) / CHUNKS ))
+for i in $(seq 1 "$CHUNKS"); do
+  NAMES=$(sed -n "$(( (i-1)*PER + 1 )),$(( i*PER ))p" /tmp/sweep_names.txt \
+    | paste -sd, -)
+  [ -z "$NAMES" ] && continue
+  echo "[sweep] chunk $i/$CHUNKS: $(echo "$NAMES" | tr ',' '\n' | wc -l) queries"
+  SPARK_GRAFT_QUERIES="$NAMES" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT"
+done
+echo "[sweep] verify done; dumped $(ls -d "$OUT"/*/ | wc -l) result dirs"
