@@ -3845,6 +3845,17 @@ object Queries {
   // wins, survivors reassemble in original order. Position-keyed
   // explode + min-position aggregate + struct-sorted reassembly — all
   // integer/string ops, engine-exact.
+  //
+  // The ledger compares an ORDER-PINNING FINGERPRINT of the reassembled
+  // text, not the text itself: Spark re-splits its own emitted
+  // `text_dedup` and sums md5-prefix(line) x line-rank (any content,
+  // order, or separator change alters the sum), while the oracle
+  // computes the identical sum from a row_number window. Shipping the
+  // raw multi-KB strings required DuckDB's ORDER BY string_agg, whose
+  // ordered-aggregate path is non-spillable and OOMs at the 100x sweep
+  // (13.6M lines, 48 GB cap); the window + commutative-sum shape spills
+  // and finishes in seconds. Per-doc sums stay < 2^53 (h < 2^32, rank
+  // bounded by lines-per-doc, which is SF-invariant).
   private val dedupLinesWithinDocQ = Q(
     "dedup_lines_within_doc",
     (s, d) => {
@@ -3856,7 +3867,15 @@ object Queries {
         regexp_extract_all(lower(trim(col("text"))),
           lit("\\S+(?:\\s+\\S+)?"), lit(0)),
         c => regexp_replace(c, "\\s+", " "))
-      ops.Dedup.dedupLinesWithinDoc(documents(s, d), "doc_id", lines)
+      val dd = ops.Dedup.dedupLinesWithinDoc(documents(s, d), "doc_id", lines)
+      val kept = split(col("text_dedup"), "\n")
+      val fp = aggregate(
+        zip_with(kept, sequence(lit(1L), size(kept).cast("long")),
+          (l, i) => conv(substring(md5(l), 1, 8), 16, 10).cast("long") * i),
+        lit(0L), (acc, x) => acc + x)
+      dd.select(col("doc_id"), col("n_lines_total"), col("n_lines_kept"),
+        length(col("text_dedup")).cast("long").as("text_len"),
+        fp.as("line_order_fp"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -3870,12 +3889,26 @@ object Queries {
               FROM toks),
             firsts AS (
               SELECT doc_id, line, min(pos) AS pos, count(*) AS n
-              FROM lin GROUP BY 1, 2)
+              FROM lin GROUP BY 1, 2),
+            ranked AS (
+              SELECT doc_id, line, n, length(line) AS line_len,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+              FROM firsts)
             SELECT doc_id,
               CAST(sum(n) AS BIGINT) AS n_lines_total,
               CAST(count(*) AS BIGINT) AS n_lines_kept,
-              string_agg(line, chr(10) ORDER BY pos) AS text_dedup
-            FROM firsts GROUP BY 1"""))
+              CAST(sum(line_len) + count(*) - 1 AS BIGINT) AS text_len,
+              CAST(sum(
+                ( (instr('0123456789abcdef', substr(md5(line), 1, 1)) - 1) * (1::BIGINT << 28)
+                + (instr('0123456789abcdef', substr(md5(line), 2, 1)) - 1) * (1::BIGINT << 24)
+                + (instr('0123456789abcdef', substr(md5(line), 3, 1)) - 1) * (1::BIGINT << 20)
+                + (instr('0123456789abcdef', substr(md5(line), 4, 1)) - 1) * (1::BIGINT << 16)
+                + (instr('0123456789abcdef', substr(md5(line), 5, 1)) - 1) * (1::BIGINT << 12)
+                + (instr('0123456789abcdef', substr(md5(line), 6, 1)) - 1) * (1::BIGINT << 8)
+                + (instr('0123456789abcdef', substr(md5(line), 7, 1)) - 1) * (1::BIGINT << 4)
+                + (instr('0123456789abcdef', substr(md5(line), 8, 1)) - 1)
+                ) * rk) AS BIGINT) AS line_order_fp
+            FROM ranked GROUP BY 1"""))
 
   // Gopher-style repetition filters: duplicate-bigram fraction and
   // top-bigram fraction, from one tight-loop expression per row; the

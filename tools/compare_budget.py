@@ -124,6 +124,11 @@ def child(sf_dir, result_path, sql, q, spill_dir):
         # left behind by terminated quadratic oracles)
         con.execute(f"SET temp_directory='{spill_dir}'")
         con.execute(f"SET memory_limit='{DUCK_MEMORY_LIMIT}'")
+        # a disk-bound oracle (observed: the recursive-CC replay spilling
+        # >70 GB at sf10) must die as a clean per-query oracle_error, not
+        # by exhausting the device under every other child
+        con.execute("SET max_temp_directory_size="
+                    f"'{os.environ.get('GRAFT_DUCK_MAX_SPILL', '40GB')}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
