@@ -304,11 +304,12 @@ object Dedup {
     * store's, so old-vs-old pairs are never recomputed and per-run work
     * is O(new x collision rate). Store chunk buckets over `maxBucket`
     * REFINE on the complement sub-chunks (the [[simhashPairs]] recursive
-    * pigeonhole — exact-complete at one more level) rather than drop;
-    * only sub-buckets still over the cap are dropped (residual valve;
-    * the hot lists are tiny so their anti-joins broadcast). Returns
-    * (id_a, id_b, hamming) pairs where at least one side is new,
-    * ordered id_a < id_b.
+    * pigeonhole — exact-complete at one more level) rather than drop,
+    * and every sub-bucket joins: a sub-bucket still over the cap costs
+    * new-batch × members (bounded by the batch), never a dropped pair —
+    * the r14 100× sweep caught the old residual valve breaking the
+    * exact oracle. Returns (id_a, id_b, hamming) pairs where at least
+    * one side is new, ordered id_a < id_b.
     */
   def incrementalSimhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
                               storePath: String, maxHamming: Int = 3,
@@ -370,13 +371,11 @@ object Dedup {
         val storeSub = subBuckets(storeB, "simhash")
           // the refined verify is the same exploding join one level down
           .repartition(shuffleN, col("chunk"), col("cv"), col("sub"), col("sv"))
-        val hotSub = storeSub.groupBy(col("chunk"), col("cv"), col("sub"), col("sv"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket)
-          .select(col("chunk"), col("cv"), col("sub"), col("sv"))
+        // every sub-bucket joins — a sub-bucket still over the cap is
+        // new-batch x members, bounded by the batch (the r14 100× sweep
+        // caught the old residual drop breaking the exact oracle)
         val hotPairs = subBuckets(newB, "__new_sh")
-          .join(storeSub.join(hotSub, Seq("chunk", "cv", "sub", "sv"), "left_anti"),
-            Seq("chunk", "cv", "sub", "sv"))
+          .join(storeSub, Seq("chunk", "cv", "sub", "sv"))
         coldPairs.unionByName(hotPairs.select(coldPairs.columns.map(col).toIndexedSeq: _*))
       }
     pairs
@@ -406,10 +405,15 @@ object Dedup {
     * all lie in that complement, so splitting it into (maxHamming+1)
     * disjoint sub-chunks guarantees agreement on one — bucketing by
     * (chunk, cv, sub-chunk, sub-value) is exact-complete again, with
-    * E[sub-bucket] = bucket / 2^subWidth. `maxBucket` remains the
-    * RESIDUAL valve at the refined level (a sub-bucket still over it is
-    * dropped — size the cap so that never fires at the target corpus;
-    * the ledger's brute-force oracle verifies zero drops end to end).
+    * E[sub-bucket] = bucket / 2^subWidth. A sub-bucket still over the
+    * cap refines ONCE MORE (a third pigeonhole level on the yet-unagreed
+    * bits), and the bottom level generates pairs for every remaining
+    * bucket — as a streamed self-join, never a drop — so the operator is
+    * EXACT at every corpus size (the r14 100× sweep caught the old
+    * residual-valve drop losing 1,012 of 2.6M pairs). `maxBucket` is
+    * purely a cost ladder (when to refine deeper), not a recall knob;
+    * the unsplittable worst case is a near-identical group whose pair
+    * OUTPUT is itself quadratic, so generation is output-bound.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
@@ -439,32 +443,85 @@ object Dedup {
       .agg(collect_list(struct(col(idCol), col("simhash"))).as("__m"))
     val level1 = grouped.filter(size(col("__m")).between(2, maxBucket))
       .select(explode(simhash_id_pairs(col("__m"), maxHamming)).as("p"))
+    // exact bottom: stream every pair of a keyed member table through a
+    // self-join (spillable, no collect_list array — a near-identical
+    // group's pair array would be |group|² in ONE row) and verify
+    // hamming. Used wherever refinement can no longer split.
+    def allPairsJoin(members: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = members.select(keys.map(col) :+
+        col(idCol).as("__a_id") :+ col("simhash").as("__a_sh"): _*)
+      val b = members.select(keys.map(col) :+
+        col(idCol).as("__b_id") :+ col("simhash").as("__b_sh"): _*)
+      a.join(b, keys).filter(col("__a_id") < col("__b_id"))
+        .withColumn("__h",
+          bit_count(col("__a_sh").bitwiseXOR(col("__b_sh"))).cast("int"))
+        .filter(col("__h") <= maxHamming)
+        .select(struct(col("__a_id").as("a"), col("__b_id").as("b"),
+          col("__h").as("hamming")).as("p"))
+    }
+    def membersOf(g: DataFrame, keys: Seq[String]): DataFrame = g
+      .select(keys.map(col) :+ explode(col("__m")).as("m"): _*)
+      .select(keys.map(col) :+
+        col(s"m.$idCol").as(idCol) :+ col("m.simhash").as("simhash"): _*)
     // level 2: compact the complement (bits outside the agreed chunk)
     // into a 60−width-bit value, sub-chunk it, and re-bucket within the
     // (chunk, cv) group. subW == 0 (maxHamming = 0: exact duplicates,
-    // 60-bit chunk, empty complement) degenerates to the plain valve.
+    // 60-bit chunk, empty complement — an over-cap bucket is an
+    // identical-signature group) pairs the hot bucket exactly instead.
     val subW = (60 - width) / chunks
+    val hot1 = grouped.filter(size(col("__m")) > maxBucket)
     val pairs =
-      if (subW == 0) level1
+      if (subW == 0)
+        level1.unionByName(allPairsJoin(
+          membersOf(hot1, Seq("chunk", "cv")), Seq("chunk", "cv")))
       else {
-        val level2 = grouped.filter(size(col("__m")) > maxBucket)
-          .select(col("chunk"), col("cv"), explode(col("__m")).as("m"))
-          .select(col("chunk"), col("cv"),
-            col(s"m.$idCol").as(idCol), col("m.simhash").as("simhash"))
+        val grouped2 = membersOf(hot1, Seq("chunk", "cv"))
           .withColumn("__comp", expr(
             s"(simhash & (shiftleft(1L, chunk * $width) - 1)) | " +
             s"shiftleft(shiftright(simhash, (chunk + 1) * $width), chunk * $width)"))
-          .select(col("chunk"), col("cv"), col(idCol), col("simhash"),
+          .select(col("chunk"), col("cv"), col(idCol), col("simhash"), col("__comp"),
             explode(expr(s"transform(sequence(0, ${chunks - 1}), j -> " +
               s"struct(j as sub, shiftright(__comp, j * $subW) & ${(1L << subW) - 1} as sv))")).as("s2"))
           // same exploding-stage shape one level down: pin the width
           .repartition(shuffleN, col("chunk"), col("cv"), col("s2.sub"),
             col("s2.sv"))
-          .groupBy(col("chunk"), col("cv"), col("s2.sub"), col("s2.sv"))
+          .groupBy(col("chunk"), col("cv"), col("s2.sub").as("sub"),
+            col("s2.sv").as("sv"))
           .agg(collect_list(struct(col(idCol), col("simhash"))).as("__m"))
-          .filter(size(col("__m")).between(2, maxBucket))
+        val level2 = grouped2.filter(size(col("__m")).between(2, maxBucket))
           .select(explode(simhash_id_pairs(col("__m"), maxHamming)).as("p"))
-        level1.unionByName(level2)
+        // level 3: a sub-bucket still over the cap re-pigeonholes the
+        // 60−width−subW bits its members have not yet agreed on; the
+        // pigeonhole stays valid with a partially-covered complement
+        // (≤ maxHamming differing bits touch ≤ maxHamming of the
+        // maxHamming+1 chunks wherever they fall). The bottom pairs
+        // every resulting bucket — no upper cap, exact at any size.
+        val hot2 = grouped2.filter(size(col("__m")) > maxBucket)
+        val subW2 = (60 - width - subW) / chunks
+        val level3 =
+          if (subW2 == 0)
+            allPairsJoin(membersOf(hot2, Seq("chunk", "cv", "sub", "sv")),
+              Seq("chunk", "cv", "sub", "sv"))
+          else {
+            val m3 = membersOf(hot2, Seq("chunk", "cv", "sub", "sv"))
+              .withColumn("__comp", expr(
+                s"(simhash & (shiftleft(1L, chunk * $width) - 1)) | " +
+                s"shiftleft(shiftright(simhash, (chunk + 1) * $width), chunk * $width)"))
+              .withColumn("__comp2", expr(
+                s"(__comp & (shiftleft(1L, sub * $subW) - 1)) | " +
+                s"shiftleft(shiftright(__comp, (sub + 1) * $subW), sub * $subW)"))
+              .select(col("chunk"), col("cv"), col("sub"), col("sv"),
+                col(idCol), col("simhash"),
+                explode(expr(s"transform(sequence(0, ${chunks - 1}), t -> " +
+                  s"struct(t as ssub, shiftright(__comp2, t * $subW2) & ${(1L << subW2) - 1} as ssv))")).as("s3"))
+              .select(col("chunk"), col("cv"), col("sub"), col("sv"),
+                col("s3.ssub").as("ssub"), col("s3.ssv").as("ssv"),
+                col(idCol), col("simhash"))
+              .repartition(shuffleN, col("chunk"), col("cv"), col("sub"),
+                col("sv"), col("ssub"), col("ssv"))
+            allPairsJoin(m3, Seq("chunk", "cv", "sub", "sv", "ssub", "ssv"))
+          }
+        level1.unionByName(level2).unionByName(level3)
       }
     pairs
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.hamming").as("hamming"))
