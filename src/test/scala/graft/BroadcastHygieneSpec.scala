@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Ledger-wide broadcast-hygiene gate.
   *
@@ -68,31 +67,11 @@ class BroadcastHygieneSpec extends SparkTestBase {
         "rows cross to the driver)"))
   }
 
-  private def isDimLeaf(p: LogicalPlan): Boolean = p match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.nonEmpty &&
-        fs.location.rootPaths.forall { rp =>
-          val s = rp.toString
-          s.contains("region.parquet") || s.contains("nation.parquet")
-        }
-      case _ => false
-    }
-    case _ => false
-  }
-
   /** Structural boundedness: the subtree's row count is bounded by a
-    * constant independent of corpus size.
+    * constant independent of corpus size (shared witness, see
+    * [[PlanBoundedness]]).
     */
-  private def bounded(p: LogicalPlan): Boolean = p match {
-    case Aggregate(grouping, _, _, _) if grouping.isEmpty => true
-    case _: GlobalLimit => true
-    case _: LocalRelation | _: OneRowRelation | _: Range => true
-    case leaf if leaf.children.isEmpty => isDimLeaf(leaf)
-    case other =>
-      // unary ops (project/filter/sort/window/...) preserve bounds;
-      // joins and unions of bounded inputs stay bounded
-      other.children.forall(bounded)
-  }
+  private def bounded(p: LogicalPlan): Boolean = PlanBoundedness.bounded(p)
 
   private def unprovenBroadcasts(plan: LogicalPlan): Seq[String] =
     plan.collect {
