@@ -21,7 +21,10 @@ for i in $(seq 1 "$CHUNKS"); do
     | paste -sd, -)
   [ -z "$NAMES" ] && continue
   echo "[sweep] chunk $i/$CHUNKS: $(echo "$NAMES" | tr ',' '\n' | wc -l) queries"
+  # 8g (the build default) OOMs the 100x shuffles — a fresh shell that
+  # forgets the heap override must not waste a chunk finding that out
   SPARK_GRAFT_QUERIES="$NAMES" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
     sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 done
 echo "[sweep] verify done; dumped $(ls -d "$OUT"/*/ | wc -l) result dirs"
