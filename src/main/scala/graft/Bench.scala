@@ -109,15 +109,27 @@ object Bench {
           System.err.println(s"WARN: BENCH_LAST.json not written: $e")
       }
     // The driver's artifact keeps only a bounded LOG TAIL: at 184
-    // queries the full line is ~5 KB, so the tail held a front-truncated
-    // (unparseable) fragment and BENCH_r10.json recorded "parsed": null.
-    // Print a compact line LAST whose "queries" holds the slowest
-    // entries that fit a conservative 1800-char budget (the expensive
-    // tail is what perf grading reads anyway); "n_queries" carries the
-    // true count and "queries_file" points at the full vector.
+    // queries the full NAMED line is ~5 KB, so the tail held a front-
+    // truncated (unparseable) fragment and BENCH_r10.json recorded
+    // "parsed": null. Print a compact line LAST that carries the FULL
+    // per-query vector positionally — "values" holds every query's
+    // seconds in NAME-SORTED order (~5.5 chars each vs ~20 named), so
+    // round-over-round diffs read the whole 227-query surface from the
+    // round artifact alone (names recoverable from the name-sorted
+    // SparkEntry.queries keys at that commit; BENCH_LAST.json keeps the
+    // self-describing named twin) — then fills the remaining budget
+    // with the slowest entries NAMED (what perf grading reads first).
     val byCost = rounded.toSeq.sortBy { case (k, b) =>
       (-b.doubleValue, k) }
-    val head = s"""{"metric":"total","value":${js(total)},"unit":"sec","n_queries":${rounded.size},"queries_file":"BENCH_LAST.json","sf":"$sfName"$errs,"queries":{"""
+    val valuesSorted = rounded.toSeq.sortBy(_._1).map(kv => js(kv._2))
+      .mkString("[", ",", "]")
+    // if the surface ever grows past what the positional vector fits
+    // (~300 queries), drop it rather than shipping an unparseable tail
+    val valuesField =
+      if (valuesSorted.length <= 1500)
+        s""""values_order":"name_sorted","values":$valuesSorted,"""
+      else ""
+    val head = s"""{"metric":"total","value":${js(total)},"unit":"sec","n_queries":${rounded.size},$valuesField"queries_file":"BENCH_LAST.json","sf":"$sfName"$errs,"queries":{"""
     val budget = 1800 - head.length - 2
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0

@@ -54,6 +54,39 @@ object Queries {
       }
     }, "graft-scratch-cleanup"))
 
+  /** Shard-capped block key for the label-blocked embedding queries
+    * (`dedup_embedding_cosine`, `knn_graph_blocked`): an oversized label
+    * splits into ceil(count/512) deterministic vec_id-modulus shards so
+    * Sum |block|^2 stays linear-from-the-cap (the r14 fix for the two
+    * sf10 quadratics — 1456 s / 411 s down to seconds).
+    *
+    * One cheap max-count pre-aggregate decides whether the shard join is
+    * needed at all: when every label already fits one shard (true at
+    * every gate SF) it is a provable no-op (__nsh = 1 everywhere ⇒ one
+    * shard per label ⇒ the shard key partitions rows exactly like the
+    * raw label), so the query keys on the label directly and skips the
+    * count join — the constant ~0.5-3 s gate-SF overhead the r14
+    * BlockCapProbe attributed to it. The single-value `head` is a
+    * bounded driver fast path: one long crosses to the driver. No
+    * broadcast hint on the sharded path: the per-label count table is
+    * tiny but corpus-derived — AQE may broadcast it, the plan must not
+    * force it.
+    */
+  private def shardCappedBlocks(emb: DataFrame, keyName: String,
+                                maxBlock: Int = 512): DataFrame = {
+    val maxLabel = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head().getLong(0)
+    if (maxLabel <= maxBlock) emb.withColumn(keyName, col("label"))
+    else {
+      val nShards = emb.groupBy(col("label"))
+        .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).as("__nsh"))
+      emb.join(nShards, "label")
+        .withColumn(keyName,
+          concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
+        .drop("__nsh")
+    }
+  }
+
   private def scratchDir(prefix: String): String = {
     scratchCleanupHook
     val shm = java.nio.file.Paths.get("/dev/shm")
@@ -2966,19 +2999,19 @@ object Queries {
   // output is bit-identical to the uncapped entry. Cross-shard pairs
   // within a label are forgone above the cap — the standard bounded
   // near-dup contract (same recall-for-cost trade LSH banding makes).
+  //
+  // r15: when NO label exceeds the cap (true at every gate SF), one
+  // cheap max-count pre-aggregate proves the shard join a no-op
+  // (__nsh = 1 for every row) and the query blocks on the raw label
+  // instead — shardCappedBlocks drops the per-label count join the r14
+  // BlockCapProbe attributed ~0.5-3 s of constant gate-SF overhead to,
+  // with provably identical pairs (grouping by label = grouping by
+  // label#0). Above the cap the sharded plan engages unchanged.
   private val dedupEmbedding = Q(
     "dedup_embedding_cosine",
-    (s, d) => {
-      val emb = embeddings(s, d)
-      // no broadcast hint: the per-label count table is tiny but
-      // corpus-derived — AQE may broadcast it, the plan must not force it
-      val nShards = emb.groupBy(col("label"))
-        .agg(ceil(count(lit(1)) / lit(512.0)).as("__nsh"))
-      val blocked = emb.join(nShards, "label")
-        .withColumn("__blk",
-          concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
-      Dedup.embeddingCosinePairs(blocked, "vec_id", "embedding", "__blk", 0.3)
-    },
+    (s, d) => Dedup.embeddingCosinePairs(
+      shardCappedBlocks(embeddings(s, d), "__blk"),
+      "vec_id", "embedding", "__blk", 0.3),
     Some("""WITH nsh AS (
               SELECT label, CAST(ceil(count(*) / 512.0) AS BIGINT) AS nsh
               FROM embeddings GROUP BY 1),
@@ -3254,18 +3287,14 @@ object Queries {
   // replayable); gate-SF blocks fit one shard, so gate output is
   // bit-identical to the uncapped entry, while above the cap the graph
   // is per-shard kNN — the bounded-cost contract every at-scale kNN
-  //-graph construction (IVF/partition-local) makes.
+  //-graph construction (IVF/partition-local) makes. r15: the shard
+  // join engages only when some label exceeds the cap (see
+  // shardCappedBlocks).
   private val knnGraph = Q(
     "knn_graph_blocked",
-    (s, d) => {
-      val emb = embeddings(s, d)
-      val nShards = emb.groupBy(col("label"))
-        .agg(ceil(count(lit(1)) / lit(512.0)).as("__nsh"))
-      val blocked = emb.join(nShards, "label")
-        .withColumn("__cblk",
-          concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
-      Similarity.knnGraphBlocked(blocked, "vec_id", "embedding", "__cblk", 5)
-    },
+    (s, d) => Similarity.knnGraphBlocked(
+      shardCappedBlocks(embeddings(s, d), "__cblk"),
+      "vec_id", "embedding", "__cblk", 5),
     Some("""WITH nsh AS (
               SELECT label, CAST(ceil(count(*) / 512.0) AS BIGINT) AS nsh
               FROM embeddings GROUP BY 1),

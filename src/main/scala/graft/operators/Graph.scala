@@ -40,7 +40,11 @@ object Graph {
     // file-backed rounds (bounded replay, no executor-memory bet).
     private var small = false
 
-    def save(df: DataFrame, name: String): DataFrame =
+    def save(df0: DataFrame, name: String): DataFrame = {
+      // hygiene seam: each round's plan is truncated on landing (file
+      // round or localCheckpoint) — hand the pre-materialization plan to
+      // the gates' capture hook (see graft.plans.Materialize)
+      val df = graft.plans.Materialize.record(df0, s"RoundStore.save($name)")
       if (small) {
         val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
         val before = checkpointedBytes
@@ -72,6 +76,7 @@ object Graph {
           small = tableBytes(path) < RoundStore.smallGraphBytes
         spark.read.parquet(path)
       }
+    }
 
     /** Total bytes the block manager currently holds for cached RDDs —
       * sampled before/after an eager localCheckpoint, the delta is the

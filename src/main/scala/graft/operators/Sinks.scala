@@ -147,6 +147,10 @@ object Sinks {
     // names embed the job UUID, so they cannot collide with existing
     // files. Delta/Iceberg MERGE is the transactional upgrade path.
     import org.apache.hadoop.fs.Path
+    // hygiene seam: the staged batch's plan is invisible to the gates
+    // once it lands (readers see only the store scan) — hand it to the
+    // capture hook before materializing (see graft.plans.Materialize)
+    graft.plans.Materialize.record(fresh, s"Sinks.appendDedup($path)")
     val stagePath = path + "__stage-" + java.util.UUID.randomUUID().toString
     partitionCol match {
       case Some(pc) =>

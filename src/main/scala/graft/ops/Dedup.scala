@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.functions.Expressions.{minhash_signature, signature_agreement, simhash60, simhash_id_pairs, sorted_id_pairs, word_shingles}
+import graft.plans.Materialize.CheckpointOps
 
 /** Deduplication suite for large-scale corpus curation: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -310,10 +311,16 @@ object Dedup {
     * the r14 100× sweep caught the old residual valve breaking the
     * exact oracle. Returns (id_a, id_b, hamming) pairs where at least
     * one side is new, ordered id_a < id_b.
+    *
+    * maxBucket is a pure cost knob (never recall): the r15 sf10 ladder
+    * (tools/SimhashCapProbe, caps 8000/2000/1000/500, pair set
+    * hash-identical at every cap) measured the probe leg FLAT across
+    * caps within single-box noise (9.6-20 s at 500k docs), so the
+    * default matches the batch operator's measured optimum.
     */
   def incrementalSimhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
                               storePath: String, maxHamming: Int = 3,
-                              maxBucket: Int = 1000): DataFrame = {
+                              maxBucket: Int = 8000): DataFrame = {
     val spark = newDocs.sparkSession
     val chunks = maxHamming + 1
     val width = 60 / chunks
@@ -352,8 +359,9 @@ object Dedup {
     // dropping — same recursive pigeonhole as [[simhashPairs]]: both
     // sides of a qualifying pair agree on (chunk, cv), so their
     // <= maxHamming differing bits lie in the compacted complement and
-    // one of its (maxHamming+1) disjoint sub-chunks must agree. The
-    // residual valve drops only sub-buckets still over maxBucket.
+    // one of its (maxHamming+1) disjoint sub-chunks must agree. EVERY
+    // sub-bucket then joins (r14 removed the residual drop), so the
+    // operator is exact at any cap.
     val subW = (60 - width) / chunks
     val pairs =
       if (subW == 0) coldPairs
@@ -414,9 +422,19 @@ object Dedup {
     * purely a cost ladder (when to refine deeper), not a recall knob;
     * the unsplittable worst case is a near-identical group whose pair
     * OUTPUT is itself quadratic, so generation is output-bound.
+    *
+    * Where on the ladder to sit: the r15 sf10 probe
+    * (tools/SimhashCapProbe; pair set hash-identical at every cap)
+    * measured 8000 ≫ lower caps for this batch path — 24.8 s vs 27.9 /
+    * 113.7 / 141.8 s at caps 2000/1000/500 on 500k docs: descending a
+    * refine level re-explodes every hot bucket ×(maxHamming+1), so
+    * refining EARLIER costs more than pairing a few-thousand-row bucket
+    * in place. Hence the 8000 default (the in-bucket pair loop on a
+    * bucket of 8000 is ~32M comparisons — cheap next to an extra
+    * explode+shuffle of the whole hot set).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 8000): DataFrame = {
     val chunks = maxHamming + 1
     val width = 60 / chunks
     val sims = docs.select(col(idCol), simhash(textCol).as("simhash"))
@@ -676,7 +694,7 @@ object Dedup {
     // that lineage is truncated: losing an executor that held blocks
     // FAILS the job (no replay path) and the caller must retry (Curation
     // takes the same trade; Graph.scala documents the same contract).
-    val keyed = spans.localCheckpoint(true)
+    val keyed = spans.checkpointAt("Dedup.duplicateSpans.keyed")
     val dupKeys = keyed.groupBy(col("span_key"))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > 1 &&
@@ -714,7 +732,7 @@ object Dedup {
     // truncates lineage — a lost block fails the job, caller retries)
     val sc = spans.groupBy(col("span_key"), col("source"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .checkpointAt("Dedup.spanMatrix.sc")
     val tot = sc.groupBy(col("span_key")).agg(sum(col("c")).as("n"))
       .filter(col("n") > 1 && col("n") <= maxOccurrences)
       .select("span_key")
@@ -869,7 +887,7 @@ object Dedup {
         slice(col("__set"), lit(1),
           (col("__size") - floor(lit(threshold) * col("__size")) + 1)
             .cast("int")))
-      .localCheckpoint(true)
+      .checkpointAt("Dedup.setsimPrefix.prefixed")
   }
 
   /** Stage 2 of [[prefixFilteredJaccardPairs]]: the distinct candidate

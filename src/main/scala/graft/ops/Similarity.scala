@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Expressions.float_vector_dot
+import graft.plans.Materialize.CheckpointOps
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -240,7 +241,7 @@ object Similarity {
     // re-quantizes the source (NOTE: localCheckpoint truncates lineage,
     // so a lost block fails the job and the caller must retry)
     val vq = corpus.select(col(idCol).as("__id"), quantized(col(vecCol)).as("vq"))
-      .localCheckpoint(true)
+      .checkpointAt("Similarity.ivfTrain.vq")
     trainIvfQuantized(vq, kCells, iters)
   }
 
@@ -289,7 +290,7 @@ object Similarity {
     // localCheckpoint truncates lineage — a lost block fails the job)
     val prepared = corpus.select(col(idCol).as("__id"), col(vecCol).as("cand_vec"),
         norm(col(vecCol)).as("cand_norm"), quantized(col(vecCol)).as("vq"))
-      .localCheckpoint(true)
+      .checkpointAt("Similarity.ivfServe.prepared")
     val centroids = codebook.getOrElse(trainIvfQuantized(prepared, kCells, iters = 2))
     val c = prepared.select(col("__id").as("cand_id"), col("cand_vec"),
       col("cand_norm"), nearestCellQ(col("vq"), centroids).as("cell"))
@@ -343,7 +344,7 @@ object Similarity {
     // job and the caller must retry)
     val prepared = embs.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
         norm(col(vecCol)).as("__norm"), quantized(col(vecCol)).as("vq"))
-      .localCheckpoint(true)
+      .checkpointAt("Similarity.ivfIndex.prepared")
     val centroids = trainIvfQuantized(prepared, kCells, iters)
     val assigned = prepared.select(col("__id"), col("__vec"), col("__norm"),
       nearestCellQ(col("vq"), centroids).as("cell"))
@@ -380,7 +381,7 @@ object Similarity {
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, subDim: Int, kSub: Int, iters: Int = 2): Array[Array[Array[Long]]] = {
     val prepared = corpus.select(col(idCol).as("__id"), quantized(col(vecCol)).as("vq"))
-      .localCheckpoint(true)
+      .checkpointAt("Similarity.pqTrain.prepared")
     trainPqQuantized(prepared, m, subDim, kSub, iters)
   }
 
@@ -428,7 +429,7 @@ object Similarity {
               iters: Int = 2,
               codebook: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val prepared = corpus.select(col(idCol).as("vec_id"), quantized(col(vecCol)).as("vq"))
-      .localCheckpoint(true)
+      .checkpointAt("Similarity.pqIndex.prepared")
     val codebooks = codebook.getOrElse(trainPqQuantized(
       prepared.withColumnRenamed("vec_id", "__id")
         .select(col("__id"), col("vq")), m, subDim, kSub, iters))
@@ -470,7 +471,7 @@ object Similarity {
                 kSub: Int = 16, iters: Int = 2,
                 codebook: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val prepared = corpus.select(col(idCol).as("cand_id"), quantized(col(vecCol)).as("vq"))
-      .localCheckpoint(true)
+      .checkpointAt("Similarity.pqServe.prepared")
     val codebooks = codebook.getOrElse(trainPqQuantized(
       prepared.select(col("cand_id").as("__id"), col("vq")), m, subDim, kSub, iters))
     val codeCols = (0 until m).map(s =>
@@ -631,7 +632,7 @@ object Similarity {
     // result. The trade (same as Dedup.duplicateSpans / Curation):
     // lineage is truncated, so losing an executor that held blocks FAILS
     // the job — no replay — and the caller must retry.
-    val buckets = corpusBuckets.localCheckpoint(true)
+    val buckets = corpusBuckets.checkpointAt("Similarity.lshBuckets")
     val hot = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket)
@@ -799,9 +800,9 @@ object Similarity {
                     nProbe: Int, iters: Int,
                     codebook: Option[Array[Array[Long]]]): DataFrame = {
     val sq = src.select(col(idCol).as("src_id"),
-      quantized(col(vecCol)).as("__sv")).localCheckpoint(true)
+      quantized(col(vecCol)).as("__sv")).checkpointAt("Similarity.marginMineAnn.src")
     val tq = tgt.select(col(idCol).as("tgt_id"),
-      quantized(col(vecCol)).as("__tv")).localCheckpoint(true)
+      quantized(col(vecCol)).as("__tv")).checkpointAt("Similarity.marginMineAnn.tgt")
     // kCells <= 0: derive the √n operating point (see the scale note on
     // [[marginMineAnn]]) from the checkpointed inputs — two cheap local
     // counts, clamped so tiny corpora still get a real partition fan-out
@@ -816,7 +817,7 @@ object Similarity {
       // (a shared id appears twice in the per-cell integer means)
       val union = sq.select(col("src_id").as("__id"), col("__sv").as("vq"))
         .unionByName(tq.select(col("tgt_id").as("__id"), col("__tv").as("vq")))
-      trainIvfQuantized(union.localCheckpoint(true), kc, iters)
+      trainIvfQuantized(union.checkpointAt("Similarity.marginMineAnn.codebookUnion"), kc, iters)
     }
     val tCells = tq.select(col("tgt_id"), col("__tv"),
       nearestCellQ(col("__tv"), centroids).as("cell"))
@@ -852,7 +853,7 @@ object Similarity {
     // at scale).
     // NOTE: localCheckpoint truncates lineage — a lost block fails the
     // job and the caller retries.
-    val pairs = dots.localCheckpoint(true)
+    val pairs = dots.checkpointAt("Similarity.marginMine.pairs")
     // neighborhood masses via the O(k)-state TopKSum aggregate —
     // map-side combinable, NO per-group sort (a row_number window would
     // sort every candidate list); value ties at the k boundary sum

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
+import graft.plans.Materialize.CheckpointOps
 
 /** Text-analysis operators for corpus curation: language-ID (stopword
   * n-gram heuristic), quality scoring, token counting, and document
@@ -542,7 +543,7 @@ object TextAnalysis {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // one tokenize pass feeds postings AND doclens
+      .checkpointAt("TextAnalysis.bm25Index.tf") // one tokenize pass feeds postings AND doclens
     graft.operators.Sinks.appendDedup(
       tf.repartition(col("term")).sortWithinPartitions("term", "doc_id"),
       s"$storeDir/postings", Seq("doc_id", "term"))
@@ -704,7 +705,7 @@ object TextAnalysis {
     val fullVocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .checkpointAt("TextAnalysis.bpe.fullVocab")
     val vocabSize = fullVocab.count()
     val working =
       if (vocabSize <= maxVocab) fullVocab
@@ -718,7 +719,7 @@ object TextAnalysis {
       }
     var segmented = working
       .select(split(col("w"), "").as("syms"), col("n"))
-      .localCheckpoint(true)
+      .checkpointAt("TextAnalysis.bpe.segmented0")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var round = 1
     var done = false
@@ -753,7 +754,7 @@ object TextAnalysis {
              |    named_struct('acc', concat(st.acc, array(s)),
              |                 'fused', false)),
              |  st -> st.acc)""".stripMargin).as("syms"), col("n"))
-          .localCheckpoint(true)
+          .checkpointAt("TextAnalysis.bpe.segmentedRound")
         segmented.unpersist()
         segmented = next
         round += 1

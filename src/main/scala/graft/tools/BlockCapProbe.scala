@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   * the cap activates (nsh > 1), invariant from sf1 to sf10 — this main
   * attributes it: corpus scan, per-label count agg, count join, then
   * each operator sharded vs unsharded, twice each (plan-compile vs
-  * steady-state).
+  * steady-state) — except `cos_unsharded`, run ONCE: it is the probe's
+  * most expensive leg by far at sf1+ (the uncapped quadratic this whole
+  * pattern exists to avoid), and attribution only needs its order of
+  * magnitude, not a compile/steady split.
   *
   * Run: SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 sbt "runMain graft.tools.BlockCapProbe"
+  * Honors SPARK_GRAFT_CPUS (default 32) for master threads AND shuffle
+  * partitions, matching the Verify/Bench mains it attributes for.
   */
 object BlockCapProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,11 +23,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * any FUTURE query that reintroduces a forced corpus broadcast fails
   * this spec instead of becoming a 100 TB incident.
   *
-  * Known blind spot (covered by the hand-pinned plan tests in
-  * `ScaleSpec`): subtrees materialized behind `checkpoint()` surface as
-  * opaque `LogicalRDD` leaves, so hints inside them are not visible
-  * here. The streaming `incr_*` queries return their sink's read-back
-  * table; their micro-batch plans are exercised by `StreamingSpec`.
+  * r15: the checkpoint blind spot is CLOSED — construction runs under
+  * the [[graft.plans.Materialize]] capture hook (see [[PlanCapture]]),
+  * so every subtree materialized behind an eager checkpoint, a
+  * `RoundStore` round, or a store append is walked by the same witness
+  * as the visible plan. Streaming `incr_*` queries' micro-batch appends
+  * cross the `Sinks.appendDedup` seam and are captured too (their
+  * stateful micro-batch plans remain exercised by `StreamingSpec`).
   */
 class BroadcastHygieneSpec extends SparkTestBase {
 
@@ -64,7 +66,13 @@ class BroadcastHygieneSpec extends SparkTestBase {
       "q15_top_supplier" -> (1, "broadcasts the rows TYING the global " +
         "max revenue (~1 row by construction; the per-supplier " +
         "aggregate feeding it is computed distributed and only tie " +
-        "rows cross to the driver)"))
+        "rows cross to the driver)"),
+      "margin_mine_bitext" -> (1, "the documented-exact all-pairs " +
+        "bitext baseline broadcasts the TARGET POOL side of its pair " +
+        "loop (pool-bounded by the caller's candidate-pool contract, " +
+        "same bound its cartesian-gate entry prices) — visible since " +
+        "r15 through the checkpoint-seam capture; the scale path " +
+        "margin_mine_ann carries no hint"))
   }
 
   /** Structural boundedness: the subtree's row count is bounded by a
@@ -89,8 +97,9 @@ class BroadcastHygieneSpec extends SparkTestBase {
     val dir = sf("sf0.001")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, dir)
-      val unproven = unprovenBroadcasts(df.queryExecution.optimizedPlan)
+      val unproven = PlanCapture.plansOf(spark, fn, dir).flatMap {
+        case (tag, plan) => unprovenBroadcasts(plan).map(v => s"[$tag] $v")
+      }
       val allowed = contractBounded.get(name).map(_._1).getOrElse(0)
       if (unproven.size != allowed)
         failures += s"$name: ${unproven.size} unproven broadcast hint(s), " +

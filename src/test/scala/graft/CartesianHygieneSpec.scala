@@ -25,11 +25,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * a 100 TB incident. Counts are asserted with equality so stale
   * allowlist entries fail too.
   *
-  * Same blind spot as the broadcast gate: subtrees materialized behind
-  * `checkpoint()` surface as opaque `LogicalRDD` leaves, so joins inside
-  * them are not visible here (covered by the hand-pinned plan tests in
-  * `ScaleSpec`), and the streaming `incr_*` queries return their sink's
-  * read-back table (micro-batch plans exercised by `StreamingSpec`).
+  * r15: the checkpoint blind spot is CLOSED — construction runs under
+  * the [[graft.plans.Materialize]] capture hook (see [[PlanCapture]]),
+  * so every subtree materialized behind an eager checkpoint, a
+  * `RoundStore` round, or a store append is walked by the same witness
+  * as the visible plan. In particular `margin_mine_bitext`'s
+  * documented-exact pair loop, formerly hidden behind its checkpoint,
+  * is now seen by this gate and carries an allowlist entry below.
   */
 class CartesianHygieneSpec extends SparkTestBase {
 
@@ -39,15 +41,15 @@ class CartesianHygieneSpec extends SparkTestBase {
     * serving queries: the unkeyed side is the PROBE batch — the user's
     * query vectors, bounded by the serving contract (the ledger fixture
     * derives them from the corpus with a key filter, which is why the
-    * structural proof cannot see the bound; same blind spot as the
-    * broadcast gate's `contractBounded`). A bounded-probe × corpus
+    * structural proof cannot see the bound; same contract blindness as
+    * the broadcast gate's `contractBounded`). A bounded-probe × corpus
     * nested loop is one corpus scan per probe — linear, not quadratic.
     * `margin_mine_bitext`, the one genuinely all-pairs ledger query,
-    * does NOT appear here because its pair loop sits behind a
-    * `checkpoint()` boundary (the gate's documented blind spot); its
-    * quadratic contract is documented at the operator and priced by
-    * STRESS.md, and its scale path is `margin_mine_ann` (IVF-cell
-    * equi-keyed, clean under this gate).
+    * appears here SINCE R15: its pair loop sits behind a checkpoint
+    * seam, and the capture hook now surfaces that plan to this gate —
+    * the entry prices the operator's documented-exact all-pairs
+    * contract (pool-bounded by the caller; the scale path is
+    * `margin_mine_ann`, IVF-cell equi-keyed and clean under this gate).
     */
   private val allowedQuadratic: Map[String, (Int, String)] = {
     val probeBatch = "brute-force ANN: probe batch bounded by serving " +
@@ -59,7 +61,11 @@ class CartesianHygieneSpec extends SparkTestBase {
       "ann_recall_audit" -> (2, probeBatch + " (exact baseline + " +
         "approximate variant under audit)"),
       "ann_topk_operator" -> (1, probeBatch),
-      "hard_negatives_topk" -> (1, probeBatch))
+      "hard_negatives_topk" -> (1, probeBatch),
+      "margin_mine_bitext" -> (1, "documented-exact all-pairs bitext " +
+        "baseline: |S|x|T| dot products behind the checkpoint seam, " +
+        "pool-bounded by the caller's candidate-pool contract; the " +
+        "scale path is margin_mine_ann (IVF-cell equi-keyed)"))
   }
 
   private def unkeyedCorpusJoins(plan: LogicalPlan): Seq[String] =
@@ -75,8 +81,9 @@ class CartesianHygieneSpec extends SparkTestBase {
     val dir = sf("sf0.001")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, dir)
-      val unkeyed = unkeyedCorpusJoins(df.queryExecution.optimizedPlan)
+      val unkeyed = PlanCapture.plansOf(spark, fn, dir).flatMap {
+        case (tag, plan) => unkeyedCorpusJoins(plan).map(v => s"[$tag] $v")
+      }
       val allowed = allowedQuadratic.get(name).map(_._1).getOrElse(0)
       if (unkeyed.size != allowed)
         failures += s"$name: ${unkeyed.size} unkeyed corpus join(s), " +

@@ -514,4 +514,169 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("restart from checkpoint: a crash MID-COMMIT (partial sink write) converges (RocksDB dedup)") {
+    // The r14 restart matrix killed queries BETWEEN micro-batches (the
+    // injected throw fired before any side effect). This is the harder
+    // shape: the incr_stream_dedup pipeline (dropDuplicatesWithinWatermark
+    // on RocksDB) dies INSIDE batch 1's commit, after a deterministic
+    // SLICE of the batch's output already landed in the table — the
+    // partial-write world a real sink death leaves behind. Recovery must
+    // (a) discard the failed attempt's uncommitted state version and
+    // replay the WHOLE batch, and (b) converge through the idempotent
+    // dedup-before-append sink, absorbing the rows the dead attempt wrote.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_midcommit_").toString
+    val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    def run(crashMidBatch: Option[Long]) = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+          if (crashMidBatch.contains(id)) {
+            // land a deterministic slice of THIS batch, then die: the
+            // table now holds committed batch 0 + a torn fragment of
+            // batch 1 (the filter keeps the full pipeline running — no
+            // limit short-circuit — so the state store sees the whole
+            // batch before the sink-side death)
+            graft.operators.Sinks.appendDedup(
+              batch.filter(col("event_id") % 5 === 0), table, Seq("event_id"))
+            throw new RuntimeException(s"injected mid-commit crash in batch $id")
+          }
+          graft.operators.Sinks.appendDedup(batch, table, Seq("event_id"))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    try {
+      val q1 = run(crashMidBatch = Some(1L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      val torn = spark.read.parquet(table).count()
+      val full = ev.select(col("event_id")).distinct().count()
+      assert(torn > 0 && torn < full,
+        s"the crash must leave a torn table: $torn of $full rows")
+      run(crashMidBatch = None).awaitTermination()
+      // converged table = exactly the distinct-event world, fragment absorbed
+      val got = spark.read.parquet(table)
+      assert(got.count() == full, "replay + idempotent append must converge")
+      val gotAgg = got.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+      val expAgg = ev.dropDuplicates("event_id").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(gotAgg == expAgg, "post-recovery table must equal the batch oracle")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("restart from checkpoint: MapState leaderboard survives a crash INSIDE the processor (RocksDB)") {
+    // The incr_stream_topk shape with the kill landing inside
+    // handleInputRows MID-BATCH: a poison key in batch 1 throws from the
+    // stateful processor itself, AFTER other keys/partitions of the same
+    // batch have already updated their MapState entries. Those updates
+    // belong to an uncommitted state version — recovery must discard
+    // them, reload batch 0's committed version, and replay batch 1 so no
+    // member count is applied twice. A leaked partial version would
+    // double-count batch 1's members; a reset store would zero batch 0's.
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_maptopk_").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val drop1 = Seq(("click", 1L), ("click", 1L), ("click", 2L), ("view", 9L))
+    val drop2 = Seq(("click", 2L), ("click", 2L), ("view", 8L), ("view", 9L),
+      ("__boom__", 0L))
+    drop1.toDF("event_type", "user_id").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    drop2.toDF("event_type", "user_id").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    def run() = {
+      val stream = spark.readStream
+        .schema("event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .as[(String, Long)]
+      stream.groupByKey(_._1)
+        .transformWithState(new CrashingTopK(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("event_type", "n_seen", "user_id", "n_events", "rank")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+    }
+    try {
+      CrashingTopK.armed = true
+      val q1 = run()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      CrashingTopK.armed = false
+      run().awaitTermination()
+      // converged leaderboard = max-stamp rows per key (the ledger
+      // query's selection), poison key excluded
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      val got = spark.read.parquet(outDir)
+        .filter(col("event_type") =!= "__boom__")
+        .withColumn("__mx", max(col("n_seen")).over(w))
+        .filter(col("n_seen") === col("__mx"))
+        .select("event_type", "n_seen", "user_id", "n_events", "rank")
+        .as[(String, Long, Long, Long, Int)].collect().toSet
+      // click: 5 rows seen, counts 2->3 / 1->2; view: 3 rows, 9->2 / 8->1.
+      // A zeroed store would read (click, 2, 2, 2, 1); a double-applied
+      // batch 1 would read counts 2->5 or view 9->3.
+      assert(got == Set(
+        ("click", 5L, 2L, 3L, 1), ("click", 5L, 1L, 2L, 2),
+        ("view", 3L, 9L, 2L, 1), ("view", 3L, 8L, 1L, 2)),
+        s"leaderboard must continue from the committed MapState, got $got")
+    } finally {
+      CrashingTopK.armed = false
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** [[graft.streaming.Stateful.TopKMembers]] with a fault injector: while
+  * `armed`, seeing the poison key throws FROM INSIDE handleInputRows —
+  * after the same batch's other keys (and partitions) have already
+  * written their MapState updates into the uncommitted version. Static
+  * flag works because local-mode tasks share the driver JVM.
+  */
+class CrashingTopK(k: Int) extends graft.streaming.Stateful.TopKMembers(k) {
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, Long, Long, Long, Int)] = {
+    if (key == "__boom__" && CrashingTopK.armed)
+      throw new RuntimeException("injected mid-batch crash inside the processor")
+    super.handleInputRows(key, rows, timerValues)
+  }
+}
+
+object CrashingTopK {
+  @volatile var armed = false
 }

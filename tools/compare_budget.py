@@ -114,7 +114,7 @@ def duck_compare(con, sql, result_path, n_got, q):
                "detail": "duck-side EXCEPT ALL compare"})
 
 
-def child(sf_dir, result_path, sql, q, spill_dir):
+def child(sf_dir, result_path, sql, q, spill_dir, name=None):
     import duckdb
     import pandas as pd
     try:
@@ -134,6 +134,26 @@ def child(sf_dir, result_path, sql, q, spill_dir):
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_source(sf_dir, t)}'")
         con.execute("CREATE VIEW got AS SELECT * FROM "
                     f"read_parquet('{result_path}/*.parquet')")
+        # staged-oracle remedies for the handful of monolithic statements
+        # that are budget/spill-infeasible at 100x (see staged_oracles.py)
+        staged_detail = None
+        from staged_oracles import STAGED
+        if name in STAGED:
+            r = STAGED[name](con, sql, result_path)
+            if isinstance(r, dict):  # decomposed verdict, reported as-is
+                q.put(r)
+                return
+            sql, staged_detail = r
+        if staged_detail:  # tag every verdict with the remedy used
+            class _Tagged:
+                def __init__(self, inner, pre):
+                    self.inner, self.pre = inner, pre
+
+                def put(self, r):
+                    d = r.get("detail", "")
+                    r["detail"] = self.pre + ("; " + d if d else "")
+                    self.inner.put(r)
+            q = _Tagged(q, staged_detail)
         n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
         if n_got > DUCK_COMPARE_ROWS or _dir_bytes(result_path) > DUCK_COMPARE_BYTES:
             duck_compare(con, sql, result_path, n_got, q)
@@ -199,7 +219,8 @@ def main(sf_dir, out_dir, out_json, budget_s, only=None):
         spill_dir = tempfile.mkdtemp(prefix="graft_duck_spill_")
         q = mp.Queue()
         p = mp.Process(target=child,
-                       args=(sf_dir, path, oracles[name], q, spill_dir))
+                       args=(sf_dir, path, oracles[name], q, spill_dir,
+                             name))
         t0 = time.time()
         p.start()
         p.join(budget_s)

@@ -1,0 +1,276 @@
+#!/usr/bin/env python3
+"""Staged DuckDB oracles for the above-gate (sf10, 100x) sweep.
+
+The driver's gate (tools/compare.py, sf0.01) runs every oracle as the
+single SQL statement recorded in oracle_sql.json — that stays untouched.
+This module exists for tools/compare_budget.py only: at 100x a handful
+of those monolithic statements exceed the per-oracle budget or DuckDB's
+spill ceiling for reasons that are HARNESS artifacts, not engine gaps —
+a WITH RECURSIVE transitive closure that materializes |cluster|^2 reach
+rows, a CTE chain whose intermediate pipelines exceed the spill budget,
+or a brute-force all-pairs formulation that no budget fits.
+
+Three remedies, applied per query:
+
+1. stage_ctes — generic: split the monolithic `WITH a AS (...), b AS
+   (...) SELECT ...` into its CTE list and materialize each as a TEMP
+   TABLE in order, then run the final SELECT. Each stage's intermediates
+   are freed before the next starts and nothing is recomputed on double
+   reference. Semantics are identical by construction (the SQL text of
+   every stage is byte-identical to the CTE body).
+
+2. iterative min-label closure — for the connected-components family:
+   the `reach` recursive CTE (full transitive closure, |cluster|^2 rows)
+   is replaced by min-label propagation to fixpoint (|V|+|E| rows per
+   round, #rounds = graph diameter). Computes the same
+   comp(node, min reachable id) table — min-label-propagation fixpoint
+   == min over the reachable set.
+
+3. pigeonhole candidates — for the simhash pair oracles: the
+   brute-force `sig a JOIN sig b ON a.doc_id < b.doc_id WHERE
+   bit_count(xor) <= 7` formulation is replaced by the exact-complete
+   pigeonhole: two signatures within hamming 7 of each other must agree
+   on one of 8 disjoint 7-bit chunks (<= 7 differing bits cannot touch
+   all 8), so bucketing by (chunk, value) and verifying candidates with
+   the same bit_count(xor) predicate yields the identical pair set with
+   Sum bucket^2 instead of n^2/2 comparisons.
+
+dedup_semantic gets a DECOMPOSED verdict instead (its kept-flag needs an
+EXISTS over within-cell pairs — Sum cell^2 cosine evaluations, ~3e10 at
+sf10, infeasible for any SQL engine in budget): full compare of the
+Lloyd cell assignment, plus exact kept verdicts for the deterministic
+vec_id % 499 == 0 sample, both sides of the row.
+
+Every staged verdict's detail names the remedy used, so the sweep
+artifact never silently conflates a staged check with the monolithic
+gate oracle.
+"""
+import re
+
+
+# ---------------------------------------------------------------- parsing
+
+def split_ctes(sql):
+    """Split `WITH [RECURSIVE] n1 AS (b1), n2 AS (b2) <final>` into
+    ([(n1, b1), (n2, b2)], final). Handles nested parens and single-
+    quoted strings (the only literal form the generated oracles use)."""
+    s = sql.strip()
+    m = re.match(r"WITH\s+(RECURSIVE\s+)?", s, re.IGNORECASE)
+    assert m, "not a WITH statement"
+    i = m.end()
+    ctes = []
+    while True:
+        m = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", re.IGNORECASE).match(s, i)
+        assert m, f"expected `name AS (` at ...{s[i:i+80]!r}"
+        name = m.group(1)
+        j = m.end()  # first char inside the paren
+        depth, k = 1, j
+        while depth:
+            c = s[k]
+            if c == "'":
+                k += 1
+                while True:
+                    if s[k] == "'":
+                        if k + 1 < len(s) and s[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        ctes.append((name, s[j:k - 1]))
+        m = re.compile(r"\s*,").match(s, k)
+        if m:
+            i = m.end()
+            continue
+        return ctes, s[k:].strip()
+
+
+def stage_ctes(con, sql, skip=(), replace=None):
+    """Materialize each CTE as a TEMP TABLE in order; return the final
+    SELECT. `skip` names are not materialized (the caller substitutes
+    them); `replace` maps name -> callable(con, body) run in its place."""
+    ctes, final = split_ctes(sql)
+    for name, body in ctes:
+        if name in skip:
+            continue
+        if replace and name in replace:
+            replace[name](con, body)
+            continue
+        con.execute(f"CREATE TEMP TABLE {name} AS {body}")
+    return final
+
+
+# ---------------------------------------------------------------- remedies
+
+def _df_capped_sh(con, body):
+    """Replace the windowed per-shingle df (`count(*) OVER (PARTITION BY
+    shingle)` over ~1e8 rows — a full-corpus window sort that drove the
+    sf10 spill) with the equivalent GROUP BY + semi-join: sh0 is distinct
+    per (doc, shingle), so the window count == the grouped count. The df
+    cap is parsed from the original `sh` body so the two formulations can
+    never drift."""
+    m = re.search(r"df\s*<=\s*(\d+)", body)
+    assert m, f"no df cap in sh body: {body!r}"
+    con.execute(f"""CREATE TEMP TABLE sh AS
+        SELECT s.doc_id, s.shingle FROM sh0 s
+        JOIN (SELECT shingle FROM sh0
+              GROUP BY shingle HAVING count(*) <= {m.group(1)}) f
+          USING (shingle)""")
+
+
+def _min_label_components(con):
+    """comp(node, component): min-label propagation to fixpoint over the
+    staged `edges` temp table, seeded with every document as its own
+    label — the iterative equivalent of the oracle's recursive
+    `reach`/`comp` pair (min over the reachable set)."""
+    con.execute("CREATE TEMP TABLE comp AS "
+                "SELECT doc_id AS node, doc_id AS component FROM documents")
+    while True:
+        con.execute("""CREATE TEMP TABLE __nxt AS
+            SELECT c.node,
+                   min(least(c.component,
+                             coalesce(c2.component, c.component))) AS component
+            FROM comp c
+            LEFT JOIN edges e ON e.src = c.node
+            LEFT JOIN comp c2 ON c2.node = e.dst
+            GROUP BY c.node""")
+        changed = con.execute(
+            "SELECT count(*) FROM __nxt n JOIN comp c ON c.node = n.node "
+            "AND c.component <> n.component").fetchone()[0]
+        con.execute("DROP TABLE comp")
+        con.execute("ALTER TABLE __nxt RENAME TO comp")
+        if changed == 0:
+            return
+
+
+def _components_family(con, sql):
+    """Stage the jaccard-components oracles: prefix CTEs staged verbatim
+    except the windowed df filter (group-by rewrite), the recursive
+    `reach` dropped, `comp` computed by the iterative loop instead of
+    `min(r) over reach`."""
+    return stage_ctes(con, sql, skip=("reach", "shf"),
+                      replace={"sh": _df_capped_sh,
+                               "comp": lambda c, _b: _min_label_components(c)})
+
+
+def _simhash_pigeonhole(con, sql, pair_where=""):
+    """Stage the linear signature CTEs verbatim, then swap the quadratic
+    final self-join for the exact-complete 8x7-bit pigeonhole."""
+    stage_ctes(con, sql)  # tok/md/hashed/bitsums/sig; final select unused
+    con.execute("""CREATE TEMP TABLE __expl AS
+        SELECT doc_id, sig, t.c AS c, (sig >> (t.c * 7)) & 127 AS cv
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS c) t""")
+    return f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM __expl a JOIN __expl b
+          ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 7{pair_where}"""
+
+
+SEMANTIC_SAMPLE_MOD = 499
+
+
+def _semantic_decomposed(con, sql, result_path):
+    """Decomposed verdict for dedup_semantic: stage the Lloyd replay
+    through `af` (cell assignment), full-compare the assignment columns,
+    then compute the exact kept verdict for the vec_id % 499 == 0 sample
+    and compare those rows in full. Returns a verdict dict."""
+    import time
+    t0 = time.time()
+    stage_ctes(con, sql, skip=("dup",))  # ve .. af staged; dup is the infeasible part
+    n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
+    n_af = con.execute("SELECT count(*) FROM af").fetchone()[0]
+    if n_got != n_af:
+        return {"status": "fail", "rows": n_got,
+                "seconds": round(time.time() - t0, 1),
+                "detail": f"decomposed: rowcount spark={n_got} duck={n_af}"}
+    bad_cells = con.execute(
+        "SELECT count(*) FROM (SELECT vec_id, cell FROM got "
+        "EXCEPT ALL SELECT vec_id, cell FROM af)").fetchone()[0]
+    if bad_cells:
+        return {"status": "fail", "rows": n_got,
+                "seconds": round(time.time() - t0, 1),
+                "detail": f"decomposed: {bad_cells} cell assignments differ"}
+    m = SEMANTIC_SAMPLE_MOD
+    con.execute(f"""CREATE TEMP TABLE __sample_kept AS
+        SELECT a.vec_id, a.cell,
+          NOT EXISTS (
+            SELECT 1 FROM af b
+            JOIN ve va ON va.vec_id = a.vec_id
+            JOIN ve vb ON vb.vec_id = b.vec_id
+            WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+              AND round(list_dot_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[]))), 6)
+                >= 0.35) AS kept
+        FROM af a WHERE a.vec_id % {m} = 0""")
+    n_sample = con.execute("SELECT count(*) FROM __sample_kept").fetchone()[0]
+    diff = con.execute(
+        f"SELECT count(*) FROM ("
+        f"SELECT vec_id, cell, kept FROM got WHERE vec_id % {m} = 0 "
+        f"EXCEPT ALL SELECT vec_id, cell, kept FROM __sample_kept)").fetchone()[0]
+    if diff:
+        return {"status": "fail", "rows": n_got,
+                "seconds": round(time.time() - t0, 1),
+                "detail": f"decomposed: {diff} of {n_sample} sampled kept "
+                          f"verdicts differ (vec_id % {m} == 0)"}
+    return {"status": "ok", "rows": n_got,
+            "seconds": round(time.time() - t0, 1),
+            "detail": f"decomposed oracle: full Lloyd cell-assignment "
+                      f"compare + exact kept verdicts for the "
+                      f"vec_id % {m} == 0 sample ({n_sample} ids)"}
+
+
+# ---------------------------------------------------------------- registry
+
+def _plain_staged(con, sql, result_path):
+    return (stage_ctes(con, sql),
+            "staged oracle: CTEs materialized as temp tables")
+
+
+def _df_capped_staged(con, sql, result_path):
+    return (stage_ctes(con, sql, skip=("shf",),
+                       replace={"sh": _df_capped_sh}),
+            "staged oracle: CTEs as temp tables + grouped df filter "
+            "replacing the per-shingle window")
+
+
+def _components(con, sql, result_path):
+    return (_components_family(con, sql),
+            "staged oracle: CTEs as temp tables + iterative min-label "
+            "closure replacing the recursive reach CTE")
+
+
+def _simhash_batch(con, sql, result_path):
+    return (_simhash_pigeonhole(con, sql),
+            "staged oracle: linear signature stages + exact-complete "
+            "8x7-bit pigeonhole replacing the n^2/2 self-join")
+
+
+def _simhash_incr(con, sql, result_path):
+    return (_simhash_pigeonhole(
+                con, sql,
+                " AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)"),
+            "staged oracle: linear signature stages + exact-complete "
+            "8x7-bit pigeonhole replacing the n^2/2 self-join")
+
+
+# name -> callable(con, monolithic_sql, result_path) returning either
+#   (final_select_sql, detail_tag)  — compared through the normal path, or
+#   a verdict dict                  — reported as-is (decomposed checks)
+STAGED = {
+    "dedup_clusters": _components,
+    "dedup_cluster_reps": _components,
+    "leakage_safe_split": _components,
+    "dedup_simhash": _simhash_batch,
+    "incr_simhash_pairs": _simhash_incr,
+    "dedup_minhash_lsh": _plain_staged,
+    "incr_minhash_pairs": _plain_staged,
+    "setsim_containment_join": _df_capped_staged,
+    "margin_mine_ann_auto": _plain_staged,
+    "dedup_semantic": _semantic_decomposed,
+}

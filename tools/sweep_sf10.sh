@@ -8,6 +8,19 @@ SF_DIR=${1:-/tmp/graft_sf10}
 OUT=${2:-/tmp/verify_sf10}
 CHUNKS=${3:-4}
 SKIP=${SPARK_GRAFT_SKIP:-margin_mine_bitext}
+# The default 64g driver heap is required: 8g (the build default) OOMs
+# the 100x shuffles. Fail fast when the host can't back it rather than
+# dying mid-chunk in JVM startup or swap.
+MEM=${SPARK_DRIVER_MEM:-64g}
+if [[ "$MEM" =~ ^([0-9]+)g$ ]]; then
+  NEED_KB=$(( ${BASH_REMATCH[1]} * 1024 * 1024 ))
+  AVAIL_KB=$(awk '/MemAvailable/ {print $2}' /proc/meminfo)
+  if (( AVAIL_KB < NEED_KB )); then
+    echo "[sweep] ERROR: SPARK_DRIVER_MEM=$MEM but only $((AVAIL_KB/1024/1024)) GiB available;" >&2
+    echo "[sweep]        lower SPARK_DRIVER_MEM (sweep needs >=32g realistically) or free memory" >&2
+    exit 1
+  fi
+fi
 
 cd "$(dirname "$0")/.."
 grep -oP '(?<=^    ")[a-z0-9_]+(?=",$)' src/main/scala/graft/Queries.scala \
@@ -24,7 +37,7 @@ for i in $(seq 1 "$CHUNKS"); do
   # 8g (the build default) OOMs the 100x shuffles — a fresh shell that
   # forgets the heap override must not waste a chunk finding that out
   SPARK_GRAFT_QUERIES="$NAMES" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-    SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
+    SPARK_DRIVER_MEM="$MEM" \
     sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 done
 echo "[sweep] verify done; dumped $(ls -d "$OUT"/*/ | wc -l) result dirs"
