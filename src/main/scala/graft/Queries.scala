@@ -60,27 +60,50 @@ object Queries {
     * Sum |block|^2 stays linear-from-the-cap (the r14 fix for the two
     * sf10 quadratics — 1456 s / 411 s down to seconds).
     *
-    * One cheap max-count pre-aggregate decides whether the shard join is
-    * needed at all: when every label already fits one shard (true at
-    * every gate SF) it is a provable no-op (__nsh = 1 everywhere ⇒ one
-    * shard per label ⇒ the shard key partitions rows exactly like the
-    * raw label), so the query keys on the label directly and skips the
-    * count join — the constant ~0.5-3 s gate-SF overhead the r14
-    * BlockCapProbe attributed to it. The single-value `head` is a
-    * bounded driver fast path: one long crosses to the driver. No
-    * broadcast hint on the sharded path: the per-label count table is
-    * tiny but corpus-derived — AQE may broadcast it, the plan must not
-    * force it.
+    * One eager pass collects the per-label counts — a table bounded by
+    * the LABEL CARDINALITY (the fixed-cardinality premise is exactly
+    * what makes raw-label blocking quadratic), capped at
+    * `maxDriverLabels` so a mis-used high-cardinality blocking column
+    * degrades to the r14 distributed count join instead of flooding the
+    * driver (the appendDedup maxPruned pattern). From those counts:
+    *
+    *  - every label fits one shard (true at sf0.01/sf0.1; sf1+ labels
+    *    exceed the cap) → key on the raw label, NO join at all —
+    *    provably the same grouping (__nsh = 1 ⇒ label#0 ≡ label);
+    *  - some label over the cap → join against a LITERAL
+    *    (LocalRelation) shard-count table rebuilt from the collected
+    *    counts — the r14 plan recomputed that table with a second
+    *    corpus-scan aggregate inside the join; the literal side costs
+    *    zero scans, is structurally bounded under the hygiene gates,
+    *    and AQE broadcasts it without any hint.
     */
-  private def shardCappedBlocks(emb: DataFrame, keyName: String,
-                                maxBlock: Int = 512): DataFrame = {
-    val maxLabel = emb.groupBy(col("label"))
-      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head().getLong(0)
-    if (maxLabel <= maxBlock) emb.withColumn(keyName, col("label"))
-    else {
+  private[graft] def shardCappedBlocks(emb: DataFrame, keyName: String,
+                                       maxBlock: Int = 512,
+                                       maxDriverLabels: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+      .limit(maxDriverLabels + 1).collect()
+    if (counts.length > maxDriverLabels) {
+      // open-world blocking column: keep everything distributed
       val nShards = emb.groupBy(col("label"))
         .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).as("__nsh"))
       emb.join(nShards, "label")
+        .withColumn(keyName,
+          concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
+        .drop("__nsh")
+    } else if (counts.forall(_.getLong(1) <= maxBlock)) {
+      emb.withColumn(keyName, col("label"))
+    } else {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        emb.schema("label").copy(name = "label"),
+        org.apache.spark.sql.types.StructField("__nsh",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] = counts.toSeq.map { r =>
+        org.apache.spark.sql.Row(r.get(0),
+          math.ceil(r.getLong(1) / maxBlock.toDouble).toLong)
+      }.asJava
+      emb.join(spark.createDataFrame(rows, schema), "label")
         .withColumn(keyName,
           concat_ws("#", col("label"), pmod(col("vec_id"), col("__nsh"))))
         .drop("__nsh")

@@ -259,6 +259,46 @@ def _simhash_incr(con, sql, result_path):
             "8x7-bit pigeonhole replacing the n^2/2 self-join")
 
 
+def _minhash_staged(con, sql, result_path):
+    """The minhash rebuild's cost center is the permutation z-chain:
+    4 chained CTEs evaluating 2 HUGEINT multiplies per (shingle-hash,
+    permutation) row — 3.2e9 rows at sf10, re-evaluated per reference in
+    the monolithic statement (comp feeds bandk AND both sides of agree)
+    and 37 GiB of spill if naively materialized stage-by-stage. Remedy:
+    evaluate the chain ONCE PER DISTINCT shingle hash (the z value
+    depends only on (h, j)), pipelined into one temp table, then min-
+    aggregate per (doc, j) through an integer join. The z bodies are
+    reused verbatim from the parsed oracle with doc_id->h keying, so the
+    permutation arithmetic cannot drift from the gate oracle's."""
+    ctes, final = split_ctes(sql)
+    byname = dict(ctes)
+    zchain = [n for n, _ in ctes if re.fullmatch(r"z\d+", n)]
+    for name, body in ctes:
+        if name in zchain:
+            continue
+        if name == "comp":
+            rekeyed = []
+            for i, zn in enumerate(zchain):
+                b = re.sub(r"\bdoc_id\b", "h", byname[zn])
+                if i == 0:
+                    b = re.sub(r"\bFROM\s+hashed\b",
+                               "FROM (SELECT DISTINCT h FROM hashed)", b)
+                rekeyed.append(f"{zn} AS ({b})")
+            con.execute(f"CREATE TEMP TABLE __ph AS WITH {', '.join(rekeyed)} "
+                        f"SELECT h, j, z FROM {zchain[-1]}")
+            # comp body is `SELECT doc_id, j, min(z) AS m FROM z4 GROUP BY 1, 2`
+            # with the per-doc z stream now coming from the (h, j) join
+            con.execute("CREATE TEMP TABLE comp AS "
+                        "SELECT hashed.doc_id, __ph.j, min(__ph.z) AS m "
+                        "FROM hashed JOIN __ph USING (h) GROUP BY 1, 2")
+            continue
+        con.execute(f"CREATE TEMP TABLE {name} AS {body}")
+    return (final,
+            "staged oracle: CTEs as temp tables; permutation z-chain "
+            "evaluated once per DISTINCT shingle hash (pipelined), "
+            "min-aggregated per doc through an integer join")
+
+
 # name -> callable(con, monolithic_sql, result_path) returning either
 #   (final_select_sql, detail_tag)  — compared through the normal path, or
 #   a verdict dict                  — reported as-is (decomposed checks)
@@ -268,8 +308,8 @@ STAGED = {
     "leakage_safe_split": _components,
     "dedup_simhash": _simhash_batch,
     "incr_simhash_pairs": _simhash_incr,
-    "dedup_minhash_lsh": _plain_staged,
-    "incr_minhash_pairs": _plain_staged,
+    "dedup_minhash_lsh": _minhash_staged,
+    "incr_minhash_pairs": _minhash_staged,
     "setsim_containment_join": _df_capped_staged,
     "margin_mine_ann_auto": _plain_staged,
     "dedup_semantic": _semantic_decomposed,
