@@ -421,8 +421,10 @@ object Sinks {
     * single flow); concurrent writers need a lock service this module
     * deliberately does not fake.
     */
-  def commitVersion(df: DataFrame, tableDir: String): Int = {
+  def commitVersion(df0: DataFrame, tableDir: String): Int = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val df = graft.plans.Materialize.record(df0,
+      s"Sinks.commitVersion($tableDir)")
     val spark = df.sparkSession
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -625,8 +627,9 @@ object Sinks {
     * table format's row-level MERGE; until then, partition the table
     * and merge only the touched partitions.
     */
-  def mergeUpsert(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+  def mergeUpsert(df0: DataFrame, path: String, keys: Seq[String]): Unit = {
     require(keys.nonEmpty)
+    val df = graft.plans.Materialize.record(df0, s"Sinks.mergeUpsert($path)")
     val spark = df.sparkSession
     val batch = df.dropDuplicates(keys)
     // recover a stranded predecessor FIRST: treating "no table at path"
@@ -683,11 +686,13 @@ object Sinks {
     * roll-forward/back marker. That narrower guarantee is the price of
     * not rewriting the whole table.
     */
-  def mergeUpsertPartitioned(df: DataFrame, path: String, keys: Seq[String],
+  def mergeUpsertPartitioned(df0: DataFrame, path: String, keys: Seq[String],
                              partCol: String,
                              maxPruned: Int = maxPrunedPartitions,
                              strict: Boolean = false): Unit = {
     require(keys.nonEmpty)
+    val df = graft.plans.Materialize.record(df0,
+      s"Sinks.mergeUpsertPartitioned($path)")
     val spark = df.sparkSession
     val batch = df.dropDuplicates(keys)
     if (!exists(spark, path)) {
