@@ -69,6 +69,10 @@ object Bench {
         catch { case _: Throwable => failed += name; -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // drain per-call scratch stores OUTSIDE the timer: accumulation in
+      // a tmpfs scratch root is RAM pressure that lands on whichever
+      // store-heavy query runs late in the fleet (Queries.drainScratch)
+      Queries.drainScratch()
       name -> times.min
     }
     // centisecond-rounded per-query values (trailing zeros stripped) keep

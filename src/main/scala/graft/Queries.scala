@@ -54,6 +54,31 @@ object Queries {
       }
     }, "graft-scratch-cleanup"))
 
+  /** Eagerly delete every scratch store created so far. Safe BETWEEN
+    * ledger queries: each query call constructs its own per-call store
+    * (nothing is shared across queries or repeats), so once a query's
+    * result is materialized its scratch is garbage. The shutdown hook
+    * alone lets scratch ACCUMULATE across a long in-fleet run — on a
+    * /dev/shm scratch root that is RAM, and the squeeze lands on
+    * whichever store-heavy query runs late in the fleet (the r15
+    * re-measure attributed incr_simhash_pairs' 110.9 s sweep reading vs
+    * 15.3 s isolated to exactly this class of pressure). Verify and
+    * Bench drain between queries, outside any timer.
+    */
+  def drainScratch(): Unit = {
+    var root = scratchCreated.poll()
+    while (root != null) {
+      try {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Exception => () })
+        finally walk.close()
+      } catch { case _: Exception => () }
+      root = scratchCreated.poll()
+    }
+  }
+
   /** Shard-capped block key for the label-blocked embedding queries
     * (`dedup_embedding_cosine`, `knn_graph_blocked`): an oversized label
     * splits into ceil(count/512) deterministic vec_id-modulus shards so

@@ -47,6 +47,9 @@ object Verify {
         fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         println(f"[verify] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // bound tmpfs growth across the dump: a query's scratch stores
+        // are garbage once its parquet landed (see Queries.drainScratch)
+        Queries.drainScratch()
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
