@@ -133,7 +133,12 @@ object Bench {
       if (valuesSorted.length <= 1500)
         s""""values_order":"name_sorted","values":$valuesSorted,"""
       else ""
-    val head = s"""{"metric":"total","value":${js(total)},"unit":"sec","n_queries":${rounded.size},$valuesField"queries_file":"BENCH_LAST.json","sf":"$sfName"$errs,"queries":{"""
+    // a SPARK_GRAFT_QUERIES subset run must SAY so: the positional
+    // vector's recovery recipe (name-sorted SparkEntry.queries keys)
+    // only holds for full runs, and a reader following it on a partial
+    // vector would silently mislabel every value
+    val subsetField = if (only.isDefined) "\"subset\":true," else ""
+    val head = s"""{"metric":"total","value":${js(total)},"unit":"sec","n_queries":${rounded.size},$subsetField$valuesField"queries_file":"BENCH_LAST.json","sf":"$sfName"$errs,"queries":{"""
     val budget = 1800 - head.length - 2
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0

@@ -102,9 +102,15 @@ object Queries {
     *    zero scans, is structurally bounded under the hygiene gates,
     *    and AQE broadcasts it without any hint.
     */
-  private[graft] def shardCappedBlocks(emb: DataFrame, keyName: String,
+  private[graft] def shardCappedBlocks(emb0: DataFrame, keyName: String,
                                        maxBlock: Int = 512,
                                        maxDriverLabels: Int = 100000): DataFrame = {
+    // null-label rows are dropped UP FRONT so all three cap regimes
+    // agree: both shard paths join inner USING(label) (nulls never
+    // match), but the no-join fast path would keep them — a latent
+    // semantic fork between cap regimes (and vs the inner-join oracle)
+    // on any corpus with unlabeled vectors
+    val emb = emb0.filter(col("label").isNotNull)
     val spark = emb.sparkSession
     val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("__n"))
       .limit(maxDriverLabels + 1).collect()
@@ -179,18 +185,36 @@ object Queries {
       statePartitions: Int, noDataBatch: Boolean,
       providerClass: Option[String] = None)(body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val chlogKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
     val conf = s.conf
     val prevP = conf.get("spark.sql.shuffle.partitions")
     val prevN = conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val prevS = conf.get(providerKey,
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val prevC = conf.get(chlogKey, "false")
     conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
-    providerClass.foreach(conf.set(providerKey, _))
+    // experiment knobs (results are state-store-independent, so these
+    // change only WHERE checkpoint bytes go, never what a query emits):
+    // SPARK_GRAFT_STREAM_PROVIDER=rocksdb forces the RocksDB provider
+    // onto every scoped job; SPARK_GRAFT_STREAM_CHANGELOG=true turns on
+    // RocksDB changelog checkpointing (per-batch delta upload instead
+    // of a full snapshot zip — the round-11 diagnosis priced the
+    // per-micro-batch cost as checkpoint I/O, and this is the Spark 4
+    // knob aimed at exactly that cost)
+    val provider = sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").map {
+      case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"
+      case fqcn => fqcn
+    }.orElse(providerClass)
+    provider.foreach(conf.set(providerKey, _))
+    sys.env.get("SPARK_GRAFT_STREAM_CHANGELOG").foreach(conf.set(chlogKey, _))
     try body finally {
       conf.set("spark.sql.shuffle.partitions", prevP)
       conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevN)
       conf.set(providerKey, prevS)
+      conf.set(chlogKey, prevC)
     }
   }
 
@@ -218,6 +242,35 @@ object Queries {
             WHERE o_orderdate >= TIMESTAMP '1998-01-01'
               AND o_orderdate <= TIMESTAMP '1998-03-31'
               AND o_totalprice >= 10000"""))
+
+  // S1 served through the DataSourceV2 TableProvider
+  // (sources/DiscoverDataSource): the vote floor and language predicate
+  // travel INTO the scan as API query params (SupportsPushDownFilters —
+  // DiscoverSourceSpec asserts them in this exact plan), the adult flag
+  // is the deliberately-unsupported residual Spark evaluates post-scan,
+  // and projection reaches the reader via pruneColumns. The source
+  // synthesizes rows as a closed-form function of the global row index
+  // (DiscoverDataSource.row), so the oracle replays that arithmetic
+  // over range(pages*pageSize) — a full engine-vs-SQL hash gate on the
+  // DSv2 read path itself, independent of the parquet tables.
+  private val s1DiscoverDsv2 = Q(
+    "s1_discover_dsv2",
+    (s, _) => s.read.format("graft.sources.DiscoverDataSource")
+      .option("pages", 25).option("pageSize", 40).load()
+      .filter(col("vote_count") >= 1000L && !col("adult") &&
+        col("original_language") === "en")
+      .select(col("id"), col("title"), col("vote_count"),
+        col("vote_average"), col("original_language")),
+    Some("""SELECT 1000 + i AS id,
+              'Movie ' || CAST(1000 + i AS VARCHAR) AS title,
+              (i * 37) % 5000 AS vote_count,
+              CAST(i % 100 AS DOUBLE) / 10.0 AS vote_average,
+              ['en','fr','de','es','ja'][CAST(i % 5 AS INTEGER) + 1]
+                AS original_language
+            FROM range(1000) t(i)
+            WHERE (i * 37) % 5000 >= 1000
+              AND NOT (i % 50 = 49)
+              AND i % 5 = 0"""))
 
   // ---------------------------------------------------------------- S2
   // keyed point-lookup of a small id list against the source == the
@@ -2643,6 +2696,44 @@ object Queries {
               FROM spans)
             SELECT doc_id, pos, span_key, n_occurrences
             FROM counted WHERE n_occurrences > 1"""))
+
+  // variable-length substring dedup (two-pass maximal-span variant of
+  // the Lee et al. 2022 suffix-array family): corpus-duplicated 8-token
+  // seed windows merged per document into maximal spans via
+  // gaps-and-islands (pos - row_number); the oracle replays the seed
+  // count per 60-bit key, then the identical island merge
+  private val dedupSpanMaximal = Q(
+    "dedup_span_maximal",
+    (s, d) => Dedup.maximalDuplicateSpans(documents(s, d), "doc_id", "text", 8),
+    Some(s"""WITH tok AS (
+              SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\\s+') AS ts
+              FROM documents),
+            hashed AS (
+              SELECT doc_id, i AS pos,
+                md5(array_to_string(ts[i:i+7], ' ')) AS mh
+              FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            spans AS (
+              SELECT doc_id, pos, ${duckHex60("mh")} AS span_key
+              FROM hashed),
+            counted AS (
+              SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY span_key) AS n
+              FROM spans),
+            dup AS (
+              SELECT doc_id, pos FROM counted
+              WHERE n > 1 AND n <= 100000),
+            isl AS (
+              SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS island
+              FROM dup)
+            SELECT doc_id,
+              CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 7 AS BIGINT) AS span_end,
+              CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+              count(*) AS n_windows
+            FROM isl GROUP BY doc_id, island"""))
 
   // cross-source duplication attribution: which source pairs share
   // duplicated 8-token spans, and how much — the contamination matrix
@@ -5317,21 +5408,36 @@ object Queries {
   // margin-based bitext mining in quantized-integer space: even vec_ids
   // act as the source language, odd as the target; k=4 neighborhoods;
   // the oracle replays quantization, BIGINT dots (exact in double below
-  // 2^53), the two rank<=k mass windows, and the integer margin
+  // 2^53), the two rank<=k mass windows, and the integer margin.
+  // Both frames are capped BY CONSTRUCTION (deterministic lowest-id
+  // top-2000 per side — orderBy+limit plans as TakeOrderedAndProject,
+  // a scale-safe top-k): marginMine is the documented-exact all-pairs
+  // twin, so its pair table must be gate-SF-bounded structurally
+  // (2000x2000 = 4M pairs at ANY corpus size) rather than by a sweep
+  // skip list — the GlobalLimit on each side is the PlanBoundedness
+  // witness both hygiene gates verify, with no allowlist entry. The
+  // uncapped scale path is margin_mine_ann (IVF candidates, no
+  // all-pairs stage anywhere).
   private val marginMineBitext = Q(
     "margin_mine_bitext",
     (s, d) => {
       val emb = embeddings(s, d)
-      Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+      def pool(parity: Int) = emb.filter(col("vec_id") % 2 === parity)
+        .orderBy("vec_id").limit(2000)
+      Similarity.marginMine(pool(0), pool(1), "vec_id", "embedding", k = 4)
     },
-    Some("""WITH q AS (
-              SELECT vec_id,
+    Some("""WITH s0 AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 2000),
+            t0 AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 2000),
+            s AS (SELECT vec_id AS src_id,
                 [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
                  FOR e IN embedding] AS vq
-              FROM embeddings),
-            s AS (SELECT vec_id AS src_id, vq FROM q WHERE vec_id % 2 = 0),
-            t AS (SELECT vec_id AS tgt_id, vq FROM q WHERE vec_id % 2 = 1),
+              FROM s0),
+            t AS (SELECT vec_id AS tgt_id,
+                [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                 FOR e IN embedding] AS vq
+              FROM t0),
             d AS (
               SELECT src_id, tgt_id,
                 CAST(list_dot_product(s.vq::DOUBLE[], t.vq::DOUBLE[])
@@ -7398,7 +7504,7 @@ object Queries {
 
   /** Ordered registry — the single source of truth for SparkEntry. */
   val all: Seq[Q] = Seq(
-    s1DiscoverScan, s2PointLookup, c1CleanProject, nullLogic,
+    s1DiscoverScan, s1DiscoverDsv2, s2PointLookup, c1CleanProject, nullLogic,
     c2CleanCollection, c3CleanCompany, c4CleanPerson,
     c5GenderDecode, c6DeptRoute,
     c7ExplodeBridge, c8Regroup, j1SemiProbe, j2AntiProbe, j3EdgeBuild, j4Hierarchy,
@@ -7422,7 +7528,7 @@ object Queries {
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
     pagerankScaled, pagerankWeightedQ, personalizedPagerank, hitsScores, textrankKeywordsQ,
     scoreWeightedSample, jsonExtract,
-    dedupExact, dedupKeepBest, dedupSpanExact, dedupCrossSource,
+    dedupExact, dedupKeepBest, dedupSpanExact, dedupSpanMaximal, dedupCrossSource,
     dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,

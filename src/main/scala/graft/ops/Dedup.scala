@@ -703,6 +703,50 @@ object Dedup {
       .select(col(idCol), col("pos"), col("span_key"), col("n_occurrences"))
   }
 
+  /** Variable-length duplicated-substring detection — the two-pass
+    * maximal-span variant of [[duplicateSpans]] (the scalable shape of
+    * Lee et al. 2022's suffix-array dedup): pass 1 finds every
+    * corpus-duplicated `spanLen`-token seed window; pass 2 merges runs
+    * of CONSECUTIVE duplicated window positions within a document into
+    * maximal spans. A duplicated substring of L ≥ spanLen tokens
+    * contributes L − spanLen + 1 consecutive seed windows, so the merge
+    * recovers its full [start, end] extent — every fixed-window hit is
+    * contained in exactly one emitted span, and spans longer than the
+    * seed are reported at their true length instead of as a pile of
+    * overlapping windows (what an excision pass actually wants to cut).
+    * Differences from true suffix-array dedup are inherited from the
+    * seed pass and documented there: substrings shorter than `spanLen`
+    * are invisible, and the two merged neighborhoods of a span need not
+    * co-occur verbatim in one OTHER document (each window is duplicated
+    * somewhere, possibly in different places).
+    *
+    * Scale shape: pass 1 is [[duplicateSpans]] unchanged (one narrow
+    * shuffle of (hash, doc, pos)); pass 2 adds one shuffle partitioned
+    * by DOCUMENT — the gaps-and-islands window (`pos − row_number`)
+    * sorts each document's duplicated positions only, bounded by
+    * tokens-per-doc, never corpus-wide. `maxOccurrences` drops
+    * boilerplate spans exactly like the seed pass (an over-cap window
+    * splits the island it sat in — boilerplate is excised by its own
+    * policy, not dedup's).
+    */
+  def maximalDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                            spanLen: Int,
+                            maxOccurrences: Int = 100000): DataFrame = {
+    val seeds = duplicateSpans(docs, idCol, textCol, spanLen,
+      hashOnly = true, maxOccurrences)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    seeds.select(col(idCol), col("pos"))
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(spanLen - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
   /** Cross-source duplication attribution: for every pair of sources,
     * how many duplicated `spanLen`-token spans they share and how many
     * duplicate occurrence-pairs that amounts to — the contamination

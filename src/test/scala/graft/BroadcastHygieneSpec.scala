@@ -66,13 +66,10 @@ class BroadcastHygieneSpec extends SparkTestBase {
       "q15_top_supplier" -> (1, "broadcasts the rows TYING the global " +
         "max revenue (~1 row by construction; the per-supplier " +
         "aggregate feeding it is computed distributed and only tie " +
-        "rows cross to the driver)"),
-      "margin_mine_bitext" -> (1, "the documented-exact all-pairs " +
-        "bitext baseline broadcasts the TARGET POOL side of its pair " +
-        "loop (pool-bounded by the caller's candidate-pool contract, " +
-        "same bound its cartesian-gate entry prices) — visible since " +
-        "r15 through the checkpoint-seam capture; the scale path " +
-        "margin_mine_ann carries no hint"))
+        "rows cross to the driver)"))
+      // margin_mine_bitext left this list in r16: its registration caps
+      // both frames with orderBy+limit, so the hinted target-pool side
+      // now carries a GlobalLimit the structural witness proves directly
   }
 
   /** Structural boundedness: the subtree's row count is bounded by a

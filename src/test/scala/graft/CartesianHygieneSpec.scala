@@ -31,7 +31,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * `RoundStore` round, or a store append is walked by the same witness
   * as the visible plan. In particular `margin_mine_bitext`'s
   * documented-exact pair loop, formerly hidden behind its checkpoint,
-  * is now seen by this gate and carries an allowlist entry below.
+  * is seen by this gate — and since r16 passes it STRUCTURALLY (both
+  * frames limit-capped in the registration), with no allowlist entry.
   */
 class CartesianHygieneSpec extends SparkTestBase {
 
@@ -44,12 +45,11 @@ class CartesianHygieneSpec extends SparkTestBase {
     * structural proof cannot see the bound; same contract blindness as
     * the broadcast gate's `contractBounded`). A bounded-probe × corpus
     * nested loop is one corpus scan per probe — linear, not quadratic.
-    * `margin_mine_bitext`, the one genuinely all-pairs ledger query,
-    * appears here SINCE R15: its pair loop sits behind a checkpoint
-    * seam, and the capture hook now surfaces that plan to this gate —
-    * the entry prices the operator's documented-exact all-pairs
-    * contract (pool-bounded by the caller; the scale path is
-    * `margin_mine_ann`, IVF-cell equi-keyed and clean under this gate).
+    * `margin_mine_bitext` carried an entry here from r15 (its pair
+    * loop became gate-visible through the checkpoint-seam capture);
+    * SINCE R16 it needs none: the query registration caps both frames
+    * with a deterministic orderBy+limit, so the GlobalLimit witness
+    * proves the pair loop bounded structurally (4M pairs at any SF).
     */
   private val allowedQuadratic: Map[String, (Int, String)] = {
     val probeBatch = "brute-force ANN: probe batch bounded by serving " +
@@ -61,11 +61,7 @@ class CartesianHygieneSpec extends SparkTestBase {
       "ann_recall_audit" -> (2, probeBatch + " (exact baseline + " +
         "approximate variant under audit)"),
       "ann_topk_operator" -> (1, probeBatch),
-      "hard_negatives_topk" -> (1, probeBatch),
-      "margin_mine_bitext" -> (1, "documented-exact all-pairs bitext " +
-        "baseline: |S|x|T| dot products behind the checkpoint seam, " +
-        "pool-bounded by the caller's candidate-pool contract; the " +
-        "scale path is margin_mine_ann (IVF-cell equi-keyed)"))
+      "hard_negatives_topk" -> (1, probeBatch))
   }
 
   private def unkeyedCorpusJoins(plan: LogicalPlan): Seq[String] =

@@ -150,6 +150,37 @@ class DedupSpec extends SparkTestBase {
       .select("n_occurrences").distinct().head().getLong(0) == 3L)
   }
 
+  test("maximalDuplicateSpans merges seed windows into spans containing the fixed-window set") {
+    // docs 1 and 2 share a 10-token run -> with 4-token seeds that is 7
+    // consecutive duplicated windows per doc, which must merge into ONE
+    // maximal span of length 10 (strictly longer than any seed window);
+    // doc 1 also shares a separate non-adjacent 4-token run with doc 3
+    // -> its own span of exactly seed length
+    val shared10 = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, s"$shared10 filler alpha beta gamma delta"),
+      (2L, s"leadin words $shared10 trailing tail"),
+      (3L, "other text alpha beta gamma delta closing words here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.maximalDuplicateSpans(corpus, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 1L, 10L, 10L, 7L),   // shared10 at doc1 tokens 1-10
+      (1L, 12L, 15L, 4L, 1L),   // alpha..delta at doc1 tokens 12-15
+      (2L, 3L, 12L, 10L, 7L),   // shared10 at doc2 tokens 3-12
+      (3L, 3L, 6L, 4L, 1L)),    // alpha..delta at doc3 tokens 3-6
+      spans.toString)
+    // containment: every duplicated seed window [pos, pos+3] lies inside
+    // exactly one maximal span, and the 10-token spans strictly contain
+    // their windows (the suffix-array-family property the fixed-window
+    // query cannot express)
+    val seeds = Dedup.duplicateSpans(corpus, "doc_id", "text", 4)
+      .select("doc_id", "pos").as[(Long, Int)].collect()
+    assert(seeds.nonEmpty && seeds.forall { case (dId, p) =>
+      spans.count(sp => sp._1 == dId && sp._2 <= p && p + 3 <= sp._3) == 1 })
+    assert(spans.exists(_._4 > 4), "a span longer than the seed window exists")
+  }
+
   test("shingles: short docs fall back to whole text") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val tiny = sh.filter(col("doc_id") === 5).as[(Long, String)].collect()

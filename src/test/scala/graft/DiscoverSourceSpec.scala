@@ -125,6 +125,22 @@ class DiscoverSourceSpec extends SparkTestBase {
     assert(grouped.collect().map(_.getLong(1)).sum == 200L)
   }
 
+  test("the ledger query s1_discover_dsv2 pushes its API predicates into the scan") {
+    // the driver-gated registration itself, not a lookalike: its vote
+    // floor and language predicate must travel into the DSv2 scan as
+    // API query params (the adult flag is the documented post-scan
+    // residual), so the hash-verified query and the pushdown showcase
+    // are the same plan
+    val df = Queries.all.find(_.name == "s1_discover_dsv2").get
+      .fn(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(vote_count,1000"),
+      s"vote_count floor must be pushed; plan:\n$plan")
+    assert(plan.contains("EqualTo(original_language,en)"),
+      s"language param must be pushed; plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("S1 semantics end-to-end: windowed, vote-floored, sorted id scan") {
     val ids = graft.operators.Discover.idsSorted(
       graft.operators.Discover.scan(read(10), "release_date", "2024-03-01",

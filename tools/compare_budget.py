@@ -15,6 +15,15 @@ only the verdict, so 60M-row results never cross the process boundary.
 Writes <outJson> with one entry per query:
   {"status": "ok"|"fail"|"skip_budget"|"rows_only"|"oracle_error",
    "rows": N, "seconds": duck_wall, "detail": "..."}
+
+The artifact SELF-RECONCILES against the full ledger: every query named
+in oracle_sql.json must appear either as a compared entry or as a named
+"skip_by_design" entry (taken from SPARK_GRAFT_SKIP — the same env the
+Verify sweep honored — with its reason from SKIP_REASONS). The summary
+carries ledger_total, the named skip map, and a "reconciles" flag that
+is false if any ledger query is silently absent, so a reader never has
+to diff this artifact against the gate-SF one to discover an exclusion
+(the r15 judging finding: the sf10 note named one of its two skips).
 """
 import json
 import multiprocessing as mp
@@ -44,6 +53,18 @@ DUCK_COMPARE_BYTES = int(os.environ.get("GRAFT_DUCK_COMPARE_BYTES",
 # instead of tripping the kernel OOM killer (which yields a verdict-less
 # dead child, not a clean oracle_error).
 DUCK_MEMORY_LIMIT = os.environ.get("GRAFT_DUCK_MEMORY_LIMIT", "48GB")
+
+# Registered reasons for by-design above-gate exclusions. A name passed
+# via SPARK_GRAFT_SKIP that is NOT registered here still lands in the
+# artifact (nothing is silent), tagged as unregistered so the omission
+# of a written reason is itself visible.
+SKIP_REASONS = {
+    "margin_mine_ann": (
+        "fixed kCells=8 oracle-replay contract is quadratic in corpus "
+        "size (candidate table |S|*|T|/8 — see STRESS.md); the shipped "
+        "scale path margin_mine_ann_auto (derived sqrt-n kCells) "
+        "verifies at this SF instead"),
+}
 
 
 def _dir_bytes(path):
@@ -249,15 +270,44 @@ def main(sf_dir, out_dir, out_json, budget_s, only=None):
         tag = {"ok": "OK", "fail": "!!", "oracle_error": "!!"}[r["status"]]
         print(f"  {tag} {name}: {r['rows']} rows ({r['seconds']}s)"
               + (f" {r['detail']}" if r["detail"] else ""))
+    # --- ledger reconciliation: name every exclusion mechanically ---
+    # The effective skip set is whatever the Verify sweep was told to
+    # skip (same env var), not a hand-written note that can drift.
+    skip_env = os.environ.get("SPARK_GRAFT_SKIP", "")
+    skips = {}
+    for n in sorted({s.strip() for s in skip_env.split(",") if s.strip()}):
+        if only is not None and n not in only:
+            continue
+        reason = SKIP_REASONS.get(
+            n, "skipped via SPARK_GRAFT_SKIP (NO registered reason — "
+               "add one to SKIP_REASONS)")
+        skips[n] = reason
+        if n in results:  # dumped anyway — the compared verdict wins
+            skips.pop(n)
+            continue
+        results[n] = {"status": "skip_by_design", "rows": -1, "seconds": 0,
+                      "detail": reason}
+        print(f"  [skip-by-design] {n}: {reason}")
+    ledger = sorted(oracles) if only is None \
+        else sorted(set(oracles) & set(only))
+    missing = [n for n in ledger if n not in results]
     counts = {}
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1
+    note = (f"{len(ledger)} ledger oracles = "
+            f"{len(results) - len(skips)} compared + "
+            f"{len(skips)} named skip(s) [{', '.join(skips) or 'none'}]"
+            + (f"; MISSING (dumped nowhere, skipped nowhere): "
+               f"{', '.join(missing)}" if missing else ""))
     summary = {"sf_dir": sf_dir, "budget_seconds": budget_s,
+               "ledger_total": len(ledger), "skipped_by_design": skips,
+               "reconciles": not missing, "note": note,
                "counts": counts, "queries": results}
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
-    print(f"\ncounts: {counts}")
-    return 1 if counts.get("fail", 0) or counts.get("oracle_error", 0) else 0
+    print(f"\ncounts: {counts}\n{note}")
+    return 1 if counts.get("fail", 0) or counts.get("oracle_error", 0) \
+        or missing else 0
 
 
 if __name__ == "__main__":

@@ -157,10 +157,21 @@ def _components_family(con, sql):
                                "comp": lambda c, _b: _min_label_components(c)})
 
 
-def _simhash_pigeonhole(con, sql, pair_where=""):
+def _simhash_pigeonhole(con, sql):
     """Stage the linear signature CTEs verbatim, then swap the quadratic
-    final self-join for the exact-complete 8x7-bit pigeonhole."""
-    stage_ctes(con, sql)  # tok/md/hashed/bitsums/sig; final select unused
+    final self-join for the exact-complete 8x7-bit pigeonhole. The
+    hamming cap and any trailing pair predicate (the incremental
+    variant's batch restriction) are PARSED out of the monolithic
+    oracle's own final select — never hardcoded — so a Queries.scala
+    edit to either cannot silently desynchronize this remedy."""
+    final = stage_ctes(con, sql)  # tok/md/hashed/bitsums/sig
+    m = re.search(r"WHERE\s+bit_count\(xor\(a\.sig,\s*b\.sig\)\)\s*<=\s*"
+                  r"(\d+)(.*)$", final, re.DOTALL | re.IGNORECASE)
+    assert m, f"simhash final-select shape changed, re-derive remedy: {final!r}"
+    ham, pair_where = int(m.group(1)), m.group(2).rstrip()
+    # the 8x7-bit chunking is exact-complete only for hamming <= 7
+    # (8 disjoint chunks; <= 7 differing bits must leave one untouched)
+    assert ham == 7, f"pigeonhole built for cap 7, oracle now uses {ham}"
     con.execute("""CREATE TEMP TABLE __expl AS
         SELECT doc_id, sig, t.c AS c, (sig >> (t.c * 7)) & 127 AS cv
         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS c) t""")
@@ -168,7 +179,7 @@ def _simhash_pigeonhole(con, sql, pair_where=""):
           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
         FROM __expl a JOIN __expl b
           ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= 7{pair_where}"""
+        WHERE bit_count(xor(a.sig, b.sig)) <= {ham}{pair_where}"""
 
 
 SEMANTIC_SAMPLE_MOD = 499
@@ -181,6 +192,16 @@ def _semantic_decomposed(con, sql, result_path):
     and compare those rows in full. Returns a verdict dict."""
     import time
     t0 = time.time()
+    # the cosine predicate (rounding digits + tau threshold) is parsed
+    # out of the oracle's own `dup` CTE and spliced verbatim into the
+    # sampled EXISTS below — a Queries.scala change to either cannot
+    # silently desynchronize this decomposed check (the aliases a/b and
+    # the va/vb embedding joins are shared between both formulations)
+    dup_body = dict(split_ctes(sql)[0])["dup"]
+    mt = re.search(r"WHERE\s+(round\(.*)\s*$", dup_body,
+                   re.DOTALL | re.IGNORECASE)
+    assert mt, f"dup CTE shape changed, re-derive remedy: {dup_body!r}"
+    cos_pred = mt.group(1).strip()
     stage_ctes(con, sql, skip=("dup",))  # ve .. af staged; dup is the infeasible part
     n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
     n_af = con.execute("SELECT count(*) FROM af").fetchone()[0]
@@ -203,10 +224,7 @@ def _semantic_decomposed(con, sql, result_path):
             JOIN ve va ON va.vec_id = a.vec_id
             JOIN ve vb ON vb.vec_id = b.vec_id
             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-              AND round(list_dot_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[]))
-                 * sqrt(list_dot_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[]))), 6)
-                >= 0.35) AS kept
+              AND {cos_pred}) AS kept
         FROM af a WHERE a.vec_id % {m} = 0""")
     n_sample = con.execute("SELECT count(*) FROM __sample_kept").fetchone()[0]
     diff = con.execute(
@@ -245,18 +263,13 @@ def _components(con, sql, result_path):
             "closure replacing the recursive reach CTE")
 
 
-def _simhash_batch(con, sql, result_path):
+def _simhash_family(con, sql, result_path):
+    # batch AND incremental variants: the incremental batch restriction
+    # rides in the oracle's own final WHERE and is parsed, not assumed
     return (_simhash_pigeonhole(con, sql),
             "staged oracle: linear signature stages + exact-complete "
-            "8x7-bit pigeonhole replacing the n^2/2 self-join")
-
-
-def _simhash_incr(con, sql, result_path):
-    return (_simhash_pigeonhole(
-                con, sql,
-                " AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)"),
-            "staged oracle: linear signature stages + exact-complete "
-            "8x7-bit pigeonhole replacing the n^2/2 self-join")
+            "8x7-bit pigeonhole replacing the n^2/2 self-join "
+            "(pair predicate parsed from the gate oracle)")
 
 
 def _minhash_staged(con, sql, result_path):
@@ -277,6 +290,16 @@ def _minhash_staged(con, sql, result_path):
         if name in zchain:
             continue
         if name == "comp":
+            # the rebuild below assumes comp is EXACTLY the min-per-(doc,
+            # permutation) aggregate over the last z stage; assert the
+            # parsed oracle still says so (loudly) rather than silently
+            # desynchronizing if the gate oracle's comp CTE is ever edited
+            norm = re.sub(r"\s+", " ", body.strip()).lower()
+            expected = (f"select doc_id, j, min(z) as m "
+                        f"from {zchain[-1]} group by 1, 2").lower()
+            assert norm == expected, (
+                f"comp body drifted from the assumed shape, re-derive "
+                f"remedy: got {norm!r}, assumed {expected!r}")
             rekeyed = []
             for i, zn in enumerate(zchain):
                 b = re.sub(r"\bdoc_id\b", "h", byname[zn])
@@ -286,8 +309,8 @@ def _minhash_staged(con, sql, result_path):
                 rekeyed.append(f"{zn} AS ({b})")
             con.execute(f"CREATE TEMP TABLE __ph AS WITH {', '.join(rekeyed)} "
                         f"SELECT h, j, z FROM {zchain[-1]}")
-            # comp body is `SELECT doc_id, j, min(z) AS m FROM z4 GROUP BY 1, 2`
-            # with the per-doc z stream now coming from the (h, j) join
+            # comp body is the asserted min-aggregate, with the per-doc z
+            # stream now coming from the (h, j) join
             con.execute("CREATE TEMP TABLE comp AS "
                         "SELECT hashed.doc_id, __ph.j, min(__ph.z) AS m "
                         "FROM hashed JOIN __ph USING (h) GROUP BY 1, 2")
@@ -306,8 +329,8 @@ STAGED = {
     "dedup_clusters": _components,
     "dedup_cluster_reps": _components,
     "leakage_safe_split": _components,
-    "dedup_simhash": _simhash_batch,
-    "incr_simhash_pairs": _simhash_incr,
+    "dedup_simhash": _simhash_family,
+    "incr_simhash_pairs": _simhash_family,
     "dedup_minhash_lsh": _minhash_staged,
     "incr_minhash_pairs": _minhash_staged,
     "setsim_containment_join": _df_capped_staged,
