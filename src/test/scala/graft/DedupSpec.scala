@@ -181,6 +181,24 @@ class DedupSpec extends SparkTestBase {
     assert(spans.exists(_._4 > 4), "a span longer than the seed window exists")
   }
 
+  test("maximalDuplicateSpans: the island window is document-partitioned (scale shape)") {
+    // the gaps-and-islands row_number must be partitioned by the id
+    // column — an unpartitioned window would sort the corpus-wide
+    // duplicated-window table on ONE task at 100 TB (Spark itself warns
+    // "No Partition Defined for Window"); assert the optimized plan's
+    // Window node carries a non-empty partitionSpec on doc_id
+    val corpus = Seq((1L, "a b c d e f"), (2L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.maximalDuplicateSpans(corpus, "doc_id", "text", 4)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "island merge must plan a Window node")
+    assert(windows.forall(w => w.partitionSpec.nonEmpty &&
+      w.partitionSpec.exists(_.references.exists(_.name == "doc_id"))),
+      s"window must partition by doc_id:\n${windows.map(_.partitionSpec)}")
+  }
+
   test("shingles: short docs fall back to whole text") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val tiny = sh.filter(col("doc_id") === 5).as[(Long, String)].collect()
