@@ -2735,6 +2735,58 @@ object Queries {
               count(*) AS n_windows
             FROM isl GROUP BY doc_id, island"""))
 
+  // duplicate-span EXCISION: rebuild each document with duplicated
+  // 8-token spans removed except at the canonical (globally smallest
+  // (doc, pos)) occurrence. The oracle replays seed counting per 60-bit
+  // key, the canonical rank, the k-position coverage expansion
+  // (equality joins, mirroring the engine's no-range-join shape), and
+  // the position-ordered reassembly.
+  private val dedupSpanExcise = Q(
+    "dedup_span_excise",
+    (s, d) => Dedup.exciseDuplicateSpans(documents(s, d), "doc_id", "text", 8),
+    Some(s"""WITH tok AS (
+              SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\\s+') AS ts
+              FROM documents),
+            hashed AS (
+              SELECT doc_id, i AS pos,
+                md5(array_to_string(ts[i:i+7], ' ')) AS mh
+              FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            spans AS (
+              SELECT doc_id, pos, ${duckHex60("mh")} AS span_key
+              FROM hashed),
+            kc AS (SELECT span_key, count(*) AS n FROM spans GROUP BY 1),
+            dup AS (
+              SELECT s.doc_id, s.pos, s.span_key
+              FROM spans s JOIN kc USING (span_key)
+              WHERE n > 1 AND n <= 100000),
+            canon AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY span_key
+                    ORDER BY doc_id, pos) AS rn
+                FROM dup) WHERE rn = 1),
+            dcov AS (
+              SELECT DISTINCT d.doc_id, d.pos + x.u AS pos
+              FROM dup d, unnest(range(0, 8)) AS x(u)),
+            pcov AS (
+              SELECT DISTINCT c.doc_id, c.pos + x.u AS pos
+              FROM canon c, unnest(range(0, 8)) AS x(u)),
+            te AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM tok, unnest(range(1, len(ts) + 1)) AS t(i)),
+            ex AS (
+              SELECT te.doc_id, te.pos, te.tok,
+                (p.pos IS NOT NULL) OR (d.pos IS NULL) AS keep
+              FROM te
+              LEFT JOIN dcov d ON d.doc_id = te.doc_id AND d.pos = te.pos
+              LEFT JOIN pcov p ON p.doc_id = te.doc_id AND p.pos = te.pos)
+            SELECT doc_id, count(*) AS n_tokens,
+              count(*) FILTER (WHERE NOT keep) AS n_excised,
+              coalesce(string_agg(tok, ' ' ORDER BY pos)
+                FILTER (WHERE keep), '') AS text_deduped
+            FROM ex GROUP BY doc_id"""))
+
   // cross-source duplication attribution: which source pairs share
   // duplicated 8-token spans, and how much — the contamination matrix
   // behind "which source do we prune". Pure count algebra over the
@@ -7528,7 +7580,8 @@ object Queries {
     parseRatingsDom, htmlCorpusText, htmlOutlinks, urlNormalize,
     pagerankScaled, pagerankWeightedQ, personalizedPagerank, hitsScores, textrankKeywordsQ,
     scoreWeightedSample, jsonExtract,
-    dedupExact, dedupKeepBest, dedupSpanExact, dedupSpanMaximal, dedupCrossSource,
+    dedupExact, dedupKeepBest, dedupSpanExact, dedupSpanMaximal,
+    dedupSpanExcise, dedupCrossSource,
     dedupJaccard, dedupMinhash,
     dedupSimhash, incrMinhash, incrSimhash, dedupClusters, dedupClusterReps,
     dedupEmbedding, dedupSemantic,

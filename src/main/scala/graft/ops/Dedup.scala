@@ -747,6 +747,66 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Duplicate-span EXCISION — the pass the detection family feeds
+    * (Lee et al. 2022 remove each duplicated substring's occurrences
+    * but one): rebuild every document with its duplicated-span tokens
+    * removed, EXCEPT tokens protected by a canonical occurrence. The
+    * canonical occurrence of a duplicated window is its globally
+    * smallest (doc, pos) — deterministic on any engine/partitioning —
+    * so every duplicated string survives verbatim in exactly the
+    * lowest-id document that carries it, and a token is excised iff
+    * some duplicated window covers it and NO canonical window does.
+    * Docs shorter than `spanLen` have no windows and pass through.
+    *
+    * Scale shape — equality joins only, no range join anywhere: the
+    * seed pass is [[duplicateSpans]] (one narrow (hash, doc, pos)
+    * shuffle); canonical selection is a row_number window partitioned
+    * by span_key over the DUPLICATED minority (each key's occurrence
+    * list bounded by `maxOccurrences`); window→token coverage expands
+    * each duplicated/canonical window into its `spanLen` covered
+    * positions (a narrow ×k generate over the dup minority) and joins
+    * the token table on (doc, pos) EQUALITY — the range-predicate
+    * formulation would force a nested-loop per document. Text
+    * reassembly is a per-document sort_array over that document's kept
+    * tokens — bounded by document length, never corpus-wide. The
+    * corpus is tokenized twice (seed pass + token table), both narrow
+    * scan-side passes; fusing them would force the giant span table
+    * through a checkpoint the token side must then re-read.
+    */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           spanLen: Int,
+                           maxOccurrences: Int = 100000): DataFrame = {
+    val dup = duplicateSpans(docs, idCol, textCol, spanLen,
+      hashOnly = true, maxOccurrences)
+      .select(col(idCol).as("__d"), col("pos"), col("span_key"))
+    // canonical = rank 1 by (doc, pos) within each duplicated key; the
+    // per-key sort is bounded by the maxOccurrences skew valve
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_key")).orderBy(col("__d"), col("pos"))
+    val canon = dup.withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") === 1).select(col("__d"), col("pos"))
+    def coverage(windows: DataFrame, flag: String): DataFrame = windows
+      .select(col("__d"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("pos"))
+      .distinct()
+      .withColumn(flag, lit(true))
+    val toked = docs.select(col(idCol).as("__d"), tokens(col(textCol)).as("__toks"))
+    val te = toked
+      .select(col("__d"), posexplode(col("__toks")).as(Seq("pos0", "tok")))
+      .select(col("__d"), (col("pos0") + 1).as("pos"), col("tok"))
+    te.join(coverage(dup, "__dc"), Seq("__d", "pos"), "left")
+      .join(coverage(canon, "__pc"), Seq("__d", "pos"), "left")
+      .withColumn("__keep", coalesce(col("__pc"), !coalesce(col("__dc"), lit(false))))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_excised"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __keep THEN " +
+            "struct(pos, tok) END)), s -> s.tok)"), " ").as("text_deduped"))
+      .select(col("__d").as(idCol), col("n_tokens"), col("n_excised"),
+        col("text_deduped"))
+  }
+
   /** Cross-source duplication attribution: for every pair of sources,
     * how many duplicated `spanLen`-token spans they share and how many
     * duplicate occurrence-pairs that amounts to — the contamination

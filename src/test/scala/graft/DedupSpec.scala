@@ -181,6 +181,38 @@ class DedupSpec extends SparkTestBase {
     assert(spans.exists(_._4 > 4), "a span longer than the seed window exists")
   }
 
+  test("exciseDuplicateSpans keeps the canonical occurrence and removes the rest") {
+    // docs share an 8-token run; with 4-token seeds the canonical
+    // occurrence of every duplicated window is in doc 1 (globally
+    // smallest (doc, pos)), so doc 1 keeps its full text and doc 2
+    // loses exactly the 8 shared tokens
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight tail1 x"),
+      (2L, "head one two three four five six seven eight tail2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(corpus, "doc_id", "text", 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, 0L, "one two three four five six seven eight tail1 x"),
+      (2L, 10L, 8L, "head tail2")),
+      out.toString)
+  }
+
+  test("exciseDuplicateSpans: short docs and unique docs pass through untouched") {
+    val corpus = Seq(
+      (1L, "tiny"),                                   // shorter than the span
+      (2L, "completely unique words nothing shared"), // no duplicated window
+      (3L, "completely unique words nothing shared")  // full-doc duplicate
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(corpus, "doc_id", "text", 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 3's windows are duplicates of doc 2's; doc 2 is canonical
+    assert(out(1L) == (1L, 0L, "tiny"))
+    assert(out(2L) == (5L, 0L, "completely unique words nothing shared"))
+    assert(out(3L) == (5L, 5L, ""))
+  }
+
   test("maximalDuplicateSpans: the island window is document-partitioned (scale shape)") {
     // the gaps-and-islands row_number must be partitioned by the id
     // column — an unpartitioned window would sort the corpus-wide
