@@ -243,6 +243,82 @@ def _semantic_decomposed(con, sql, result_path):
                       f"vec_id % {m} == 0 sample ({n_sample} ids)"}
 
 
+def _excise_decomposed(con, sql, result_path):
+    """Decomposed verdict for dedup_span_excise: the monolithic oracle
+    re-explodes every token of every document (1e8 rows at sf10), joins
+    coverage twice, and string_agg-reassembles 500k documents — the
+    compare child was kernel-OOM-killed at sf10. Remedy: stage every
+    CTE up to the coverage sets verbatim, then
+
+      1. FULL-corpus counts check WITHOUT the token explode — the
+         algebraic identity n_excised(doc) = |dcov(doc) \\ pcov(doc)|
+         (coverage positions are always valid token positions by
+         construction) and n_tokens(doc) = len(ts), both computed from
+         the staged oracle tables, EXCEPT-ALL'd against the engine rows;
+      2. EXACT full-row check (counts AND reassembled text) for the
+         deterministic doc_id % 499 == 0 sample, by re-running the
+         oracle's OWN parsed `te`/`ex`/final SQL restricted to the
+         sample — which also cross-checks identity (1) against the
+         verbatim replay on the sampled docs.
+    """
+    import time
+    t0 = time.time()
+    ctes, final = split_ctes(sql)
+    byname = dict(ctes)
+    for need in ("tok", "dcov", "pcov", "te", "ex"):
+        assert need in byname, f"excise oracle shape changed: no {need} CTE"
+    assert "WHERE" not in byname["te"].upper(), \
+        "te CTE grew a WHERE; re-derive the sample splice"
+    stage_ctes(con, sql, skip=("te", "ex"))
+    n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
+    con.execute("""CREATE TEMP TABLE __counts AS
+        SELECT t.doc_id, len(t.ts) AS n_tokens, coalesce(e.n, 0) AS n_excised
+        FROM tok t LEFT JOIN (
+          SELECT d.doc_id, count(*) AS n
+          FROM dcov d LEFT JOIN pcov p
+            ON p.doc_id = d.doc_id AND p.pos = d.pos
+          WHERE p.pos IS NULL GROUP BY 1) e USING (doc_id)""")
+    n_exp = con.execute("SELECT count(*) FROM __counts").fetchone()[0]
+    if n_got != n_exp:
+        return {"status": "fail", "rows": n_got,
+                "seconds": round(time.time() - t0, 1),
+                "detail": f"decomposed: rowcount spark={n_got} duck={n_exp}"}
+    bad = con.execute("""SELECT count(*) FROM (
+        SELECT doc_id, n_tokens, n_excised FROM got
+        EXCEPT ALL
+        SELECT doc_id, CAST(n_tokens AS BIGINT), CAST(n_excised AS BIGINT)
+        FROM __counts)""").fetchone()[0]
+    if bad:
+        return {"status": "fail", "rows": n_got,
+                "seconds": round(time.time() - t0, 1),
+                "detail": f"decomposed: {bad} (n_tokens, n_excised) rows differ"}
+    m = 499
+    con.execute(f"CREATE TEMP TABLE te AS {byname['te']} "
+                f"WHERE doc_id % {m} = 0")
+    con.execute(f"CREATE TEMP TABLE ex AS {byname['ex']}")
+    con.execute(f"CREATE TEMP TABLE __sample AS {final}")
+    n_sample = con.execute("SELECT count(*) FROM __sample").fetchone()[0]
+    diff = con.execute(f"""SELECT count(*) FROM (
+        SELECT doc_id, n_tokens, n_excised, text_deduped
+        FROM got WHERE doc_id % {m} = 0
+        EXCEPT ALL
+        SELECT doc_id, CAST(n_tokens AS BIGINT), CAST(n_excised AS BIGINT),
+          text_deduped
+        FROM __sample)""").fetchone()[0]
+    if diff:
+        return {"status": "fail", "rows": n_got,
+                "seconds": round(time.time() - t0, 1),
+                "detail": f"decomposed: {diff} of {n_sample} sampled "
+                          f"full rows differ (doc_id % {m} == 0)"}
+    return {"status": "ok", "rows": n_got,
+            "seconds": round(time.time() - t0, 1),
+            "detail": f"decomposed oracle: full-corpus (n_tokens, "
+                      f"n_excised) compare via the coverage-set identity "
+                      f"+ exact full rows (incl. reassembled text) for "
+                      f"the doc_id % {m} == 0 sample ({n_sample} docs), "
+                      f"replayed from the parsed te/ex/final SQL"}
+
+
 # ---------------------------------------------------------------- registry
 
 def _plain_staged(con, sql, result_path):
@@ -336,4 +412,5 @@ STAGED = {
     "setsim_containment_join": _df_capped_staged,
     "margin_mine_ann_auto": _plain_staged,
     "dedup_semantic": _semantic_decomposed,
+    "dedup_span_excise": _excise_decomposed,
 }
