@@ -681,7 +681,15 @@ object Queries {
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
 
-  // five-table join chain with two broadcast dims — the TPC-H Q5 shape
+  // five-table join chain with two broadcast dims — the TPC-H Q5 shape.
+  // Revenue is summed in EXACT scaled-integer space (price cents ×
+  // (100 − discount pct), both quantized half-up from the stored
+  // doubles): the per-nation groups are the ledger's largest (~12M rows
+  // at sf10 summing to ~2e10), where a rounded double sum's accumulated
+  // FP error reaches the 4-decimal boundary and the verdict depends on
+  // the engine's (and even the oracle's own parallel) accumulation
+  // order — the r16 sf10 sweep caught exactly that flake on its second
+  // DuckDB pass. BIGINT headroom: ≤1.05e9 per row × 6e8 rows < 2^63.
   private val q5JoinChain = Q(
     "q5_join_chain",
     (s, d) => customer(s, d)
@@ -693,10 +701,14 @@ object Queries {
       .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-        .as("revenue"), count(lit(1)).as("n")),
+      .agg(sum(
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+        .as("revenue_e4"), count(lit(1)).as("n")),
     Some("""SELECT n_name,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS revenue_e4,
               count(*) AS n
             FROM customer
             JOIN orders ON c_custkey = o_custkey
