@@ -138,7 +138,17 @@ object Bench {
     // only holds for full runs, and a reader following it on a partial
     // vector would silently mislabel every value
     val subsetField = if (only.isDefined) "\"subset\":true," else ""
-    val head = s"""{"metric":"total","value":${js(total)},"unit":"sec","n_queries":${rounded.size},$subsetField$valuesField"queries_file":"BENCH_LAST.json","sf":"$sfName"$errs,"queries":{"""
+    // names_hash makes the positional vector self-describing: MD5 of the
+    // name-sorted query names actually benched, so a reader can verify a
+    // vector against the commit's SparkEntry.queries keys (and a subset
+    // run's vector can never be silently mislabeled as the full surface)
+    val namesHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(rounded.keys.toSeq.sorted.mkString(",")
+        .getBytes("UTF-8"))
+      h.take(6).map("%02x".format(_)).mkString
+    }
+    val head = s"""{"metric":"total","value":${js(total)},"unit":"sec","n_queries":${rounded.size},$subsetField"names_hash":"$namesHash",$valuesField"queries_file":"BENCH_LAST.json","sf":"$sfName"$errs,"queries":{"""
     val budget = 1800 - head.length - 2
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0

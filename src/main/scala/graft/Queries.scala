@@ -203,11 +203,18 @@ object Queries {
     // of a full snapshot zip — the round-11 diagnosis priced the
     // per-micro-batch cost as checkpoint I/O, and this is the Spark 4
     // knob aimed at exactly that cost)
-    val provider = sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").map {
+    val envProvider = sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").map {
       case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider"
       case fqcn => fqcn
-    }.orElse(providerClass)
+    }
+    // an EXPLICIT per-query provider is semantic (transformWithState
+    // queries REQUIRE RocksDB), so it wins over the global experiment
+    // env var; the env knob fills in only for unpinned queries
+    for (e <- envProvider; p <- providerClass; if e != p)
+      System.err.println(s"[graft] SPARK_GRAFT_STREAM_PROVIDER=$e ignored: " +
+        s"query pins $p")
+    val provider = providerClass.orElse(envProvider)
     provider.foreach(conf.set(providerKey, _))
     sys.env.get("SPARK_GRAFT_STREAM_CHANGELOG").foreach(conf.set(chlogKey, _))
     try body finally {
@@ -706,9 +713,9 @@ object Queries {
           (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
         .as("revenue_e4"), count(lit(1)).as("n")),
     Some("""SELECT n_name,
-              sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
-                AS revenue_e4,
+                AS BIGINT) AS revenue_e4,
               count(*) AS n
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -2792,12 +2799,18 @@ object Queries {
                 (p.pos IS NOT NULL) OR (d.pos IS NULL) AS keep
               FROM te
               LEFT JOIN dcov d ON d.doc_id = te.doc_id AND d.pos = te.pos
-              LEFT JOIN pcov p ON p.doc_id = te.doc_id AND p.pos = te.pos)
-            SELECT doc_id, count(*) AS n_tokens,
-              count(*) FILTER (WHERE NOT keep) AS n_excised,
-              coalesce(string_agg(tok, ' ' ORDER BY pos)
-                FILTER (WHERE keep), '') AS text_deduped
-            FROM ex GROUP BY doc_id"""))
+              LEFT JOIN pcov p ON p.doc_id = te.doc_id AND p.pos = te.pos),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                count(*) FILTER (WHERE NOT keep) AS n_excised,
+                coalesce(string_agg(tok, ' ' ORDER BY pos)
+                  FILTER (WHERE keep), '') AS text_deduped
+              FROM ex GROUP BY doc_id)
+            SELECT t.doc_id,
+              coalesce(a.n_tokens, 0) AS n_tokens,
+              coalesce(a.n_excised, 0) AS n_excised,
+              coalesce(a.text_deduped, '') AS text_deduped
+            FROM tok t LEFT JOIN agg a USING (doc_id)"""))
 
   // cross-source duplication attribution: which source pairs share
   // duplicated 8-token spans, and how much — the contamination matrix
@@ -3602,7 +3615,13 @@ object Queries {
     * can be replayed too (DuckDB accepts a scalar subquery in LIMIT);
     * fixed-codebook oracles pass the integer literal as a string.
     */
-  private def lloydReplayPrefix(kCells: String, iters: Int, dim: Int): String = {
+  /** `corpus` is the FROM-clause source of the training/assignment
+    * corpus `ve` — the bare table for full-corpus replays, or an
+    * aliased subquery (e.g. the union of two capped pools) when the
+    * consuming query bounds its frame by construction.
+    */
+  private def lloydReplayPrefix(kCells: String, iters: Int, dim: Int,
+                                corpus: String = "embeddings"): String = {
     val dimRange = s"range(1, ${dim + 1})"
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
     // assignment = argmin over (dist, cell) — a LEXICOGRAPHIC STRUCT MIN
@@ -3633,7 +3652,7 @@ object Queries {
           SELECT vec_id, embedding,
             [CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
              FOR e IN embedding] AS vq
-          FROM embeddings),
+          FROM $corpus),
         c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vq
           FROM (SELECT vec_id, vq FROM ve ORDER BY vec_id LIMIT $kCells)),
@@ -5535,17 +5554,23 @@ object Queries {
   // oracle replays the Lloyd training (shared prefix), the cell join,
   // then the identical mass/margin windows over the candidate table.
   // kCells is FIXED at 8 here because the static replay SQL must train
-  // the same codebook — correct for the gate's corpus sizes, but NOT
-  // the scale operating point: at fixed kCells the candidate table is
-  // |S|·|T|/kCells (the 100x probe measured exactly that blow-up). A
-  // caller without a replay oracle should pass kCells = 0 and get the
-  // derived √n point (see marginMineAnn's scale note + MiningSpec).
+  // the same codebook — so, exactly like margin_mine_bitext, the pools
+  // are CAPPED by construction (deterministic lowest-2000 per side,
+  // the GlobalLimit is the PlanBoundedness witness): at fixed kCells an
+  // uncapped candidate table is |S|·|T|/kCells — quadratic as both
+  // sides grow (the r15 100x probe measured exactly that blow-up), so
+  // the fixed-codebook replay form is only a contract on a KNOWN
+  // corpus frame. Candidate volume is ≤ 2000·3·(2000/8) = 1.5M pairs
+  // at ANY corpus size. The uncapped scale path is
+  // margin_mine_ann_auto (kCells = 0 ⇒ derived √n point, verified at
+  // 100x — see marginMineAnn's scale note + MiningSpec).
   private val marginMineAnnQ = Q(
     "margin_mine_ann",
     (s, d) => {
       val emb = embeddings(s, d)
-      Similarity.marginMineAnn(emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      def pool(parity: Int) = emb.filter(col("vec_id") % 2 === parity)
+        .orderBy("vec_id").limit(2000)
+      Similarity.marginMineAnn(pool(0), pool(1), "vec_id", "embedding",
         k = 4, kCells = 8, nProbe = 3)
     },
     Some(marginMineAnnOracleSql))
@@ -5575,7 +5600,17 @@ object Queries {
     * the cell-join candidate table with exact BIGINT dots, then the
     * margin_mine_bitext mass/margin tail confined to those candidates. */
   private lazy val marginMineAnnOracleSql: String =
-    marginMineAnnOracle(kCells = "8", extraCols = "")
+    marginMineAnnOracle(kCells = "8", extraCols = "",
+      // the capped union frame mirroring the registration's two
+      // lowest-2000-per-parity pools — the Lloyd codebook trains over
+      // exactly this bounded corpus on both engines
+      corpus = """(SELECT vec_id, embedding FROM
+                     (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 2000)
+                   UNION ALL
+                   SELECT vec_id, embedding FROM
+                     (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 2000)) corpus""")
 
   /** The auto-sized twin: the LIMIT inside the Lloyd prefix derives the
     * SAME √n operating point the Spark side computes
@@ -5592,10 +5627,11 @@ object Queries {
       extraCols = s", CAST($kc AS INTEGER) AS k_cells")
   }
 
-  private def marginMineAnnOracle(kCells: String, extraCols: String): String = {
+  private def marginMineAnnOracle(kCells: String, extraCols: String,
+                                  corpus: String = "embeddings"): String = {
     val iters = 2; val dim = 64; val nProbe = 3; val k = 4
     def distExpr(v: String, c: String) = lloydDistExpr(dim, v, c)
-    s"""WITH ${lloydReplayPrefix(kCells, iters, dim)},
+    s"""WITH ${lloydReplayPrefix(kCells, iters, dim, corpus)},
         tc AS (SELECT vec_id AS tgt_id, cell FROM af WHERE vec_id % 2 = 1),
         pc0 AS (
           SELECT v.vec_id AS src_id,

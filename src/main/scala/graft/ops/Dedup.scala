@@ -756,7 +756,9 @@ object Dedup {
     * so every duplicated string survives verbatim in exactly the
     * lowest-id document that carries it, and a token is excised iff
     * some duplicated window covers it and NO canonical window does.
-    * Docs shorter than `spanLen` have no windows and pass through.
+    * Docs shorter than `spanLen` have no windows and pass through;
+    * a NULL-text doc survives as (id, 0 tokens, 0 excised, "") rather
+    * than vanishing (r17: every input id reaches the output).
     *
     * Scale shape — equality joins only, no range join anywhere: the
     * seed pass is [[duplicateSpans]] (one narrow (hash, doc, pos)
@@ -794,7 +796,7 @@ object Dedup {
     val te = toked
       .select(col("__d"), posexplode(col("__toks")).as(Seq("pos0", "tok")))
       .select(col("__d"), (col("pos0") + 1).as("pos"), col("tok"))
-    te.join(coverage(dup, "__dc"), Seq("__d", "pos"), "left")
+    val agged = te.join(coverage(dup, "__dc"), Seq("__d", "pos"), "left")
       .join(coverage(canon, "__pc"), Seq("__d", "pos"), "left")
       .withColumn("__keep", coalesce(col("__pc"), !coalesce(col("__dc"), lit(false))))
       .groupBy(col("__d"))
@@ -803,8 +805,17 @@ object Dedup {
         array_join(expr(
           "transform(array_sort(collect_list(CASE WHEN __keep THEN " +
             "struct(pos, tok) END)), s -> s.tok)"), " ").as("text_deduped"))
-      .select(col("__d").as(idCol), col("n_tokens"), col("n_excised"),
-        col("text_deduped"))
+    // EVERY input id survives: a NULL-text document (tokens() yields
+    // null, posexplode emits no rows) used to vanish from the output
+    // entirely — silent row loss for a curation pipeline. The ids side
+    // is a one-column projection of the corpus; agged is already
+    // hash-partitioned on __d from its groupBy, so the left join
+    // reshuffles only the narrow id stream.
+    docs.select(col(idCol).as("__d")).join(agged, Seq("__d"), "left")
+      .select(col("__d").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
   /** Cross-source duplication attribution: for every pair of sources,

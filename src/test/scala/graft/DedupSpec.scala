@@ -213,6 +213,22 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == (5L, 5L, ""))
   }
 
+  test("exciseDuplicateSpans: a NULL-text doc survives as (id, 0, 0, empty)") {
+    // r17 fix: tokens(NULL) yields null, posexplode emits no rows, and
+    // the doc used to VANISH from the output — silent row loss for a
+    // curation pipeline. Every input id must now reach the output.
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(corpus, "doc_id", "text", 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out.keySet == Set(1L, 2L), s"every input id survives: $out")
+    assert(out(2L) == (0L, 0L, ""))
+    assert(out(1L) == (8L, 0L, "one two three four five six seven eight"))
+  }
+
   test("maximalDuplicateSpans: the island window is document-partitioned (scale shape)") {
     // the gaps-and-islands row_number must be partitioned by the id
     // column — an unpartitioned window would sort the corpus-wide

@@ -57,6 +57,28 @@ class MaterializeSpec extends SparkTestBase {
       "raw-label key partitions rows exactly like label#0")
   }
 
+  test("shardCappedBlocks drops null labels identically in all three cap regimes") {
+    // latent fork closed in r16: the join-free fast path used to KEEP
+    // null-label rows while both shard paths (inner USING(label)) and
+    // the inner-join oracle dropped them. A fixture with nulls must now
+    // come out identical under every regime.
+    val emb = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String])
+    ).toDF("vec_id", "label")
+    val fast = Queries.shardCappedBlocks(emb, "__blk", maxBlock = 100)
+    val shard = Queries.shardCappedBlocks(emb, "__blk", maxBlock = 2)
+    val open = Queries.shardCappedBlocks(emb, "__blk", maxBlock = 2,
+      maxDriverLabels = 1)
+    for ((df, regime) <- Seq(fast -> "fast", shard -> "shard", open -> "open-world")) {
+      val ids = df.select(col("vec_id")).as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        s"$regime regime must drop exactly the null-label rows, kept $ids")
+      assert(df.filter(col("__blk").isNull).count() == 0,
+        s"$regime regime must never emit a null block key")
+    }
+  }
+
   test("shardCappedBlocks engages modulus shards above the cap, partition-equivalently") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val biggest = emb.groupBy(col("label")).count()

@@ -66,9 +66,37 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  !! {name}: oracle SQL failed: {e}")
             failures += 1
             continue
+        # The driver's gate hashes TYPED values, so a cross-class dtype
+        # mismatch (e.g. DuckDB widening sum(BIGINT) to HUGEINT, read back
+        # as float64, vs Spark's int64) fails the driver even when every
+        # value is numerically identical. Mirror that here: cross-class
+        # (int vs float vs bool vs datetime vs object) is a FAILURE;
+        # same-class width diffs (int32 vs int64) stay warnings because
+        # normalize() erases them exactly as the driver's canonicalizer does.
+        dtype_fail = False
         for c in sorted(set(got.columns) & set(exp.columns)):
-            if str(got[c].dtype) != str(exp[c].dtype):
-                print(f"  ~~ {name}: dtype diff col={c} spark={got[c].dtype} duck={exp[c].dtype}")
+            a, b = got[c], exp[c]
+            if str(a.dtype) == str(b.dtype):
+                continue
+            def kind(s):
+                if pd.api.types.is_datetime64_any_dtype(s):
+                    return "datetime"
+                if pd.api.types.is_bool_dtype(s):
+                    return "bool"
+                if pd.api.types.is_integer_dtype(s):
+                    return "int"
+                if pd.api.types.is_float_dtype(s):
+                    return "float"
+                return "object"
+            if kind(a) != kind(b):
+                print(f"  !! {name}: dtype CLASS mismatch col={c} "
+                      f"spark={a.dtype} duck={b.dtype} (driver hash is type-sensitive)")
+                dtype_fail = True
+            else:
+                print(f"  ~~ {name}: dtype diff col={c} spark={a.dtype} duck={b.dtype}")
+        if dtype_fail:
+            failures += 1
+            continue
         g, e = normalize(got.copy()), normalize(exp.copy())
         if list(g.columns) != list(e.columns):
             print(f"  !! {name}: schema mismatch spark={list(g.columns)} duck={list(e.columns)}")

@@ -59,11 +59,9 @@ DUCK_MEMORY_LIMIT = os.environ.get("GRAFT_DUCK_MEMORY_LIMIT", "48GB")
 # artifact (nothing is silent), tagged as unregistered so the omission
 # of a written reason is itself visible.
 SKIP_REASONS = {
-    "margin_mine_ann": (
-        "fixed kCells=8 oracle-replay contract is quadratic in corpus "
-        "size (candidate table |S|*|T|/8 — see STRESS.md); the shipped "
-        "scale path margin_mine_ann_auto (derived sqrt-n kCells) "
-        "verifies at this SF instead"),
+    # EMPTY since r17: margin_mine_ann's registration now caps both
+    # pools by construction (lowest-2000 per side), so the fixed-kCells
+    # replay runs small at any SF — no by-design exclusions remain.
 }
 
 

@@ -165,8 +165,13 @@ def _simhash_pigeonhole(con, sql):
     oracle's own final select — never hardcoded — so a Queries.scala
     edit to either cannot silently desynchronize this remedy."""
     final = stage_ctes(con, sql)  # tok/md/hashed/bitsums/sig
+    # the trailer after the hamming cap must be an AND-predicate (the
+    # incremental variant's batch restriction) or nothing — a greedy
+    # (.*)$ would silently splice a future ORDER BY / LIMIT into the
+    # pigeonhole WHERE instead of tripping the shape assert
     m = re.search(r"WHERE\s+bit_count\(xor\(a\.sig,\s*b\.sig\)\)\s*<=\s*"
-                  r"(\d+)(.*)$", final, re.DOTALL | re.IGNORECASE)
+                  r"(\d+)((?:\s+AND\b.*)?)\s*$", final,
+                  re.DOTALL | re.IGNORECASE)
     assert m, f"simhash final-select shape changed, re-derive remedy: {final!r}"
     ham, pair_where = int(m.group(1)), m.group(2).rstrip()
     # the 8x7-bit chunking is exact-complete only for hamming <= 7
@@ -265,14 +270,30 @@ def _excise_decomposed(con, sql, result_path):
     t0 = time.time()
     ctes, final = split_ctes(sql)
     byname = dict(ctes)
-    for need in ("tok", "dcov", "pcov", "te", "ex"):
+    for need in ("tok", "dcov", "pcov", "te", "ex", "agg"):
         assert need in byname, f"excise oracle shape changed: no {need} CTE"
     assert "WHERE" not in byname["te"].upper(), \
         "te CTE grew a WHERE; re-derive the sample splice"
-    stage_ctes(con, sql, skip=("te", "ex"))
+    # the full-corpus identity below (n_excised(doc) = |dcov \ pcov|)
+    # encodes the gate oracle's excision policy: keep ⇔ canonical-covered
+    # OR not dup-covered, over DISTINCT coverage position sets. Assert
+    # both facts against the PARSED bodies so an edit to the policy
+    # aborts this remedy loudly instead of silently diverging from it.
+    exn = re.sub(r"\s+", " ", byname["ex"]).lower()
+    assert "(p.pos is not null) or (d.pos is null)" in exn, (
+        f"ex keep predicate drifted, re-derive remedy: {exn!r}")
+    for cov in ("dcov", "pcov"):
+        covn = re.sub(r"\s+", " ", byname[cov].strip()).lower()
+        assert covn.startswith("select distinct"), (
+            f"{cov} is no longer a DISTINCT position set, re-derive "
+            f"remedy: {covn!r}")
+    stage_ctes(con, sql, skip=("te", "ex", "agg"))
     n_got = con.execute("SELECT count(*) FROM got").fetchone()[0]
+    # coalesce(len, 0): a NULL-text doc has ts = NULL but still reaches
+    # the output as (id, 0, 0, '') since r17 — the identity must agree
     con.execute("""CREATE TEMP TABLE __counts AS
-        SELECT t.doc_id, len(t.ts) AS n_tokens, coalesce(e.n, 0) AS n_excised
+        SELECT t.doc_id, coalesce(len(t.ts), 0) AS n_tokens,
+               coalesce(e.n, 0) AS n_excised
         FROM tok t LEFT JOIN (
           SELECT d.doc_id, count(*) AS n
           FROM dcov d LEFT JOIN pcov p
@@ -296,7 +317,11 @@ def _excise_decomposed(con, sql, result_path):
     con.execute(f"CREATE TEMP TABLE te AS {byname['te']} "
                 f"WHERE doc_id % {m} = 0")
     con.execute(f"CREATE TEMP TABLE ex AS {byname['ex']}")
-    con.execute(f"CREATE TEMP TABLE __sample AS {final}")
+    con.execute(f"CREATE TEMP TABLE agg AS {byname['agg']}")
+    # the final left-joins from tok (every input id survives), so it
+    # must be restricted to the sampled docs — agg only covers those
+    con.execute(f"CREATE TEMP TABLE __sample AS "
+                f"SELECT * FROM ({final}) WHERE doc_id % {m} = 0")
     n_sample = con.execute("SELECT count(*) FROM __sample").fetchone()[0]
     diff = con.execute(f"""SELECT count(*) FROM (
         SELECT doc_id, n_tokens, n_excised, text_deduped

@@ -11,12 +11,12 @@ OUT_JSON=${4:-}
 BUDGET=${5:-300}
 # The REAL default exclusion set, shared verbatim with the compare step
 # below so the artifact's named-skip list can never drift from what was
-# actually skipped (the r15 judging finding). margin_mine_ann is the
-# one by-design skip: its fixed kCells=8 replay contract is quadratic
-# at 100x (see compare_budget.SKIP_REASONS; margin_mine_ann_auto is the
-# scale path and verifies). margin_mine_bitext left this list in r16 —
-# its registration caps both frames, so it runs small at any SF.
-SKIP=${SPARK_GRAFT_SKIP:-margin_mine_ann}
+# actually skipped (the r15 judging finding). EMPTY since r17:
+# margin_mine_bitext left this list in r16 and margin_mine_ann in r17 —
+# both registrations now cap their pools by construction
+# (lowest-2000-per-side GlobalLimit), so the fixed-kCells replay runs
+# small at any SF and skip_by_design is structurally zero.
+SKIP=${SPARK_GRAFT_SKIP:-}
 # The default 64g driver heap is required: 8g (the build default) OOMs
 # the 100x shuffles. Fail fast when the host can't back it rather than
 # dying mid-chunk in JVM startup or swap.
