@@ -432,19 +432,43 @@ object Sinks {
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
     val tmp = new Path(tableDir, "_latest.tmp")
     val ptr = new Path(tableDir, "_latest")
-    val os = fs.create(tmp, true)
+    // The pointer path must stay CRC-SIDECAR-FREE on checksummed local
+    // filesystems: ChecksumFileSystem renames the data file and its
+    // `.crc` as two separate steps, so a reader racing the swap could
+    // verify the NEW pointer bytes against the OLD crc and die with a
+    // ChecksumException (observed in SinksFormatsSpec's race test).
+    // Writing and renaming through the raw filesystem never creates a
+    // sidecar, and POSIX rename(2) (what RawLocalFileSystem.renameTo
+    // maps to) is an atomic overwrite — the reader sees old or new
+    // bytes, never a gap and never a stale checksum.
+    val praw = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    // one-time migration: drop any crc sidecar an older writer left so
+    // checksum-opening readers can't verify the raw-written pointer
+    // against stale bytes
+    if (!(praw eq fs))
+      praw.delete(new Path(tableDir, "._latest.crc"), false)
+    val os = praw.create(tmp, true)
     try os.write(next.toString.getBytes("UTF-8")) finally os.close()
-    // single-step rename-overwrite (FileContext, not the two-step
-    // delete+rename FileSystem offers): a concurrent readVersion(None)
-    // sees either the old pointer or the new one, never a gap. The
-    // no-gap guarantee holds on HDFS-like stores only — object stores
-    // implement rename as copy+delete, and filesystems without an
-    // AbstractFileSystem binding (s3a/gs unless fs.AbstractFileSystem.*
-    // .impl is configured) can't serve FileContext at all, so fall back
-    // to the two-step FileSystem swap there: a reader racing the swap
-    // may observe a missing pointer, which readVersion already handles
-    // via the _SUCCESS-gated newest-version fallback.
-    try {
+    if (!(praw eq fs)) {
+      // raw local rename: File.renameTo == rename(2), single-step
+      // atomic overwrite, no crc sidecar involved on either side
+      if (!praw.rename(tmp, ptr) && !praw.exists(ptr))
+        throw new IllegalStateException(
+          s"failed to swap _latest pointer in $tableDir")
+    } else try {
+      // HDFS-like stores: single-step rename-overwrite via FileContext
+      // (not the two-step delete+rename FileSystem offers): a concurrent
+      // readVersion(None) sees either the old pointer or the new one,
+      // never a gap. Object stores implement rename as copy+delete, and
+      // filesystems without an AbstractFileSystem binding (s3a/gs unless
+      // fs.AbstractFileSystem.*.impl is configured) can't serve
+      // FileContext at all, so fall back to the two-step FileSystem
+      // swap there: a reader racing the swap may observe a missing
+      // pointer, which readVersion already handles via the
+      // _SUCCESS-gated newest-version fallback.
       val fc = FileContext.getFileContext(new Path(tableDir).toUri,
         spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
