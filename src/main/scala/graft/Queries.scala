@@ -153,6 +153,71 @@ object Queries {
     dir.toString
   }
 
+  /** Land the N micro-batch input drops of a streaming query as exactly
+    * one parquet file each under `inDir`, in drop order. The drops are
+    * WRITTEN CONCURRENTLY (driver-thread job overlap — each tiny
+    * single-file write is one short job, and running them sequentially
+    * just serializes scheduler latency, ~0.15-0.2 s apiece at bench
+    * scale), into per-drop staging dirs so the file-output committers
+    * never share a `_temporary`. The staged files are then MOVED into
+    * `inDir` sequentially with explicitly increasing mtimes, because
+    * the file stream source orders its micro-batches by (modification
+    * time, path) — concurrent writes would otherwise race drop order,
+    * and ordering is semantic for the one query whose final drop
+    * carries the watermark sentinel (incr_stream_outer_join).
+    * Crc sidecars stay behind in staging (deleted with it): the moved
+    * file has no sidecar, so ChecksumFileSystem skips verification
+    * rather than mismatching.
+    */
+  private def writeDrops(inDir: String, drops: Seq[DataFrame]): Unit =
+    writeDropSets(Seq(inDir -> drops))
+
+  /** Multi-directory form of [[writeDrops]] for the two-stream joins:
+    * every drop of every target directory stages concurrently in one
+    * overlapped batch of jobs, then each directory's files are moved
+    * into place in drop order.
+    */
+  private def writeDropSets(sets: Seq[(String, Seq[DataFrame])]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val staged = sets.map { case (inDir, drops) =>
+      (inDir, drops, Files.createDirectories(Paths.get(inDir + ".stage")))
+    }
+    Await.result(Future.traverse(
+      staged.flatMap { case (_, drops, stageRoot) =>
+        drops.zipWithIndex.map { case (df, i) => (df, s"$stageRoot/d$i") }
+      }.toList) { case (df, dir) =>
+      Future { df.coalesce(1).write.mode("overwrite").parquet(dir) }
+    }, Duration.Inf)
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L
+    staged.foreach { case (inDir, drops, stageRoot) =>
+      Files.createDirectories(Paths.get(inDir))
+      drops.indices.foreach { i =>
+        val stageDir = Paths.get(s"$stageRoot/d$i")
+        val lst = Files.list(stageDir)
+        val part =
+          try lst.filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow(() =>
+              new IllegalStateException(s"no part file staged in $stageDir"))
+          finally lst.close()
+        val dst = Paths.get(inDir, f"drop-$i%03d.parquet")
+        Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+        // strictly increasing, second-aligned mtimes: coarse-granularity
+        // filesystems must still observe drop k < drop k+1
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+      }
+      // staging (and any crc sidecars) is garbage once the moves land
+      val walk = Files.walk(stageRoot)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
   /** Run a streaming job under state-sized confs, restoring the session
     * confs afterwards. Two knobs, both provisioning decisions the batch
     * defaults get wrong for stateful streams:
@@ -1635,10 +1700,9 @@ object Queries {
       val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
       val ev = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
         col("value"))
-      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      ev.filter(col("event_id") % 3 === 0).coalesce(1)
-        .write.mode("append").parquet(inDir)
+      writeDrops(inDir, Seq(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 === 0)))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val qname = "graft_sess_stream_out"
@@ -1839,10 +1903,9 @@ object Queries {
       val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
       val ev = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
-        .write.mode("append").parquet(inDir)
+      writeDrops(inDir, Seq(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 =!= 1)))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       // stateless foreachBatch (no state stores, no no-data batch), but
@@ -1908,10 +1971,9 @@ object Queries {
       val base = scratchDir("graft_incr_bloom_")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = events(s, d).select(col("event_id"))
-      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
-        .write.mode("append").parquet(inDir)
+      writeDrops(inDir, Seq(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 =!= 1)))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       // The OPERATOR's contract is approximate (a ~fpp fraction of true
@@ -6046,10 +6108,9 @@ object Queries {
       val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
       val ev = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      ev.filter(col("event_id") % 3 =!= 1).coalesce(1)
-        .write.mode("append").parquet(inDir)
+      writeDrops(inDir, Seq(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 =!= 1)))
       // dedup emits first-seen rows in their arrival batch; the no-data
       // batch only evicts expired keys — skip it. This job's state is
       // one entry PER DISTINCT EVENT ID (13M at sf1), the largest state
@@ -6100,14 +6161,13 @@ object Queries {
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
           col("user_id").as("p_user_id"))
-      clicks.filter(col("click_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(s"$base/clicks")
-      clicks.filter(col("click_id") % 2 =!= 0).coalesce(1)
-        .write.mode("append").parquet(s"$base/clicks")
-      purch.filter(col("purchase_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(s"$base/purch")
-      purch.filter(col("purchase_id") % 2 =!= 0).coalesce(1)
-        .write.mode("append").parquet(s"$base/purch")
+      writeDropSets(Seq(
+        s"$base/clicks" -> Seq(
+          clicks.filter(col("click_id") % 2 === 0),
+          clicks.filter(col("click_id") % 2 =!= 0)),
+        s"$base/purch" -> Seq(
+          purch.filter(col("purchase_id") % 2 === 0),
+          purch.filter(col("purchase_id") % 2 =!= 0))))
       // state-sized confs (see withStreamingConfs): the join keeps ~40k
       // rows of state, so 4 state partitions (16 store instances, not
       // 128); the inner join emits matches in the arrival batch, so the
@@ -6275,10 +6335,9 @@ object Queries {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = events(s, d).select(col("event_id"), col("user_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      ev.filter(col("event_id") % 2 === 0).select("user_id", "cents")
-        .coalesce(1).write.mode("append").parquet(inDir)
-      ev.filter(col("event_id") % 2 =!= 0).select("user_id", "cents")
-        .coalesce(1).write.mode("append").parquet(inDir)
+      writeDrops(inDir, Seq(
+        ev.filter(col("event_id") % 2 === 0).select("user_id", "cents"),
+        ev.filter(col("event_id") % 2 =!= 0).select("user_id", "cents")))
       withStreamingConfs(s, statePartitions = 4, noDataBatch = false,
         providerClass = Some("org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")) {
@@ -6317,10 +6376,9 @@ object Queries {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = events(s, d).select(col("event_id"), col("event_type"),
         col("user_id"))
-      ev.filter(col("event_id") % 2 === 0).select("event_type", "user_id")
-        .coalesce(1).write.mode("append").parquet(inDir)
-      ev.filter(col("event_id") % 2 =!= 0).select("event_type", "user_id")
-        .coalesce(1).write.mode("append").parquet(inDir)
+      writeDrops(inDir, Seq(
+        ev.filter(col("event_id") % 2 === 0).select("event_type", "user_id"),
+        ev.filter(col("event_id") % 2 =!= 0).select("event_type", "user_id")))
       withStreamingConfs(s, statePartitions = 4, noDataBatch = false,
         providerClass = Some("org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")) {
@@ -6387,17 +6445,15 @@ object Queries {
       def sentinel(idCol: String, tsCol: String, userCol: String) =
         s.range(1).select(lit(-1L).as(idCol),
           timestamp_micros(lit(sentinelTs)).as(tsCol), lit(-1L).as(userCol))
-      clicks.filter(unix_micros(col("click_ts")) < mid).coalesce(1)
-        .write.mode("append").parquet(s"$base/clicks")
-      clicks.filter(unix_micros(col("click_ts")) >= mid)
-        .unionByName(sentinel("click_id", "click_ts", "user_id")).coalesce(1)
-        .write.mode("append").parquet(s"$base/clicks")
-      purch.filter(unix_micros(col("purchase_ts")) < mid).coalesce(1)
-        .write.mode("append").parquet(s"$base/purch")
-      purch.filter(unix_micros(col("purchase_ts")) >= mid)
-        .unionByName(sentinel("purchase_id", "purchase_ts", "p_user_id"))
-        .coalesce(1)
-        .write.mode("append").parquet(s"$base/purch")
+      writeDropSets(Seq(
+        s"$base/clicks" -> Seq(
+          clicks.filter(unix_micros(col("click_ts")) < mid),
+          clicks.filter(unix_micros(col("click_ts")) >= mid)
+            .unionByName(sentinel("click_id", "click_ts", "user_id"))),
+        s"$base/purch" -> Seq(
+          purch.filter(unix_micros(col("purchase_ts")) < mid),
+          purch.filter(unix_micros(col("purchase_ts")) >= mid)
+            .unionByName(sentinel("purchase_id", "purchase_ts", "p_user_id")))))
       withStreamingConfs(s, statePartitions = 4, noDataBatch = true) {
         val cs = s.readStream.schema(clicks.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.relationshipId
+import graft.plans.Materialize.CheckpointOps
 
 /** Graph-side operators (SURVEY.md §2.3/§2.5): the reference's keyed
   * existence probes, edge-building MATCH joins, and dup-tolerant CREATE
@@ -25,8 +26,20 @@ object Graph {
     */
   private final class RoundStore(spark: SparkSession, workDir: Option[String]) {
     private val owned = workDir.isEmpty
-    private val base = workDir.getOrElse(
-      "file:" + java.nio.file.Files.createTempDirectory("graft-rounds").toString)
+    // owned temp rounds prefer the RAM-backed scratch root (the
+    // Queries.scratchDir policy): the first save always lands on files,
+    // and on the bench host the JVM tmpdir is the data disk — round
+    // tables are transient by construction, so tmpfs is the right tier.
+    // Clusters pass workDir (HDFS/object store) and are unaffected.
+    private val base = workDir.getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val dir =
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-rounds")
+        else java.nio.file.Files.createTempDirectory("graft-rounds")
+      "file:" + dir.toString
+    }
     private val written = scala.collection.mutable.ArrayBuffer.empty[String]
     // set after the FIRST save (always the algorithm's base table — edge
     // list / depth-1 frontier) lands on files: a tiny base means every
@@ -1024,12 +1037,22 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
-    // canonical undirected-distinct edges, self-loops dropped
+    // canonical undirected-distinct edges, self-loops dropped.
+    // Materialized EAGERLY (MEMORY_AND_DISK, lineage truncated): the
+    // plan references it ~10 ways (degrees twice, the degree attach,
+    // both wedge sides, both closing orientations), and each reference
+    // drags the caller's whole edge-derivation subtree along — the r17
+    // plan audit measured 240 duplicated scans / 318 Exchanges in one
+    // 176 KB physical plan, making Catalyst analysis itself the query's
+    // dominant cost at bench scale and re-deriving the input up to the
+    // exchange-reuse cap at any scale. Same bet as [[bfsHops]]' frontier
+    // checkpoints: a lost block fails the job and the caller retries.
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .checkpointAt("Graph.triangleCounts.canon")
     val deg = canon.select(col("u").as("x"))
       .union(canon.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -1080,11 +1103,16 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    // adjacency materialized once (eager, lineage truncated): every
+    // round's frontier join references it, so without truncation the
+    // caller's edge subtree replays per hop — maxHops redundant
+    // derivations plus a plan that grows with depth
     val adj = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .checkpointAt("Graph.bfsHops.adj")
     var frontier = seeds.select(col(seedCol).as("vertex")).distinct()
       .localCheckpoint(true)
     val layers = scala.collection.mutable.ArrayBuffer(
@@ -1117,6 +1145,9 @@ object Graph {
                   weightCol: String, seeds: DataFrame, seedCol: String,
                   maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    // adjacency materialized once — see [[bfsHops]]: each relaxation
+    // round re-joins it, so truncation stops the per-round replay of
+    // the caller's edge derivation
     val adj = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"),
         col(weightCol).as("w"))
@@ -1124,6 +1155,7 @@ object Graph {
         col(weightCol).as("w")))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .checkpointAt("Graph.ssspBounded.adj")
     var labels = seeds.select(col(seedCol).as("vertex")).distinct()
       .withColumn("cost", lit(0L))
       .localCheckpoint(true)
@@ -1157,11 +1189,17 @@ object Graph {
     */
   def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
                       minCommon: Long = 2L): DataFrame = {
+    // eager materialization for the same reason as [[triangleCounts]]:
+    // canon feeds the adjacency (2 refs), both wedge sides, the degree
+    // table and the non-adjacency anti-join — without truncation the
+    // caller's edge subtree is replicated ~7x in the plan (108 scans /
+    // 140 Exchanges measured r17)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .checkpointAt("Graph.commonNeighbors.canon")
     // full adjacency (both directions) for wedges and degrees
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .union(canon.select(col("v").as("a"), col("u").as("b")))
@@ -1199,11 +1237,14 @@ object Graph {
     */
   def resourceAllocation(edges: DataFrame, srcCol: String, dstCol: String,
                          minCommon: Long = 2L): DataFrame = {
+    // eager materialization — see [[triangleCounts]] (84 duplicated
+    // scans / 108 Exchanges measured r17 without it)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .checkpointAt("Graph.resourceAllocation.canon")
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .union(canon.select(col("v").as("a"), col("u").as("b")))
     val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
@@ -1247,8 +1288,12 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // adjacency materialized once — see [[bfsHops]]: every propagation
+    // round joins it, so truncation stops the per-round replay of the
+    // canon distinct and the caller's edge derivation
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .union(canon.select(col("v").as("a"), col("u").as("b")))
+      .checkpointAt("Graph.labelPropagation.adj")
     var labels = adj.select(col("a").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint(true)
