@@ -22,6 +22,20 @@ object Bench {
       // exists for the latter and silently sorts the tail of any
       // high-cardinality task (see Expressions.MaxByRow)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Checkpoint I/O (FileContext API) through the RAW local fs:
+      // Hadoop's default local AbstractFileSystem is checksummed, so
+      // every streaming WAL entry, offset/commit log and HDFS-backed
+      // state delta writes a .crc sidecar and re-reads it on open —
+      // doubled file ops on the per-micro-batch hot path. The raw
+      // rebind affects only the `file` scheme's FileContext users (the
+      // checkpoint stack); FileSystem-API users (parquet scans/writes,
+      // RocksDB's file manager, which REQUIRES the checksummed
+      // FileSystem for its commit protocol) are untouched. On a
+      // cluster checkpoints live on HDFS/object stores and the knob is
+      // inert. Measured r17: incr_stream_join's stream phase drops
+      // 2.66-2.81 s -> 1.84-2.01 s, confirmed in both A/B orders.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // raw local FileContext — same rationale and measurement as
+      // Bench.scala: the correctness dump must exercise the exact
+      // checkpoint I/O stack the bench times
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.applyRecommendedConfs(spark)

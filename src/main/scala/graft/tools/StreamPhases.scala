@@ -14,13 +14,21 @@ object StreamPhases {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      .getOrCreate()
+    // A/B: rawfs variant drops ChecksumFileSystem's .crc sidecar on
+    // every local write (checkpoint WAL, state deltas, scratch parquet)
+    if (sys.env.get("SPARK_GRAFT_RAWFS").contains("1")) {
+      b.config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+      b.config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s.range(1000000L).selectExpr("sum(id)").collect()
     graft.Tables.events(s, sfDir).limit(1).collect()
