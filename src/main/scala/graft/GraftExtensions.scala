@@ -64,6 +64,8 @@ object GraftExtensions {
       if (args.length > 4) args(4).eval().asInstanceOf[Number].intValue() else 42))
     registerFunction(spark, "signature_agreement",
       args => SignatureAgreement(args(0), args(1)))
+    registerFunction(spark, "sorted_intersect_count",
+      args => SortedIntersectCount(args(0), args(1)))
     registerFunction(spark, "sorted_id_pairs", args => SortedIdPairs(args(0)))
     registerFunction(spark, "simhash_id_pairs", args => SimhashIdPairs(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
@@ -149,6 +151,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("signature_agreement",
         "_FUNC_(sig_a, sig_b) - count of agreeing components of two long-array signatures"),
       (args: Seq[Expression]) => SignatureAgreement(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "_FUNC_(a, b) - count of common distinct values of two SORTED long arrays"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("sorted_id_pairs"),
       info("sorted_id_pairs", "_FUNC_(ids) - strictly-ordered (a,b) pairs of a long-id array"),
       (args: Seq[Expression]) => SortedIdPairs(args(0))))

@@ -528,6 +528,62 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Count of common DISTINCT values of two SORTED long arrays — the
+    * set-similarity verifier's |A∩B|, computed as one merge walk with
+    * no allocation. Replaces `size(array_intersect(a, b))`, which
+    * builds a hash set over one side, materializes the whole
+    * intersection array, and then throws it away for its length — the
+    * r17 setsim profile put stage 3 (verification) at 1.3-1.7 s of the
+    * query's ~2.9 s, most of it in exactly that detour. Duplicate
+    * values are skipped on both sides, so the count equals
+    * `array_intersect` size semantics even on non-distinct input;
+    * UNSORTED input is a CONTRACT VIOLATION (undefined count), which is
+    * why the wrapper lives next to the sort_array producers and the
+    * name says sorted.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_intersect_count requires two array<bigint>, got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    def compute(a: ArrayData, b: ArrayData): Long = {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var n = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) {
+          n += 1
+          // skip duplicates so the count is over DISTINCT common values
+          i += 1; while (i < na && a.getLong(i) == x) i += 1
+          j += 1; while (j < nb && b.getLong(j) == y) j += 1
+        } else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sortedinter", this,
+        classOf[SortedIntersectCount].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** All strictly-ordered (a < b) pairs of a long-id array — the
     * bucket-local candidate generator for LSH. `collect_list` + this +
     * `explode` replaces a window count + self-join for within-bucket
@@ -1535,6 +1591,8 @@ object Expressions {
     column(HyperplaneSignatures(expression(vec), dim, bits, bands, seed))
   def signature_agreement(a: Column, b: Column): Column =
     column(SignatureAgreement(expression(a), expression(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
   def sorted_id_pairs(ids: Column): Column =
     column(SortedIdPairs(expression(ids)))
   def ngram_stats(tokens: Column, n: Int): Column =

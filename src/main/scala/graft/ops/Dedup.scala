@@ -1050,7 +1050,12 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_b"),
         col("__arr").as("__arr_b"), col("__size").as("n_b")), "id_b")
       .withColumn("n_inter",
-        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+        // merge-walk count over the SORTED code arrays (sort_array in
+        // setsimOrdered is the producer) — same value as
+        // size(array_intersect(...)) without materializing the
+        // intersection (Expressions.SortedIntersectCount)
+        graft.functions.Expressions.sorted_intersect_count(
+          col("__arr_a"), col("__arr_b")))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(col("n_inter") >= lit(threshold) * col("n_union"))
       .withColumn("jaccard", col("n_inter") / col("n_union"))

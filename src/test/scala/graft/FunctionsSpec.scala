@@ -83,4 +83,39 @@ class FunctionsSpec extends SparkTestBase {
     }
     assert(big.getMessage.contains("cap the bucket size"))
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    import graft.functions.Expressions.sorted_intersect_count
+    // deterministic fixture sweep: disjoint, identical, partial overlap,
+    // duplicates on either side, empty sides — semantics must match
+    // array_intersect's distinct-count on every one (the setsimVerify
+    // swap is only sound if this holds)
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 4L, 7L, 9L)),
+      (Seq(1L, 1L, 2L, 2L, 3L), Seq(2L, 2L, 3L, 3L, 4L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L), Seq(5L)),
+      (Seq(-3L, -1L, 0L, 2L), Seq(-1L, 0L, 1L)))
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+        sorted_intersect_count($"a", $"b").as("mine"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    rows.zip(cases).foreach { case ((mine, ref), c) =>
+      assert(mine == ref, s"mismatch on $c: mine=$mine ref=$ref")
+    }
+    // pseudo-random cross-check at a few hundred pairs (seeded)
+    val rnd = new scala.util.Random(42)
+    val rand = (1 to 300).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted
+      (arr(), arr())
+    }
+    val rr = rand.toDF("a", "b").select(
+        sorted_intersect_count($"a", $"b").as("mine"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    assert(rr.forall { case (m, r) => m == r })
+  }
 }
