@@ -38,6 +38,20 @@ object Bench {
         "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileSystem-API twin of the FileContext rebind above: stop the
+    // cached local FileSystem from WRITING .crc sidecars (scratch
+    // parquet/json/orc, store appends, sink rewrites). Same class, same
+    // rename/commit semantics — only sidecar creation is skipped, so
+    // RocksDB's checksummed-FileSystem commit protocol is unaffected
+    // (the full RawLocalFileSystem rebind broke it and was reverted).
+    // local[*] shares one JVM-wide FileSystem cache entry, so one call
+    // covers driver and executors.
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      fs.setWriteChecksum(false)
+      fs.setVerifyChecksum(false)
+    }
     // JVM/codegen warmup so the first measured query doesn't absorb
     // classloading + first-job scheduling cost; touching every table once
     // fills the resolved-relation cache (file listing + schema) and the

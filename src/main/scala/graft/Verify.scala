@@ -19,6 +19,15 @@ object Verify {
         "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // skip .crc sidecar writes on the cached local FileSystem — the
+    // FileSystem-API twin of the FileContext rebind above (see
+    // Bench.scala for the rationale and the RocksDB caveat)
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      fs.setWriteChecksum(false)
+      fs.setVerifyChecksum(false)
+    }
     GraftExtensions.applyRecommendedConfs(spark)
     new java.io.File(outDir).mkdirs()
     // Failures must be LOUD: a query that throws writes no parquet, so the
