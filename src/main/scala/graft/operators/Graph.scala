@@ -1101,7 +1101,8 @@ object Graph {
     * final min-hop resolution is one map-side-combinable aggregate.
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              driverRows: Int = 100000): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     // adjacency materialized once (eager, lineage truncated): every
     // round's frontier join references it, so without truncation the
@@ -1113,8 +1114,25 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .checkpointAt("Graph.bfsHops.adj")
-    var frontier = seeds.select(col(seedCol).as("vertex")).distinct()
-      .localCheckpoint(true)
+    val seedSet = seeds.select(col(seedCol).as("vertex")).distinct()
+    // Adaptive small-graph path (the connectedComponents/pageRank
+    // treatment): capped probes on the MATERIALIZED adjacency and the
+    // seed set; under the cap the layered expansion runs as a driver
+    // tight loop. Level-order BFS assigns each vertex its minimum hop
+    // — exactly what min-over-layers converges to — so the driver
+    // result is row-identical (equality pinned in GraphSpec). Null ids
+    // or non-long ids fall back to the distributed loop unchanged.
+    if (adj.schema("a").dataType == org.apache.spark.sql.types.LongType) {
+      val eProbe = adj.limit(driverRows + 1).collect()
+      if (eProbe.length <= driverRows &&
+          !eProbe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val sProbe = seedSet.limit(driverRows + 1).collect()
+        if (sProbe.length <= driverRows && !sProbe.exists(_.isNullAt(0)))
+          return driverBfsHops(edges.sparkSession,
+            seedSet.schema("vertex"), eProbe, sProbe, maxHops)
+      }
+    }
+    var frontier = seedSet.localCheckpoint(true)
     val layers = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("hop", lit(0L)))
     for (h <- 1 to maxHops) {
@@ -1125,6 +1143,45 @@ object Graph {
     }
     layers.reduce(_.union(_))
       .groupBy(col("vertex")).agg(min(col("hop")).as("hop"))
+  }
+
+  private def driverBfsHops(spark: SparkSession,
+                            vertexField: org.apache.spark.sql.types.StructField,
+                            eRows: Array[org.apache.spark.sql.Row],
+                            sRows: Array[org.apache.spark.sql.Row],
+                            maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    eRows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => mutable.ArrayBuffer.empty[Long]) +=
+        r.getLong(1)
+    }
+    val hop = new java.util.LinkedHashMap[Long, Long]()
+    var frontier = mutable.ArrayBuffer.empty[Long]
+    sRows.foreach { r =>
+      val v = r.getLong(0)
+      if (!hop.containsKey(v)) { hop.put(v, 0L); frontier += v }
+    }
+    var h = 1L
+    while (h <= maxHops && frontier.nonEmpty) {
+      val next = mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { v =>
+        val ns = adj.get(v)
+        if (ns != null) ns.foreach { b =>
+          if (!hop.containsKey(b)) { hop.put(b, h); next += b }
+        }
+      }
+      frontier = next
+      h += 1
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    hop.forEach((v, d) => out += Row(v, d))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("vertex", vertexField.dataType, vertexField.nullable),
+      StructField("hop", LongType, nullable = false))))
   }
 
   /** Bounded single/multi-source shortest paths over an undirected
@@ -1143,7 +1200,7 @@ object Graph {
     */
   def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
                   weightCol: String, seeds: DataFrame, seedCol: String,
-                  maxHops: Int): DataFrame = {
+                  maxHops: Int, driverRows: Int = 100000): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     // adjacency materialized once — see [[bfsHops]]: each relaxation
     // round re-joins it, so truncation stops the per-round replay of
@@ -1156,7 +1213,28 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
       .checkpointAt("Graph.ssspBounded.adj")
-    var labels = seeds.select(col(seedCol).as("vertex")).distinct()
+    val seedSet = seeds.select(col(seedCol).as("vertex")).distinct()
+    // Adaptive small-graph path (the bfsHops treatment): the driver
+    // twin runs the SAME maxHops synchronous relaxation rounds over
+    // the collected min-collapsed adjacency — each round is
+    // labels := min(labels, labels+edge) exactly like the distributed
+    // union+min — so bounded-walk costs are bit-identical (GraphSpec).
+    // Long ids/weights only; nulls fall back.
+    locally {
+      import org.apache.spark.sql.types.LongType
+      if (adj.schema("a").dataType == LongType &&
+          adj.schema("w").dataType == LongType) {
+        val eProbe = adj.limit(driverRows + 1).collect()
+        if (eProbe.length <= driverRows &&
+            !eProbe.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+          val sProbe = seedSet.limit(driverRows + 1).collect()
+          if (sProbe.length <= driverRows && !sProbe.exists(_.isNullAt(0)))
+            return driverSsspBounded(edges.sparkSession,
+              seedSet.schema("vertex"), eProbe, sProbe, maxHops)
+        }
+      }
+    }
+    var labels = seedSet
       .withColumn("cost", lit(0L))
       .localCheckpoint(true)
     for (_ <- 1 to maxHops) {
@@ -1167,6 +1245,40 @@ object Graph {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  private def driverSsspBounded(spark: SparkSession,
+                                vertexField: org.apache.spark.sql.types.StructField,
+                                eRows: Array[org.apache.spark.sql.Row],
+                                sRows: Array[org.apache.spark.sql.Row],
+                                maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[(Long, Long)]]()
+    eRows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0),
+        _ => mutable.ArrayBuffer.empty[(Long, Long)]) +=
+        ((r.getLong(1), r.getLong(2)))
+    }
+    var cost = new java.util.HashMap[Long, Long]()
+    sRows.foreach(r => cost.put(r.getLong(0), 0L))
+    for (_ <- 1 to maxHops) {
+      val next = new java.util.HashMap[Long, Long](cost)
+      cost.forEach { (v, c) =>
+        val ns = adj.get(v)
+        if (ns != null) ns.foreach { case (b, w) =>
+          next.merge(b, c + w, (x, y) => math.min(x, y))
+        }
+      }
+      cost = next
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    cost.forEach((v, c) => out += Row(v, c))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("vertex", vertexField.dataType, vertexField.nullable),
+      StructField("cost", LongType, nullable = false))))
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent canonical
@@ -1281,7 +1393,7 @@ object Graph {
     * retries) so round r's plan reads round r−1's blocks.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int, driverRows: Int = 100000): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
@@ -1294,6 +1406,18 @@ object Graph {
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .union(canon.select(col("v").as("a"), col("u").as("b")))
       .checkpointAt("Graph.labelPropagation.adj")
+    // Adaptive small-graph path (the bfsHops treatment): the driver
+    // twin runs the SAME synchronous rounds — every vertex adopts the
+    // mode label among its neighbors, ties to the smallest label — so
+    // the converging assignment is row-identical (GraphSpec). Long ids
+    // only; nulls fall back.
+    if (adj.schema("a").dataType == org.apache.spark.sql.types.LongType) {
+      val eProbe = adj.limit(driverRows + 1).collect()
+      if (eProbe.length <= driverRows &&
+          !eProbe.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return driverLabelPropagation(edges.sparkSession,
+          adj.schema("a"), eProbe, rounds)
+    }
     var labels = adj.select(col("a").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint(true)
@@ -1308,6 +1432,47 @@ object Graph {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  private def driverLabelPropagation(spark: SparkSession,
+                                     vertexField: org.apache.spark.sql.types.StructField,
+                                     eRows: Array[org.apache.spark.sql.Row],
+                                     rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    eRows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => mutable.ArrayBuffer.empty[Long]) +=
+        r.getLong(1)
+    }
+    var labels = new java.util.HashMap[Long, Long]()
+    adj.keySet().forEach(v => labels.put(v, v))
+    for (_ <- 1 to rounds) {
+      val next = new java.util.HashMap[Long, Long]()
+      val prev = labels
+      adj.forEach { (b, ns) =>
+        // adj is symmetric, so the map's value list for b is exactly
+        // N(b); the distributed round's message set {label[a] : (a,b)}
+        // is the same multiset
+        val counts = new java.util.HashMap[Long, Long]()
+        ns.foreach(a => counts.merge(prev.get(a), 1L, (x, y) => x + y))
+        var bestLabel = Long.MaxValue; var bestN = 0L
+        counts.forEach { (l, n) =>
+          if (n > bestN || (n == bestN && l < bestLabel)) {
+            bestN = n; bestLabel = l
+          }
+        }
+        next.put(b, bestLabel)
+      }
+      labels = next
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    labels.forEach((v, l) => out += Row(v, l))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructField, StructType}
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("vertex", vertexField.dataType, vertexField.nullable),
+      StructField("label", vertexField.dataType, vertexField.nullable))))
   }
 
   /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
@@ -1330,7 +1495,7 @@ object Graph {
     * instead of replaying the whole prefix.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Long, rounds: Int): DataFrame = {
+            k: Long, rounds: Int, driverRows: Int = 100000): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
     var live = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
@@ -1338,6 +1503,17 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Adaptive small-graph path (the bfsHops treatment): the driver
+    // twin peels the SAME `rounds` synchronous rounds over the
+    // collected canonical edge set (GraphSpec pins equality). Long ids
+    // only; nulls fall back.
+    if (live.schema("u").dataType == org.apache.spark.sql.types.LongType) {
+      val eProbe = live.limit(driverRows + 1).collect()
+      if (eProbe.length <= driverRows &&
+          !eProbe.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return driverKCore(edges.sparkSession, live.schema("u"),
+          eProbe, k, rounds)
+    }
     for (_ <- 1 to rounds) {
       val deg = live.select(col("u").as("x"))
         .union(live.select(col("v").as("x")))
@@ -1352,5 +1528,33 @@ object Graph {
     live.select(col("u").as("x"))
       .union(live.select(col("v").as("x")))
       .groupBy(col("x").as("vertex")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  private def driverKCore(spark: SparkSession,
+                          vertexField: org.apache.spark.sql.types.StructField,
+                          eRows: Array[org.apache.spark.sql.Row],
+                          k: Long, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    var live = mutable.ArrayBuffer.empty[(Long, Long)]
+    eRows.foreach(r => live += ((r.getLong(0), r.getLong(1))))
+    for (_ <- 1 to rounds) {
+      val deg = new java.util.HashMap[Long, Long]()
+      live.foreach { case (u, v) =>
+        deg.merge(u, 1L, (x, y) => x + y); deg.merge(v, 1L, (x, y) => x + y)
+      }
+      live = live.filter { case (u, v) => deg.get(u) >= k && deg.get(v) >= k }
+    }
+    val deg = new java.util.HashMap[Long, Long]()
+    live.foreach { case (u, v) =>
+      deg.merge(u, 1L, (x, y) => x + y); deg.merge(v, 1L, (x, y) => x + y)
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    deg.forEach((v, d) => out += Row(v, d))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("vertex", vertexField.dataType, vertexField.nullable),
+      StructField("core_deg", LongType, nullable = false))))
   }
 }

@@ -347,5 +347,48 @@ class GraphSpec extends SparkTestBase {
     // round 2: 5<-{5,5}->5; 6<-{6,5}->5 (tie smallest); 7<-{6,5}->5
     assert(out == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  test("bounded iteratives: driver fast path == distributed rounds (r17)") {
+    // a graph with a cycle (re-reachable vertices at higher hops), a
+    // tail, an isolated seed, parallel/reversed duplicate edges, and a
+    // weighted chord — every shape the driver twins must reproduce
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // 4-cycle
+      (4L, 5L), (5L, 6L),                     // tail
+      (2L, 1L), (1L, 2L),                     // duplicates/reversed
+      (7L, 8L)                                // separate component
+    ).toDF("src", "dst")
+    val seeds = Seq(1L, 42L).toDF("n") // 42 is not in the graph
+    def bfs(driverRows: Int) =
+      Graph.bfsHops(edges, "src", "dst", seeds, "n", maxHops = 3,
+        driverRows = driverRows).as[(Long, Long)].collect().toMap
+    assert(bfs(100000) == bfs(0))
+
+    val wedges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (4L, 1L, 10L),
+      (1L, 3L, 7L), (1L, 3L, 5L) // parallel edges, min collapses
+    ).toDF("src", "dst", "w")
+    def sssp(driverRows: Int) =
+      Graph.ssspBounded(wedges, "src", "dst", "w", seeds, "n", maxHops = 3,
+        driverRows = driverRows).as[(Long, Long)].collect().toMap
+    assert(sssp(100000) == sssp(0))
+
+    def lp(driverRows: Int) =
+      Graph.labelPropagation(edges, "src", "dst", rounds = 3,
+        driverRows = driverRows).as[(Long, Long)].collect().toMap
+    assert(lp(100000) == lp(0))
+
+    def core(driverRows: Int) =
+      Graph.kCore(edges, "src", "dst", k = 2L, rounds = 3,
+        driverRows = driverRows).as[(Long, Long)].collect().toMap
+    assert(core(100000) == core(0))
+
+    // null ids must take the distributed loop, not NPE in the twin
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("src", "dst")
+    val nOut = Graph.bfsHops(withNull, "src", "dst", Seq(1L).toDF("n"), "n",
+      maxHops = 2).as[(Long, Long)].collect().toMap
+    assert(nOut == Map(1L -> 0L, 2L -> 1L))
+  }
 }
 
