@@ -35,4 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size the heap: G1 otherwise shrinks a local[32] driver to
+  // ~1.4 GB committed and young-collects every ~0.7 s under the bench's
+  // allocation rate (measured r18: 109 young GCs of 15-45 ms
+  // stop-the-world each across one streaming-subset run at the 8g-Xmx
+  // default; -Xms3g cut that to 27 GCs and -0.85 s on the same 24 s
+  // subset, while a full 8g pre-size measured no further gain). Same
+  // provisioning knob a production driver/executor gets via
+  // spark.{driver,executor}.memory — never a result change.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS", "3g")}",
 )

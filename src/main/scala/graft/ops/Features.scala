@@ -167,11 +167,24 @@ object Features {
     * prune per partition before anything goes global: skylines compose
     * (the global front is the front of the union of local fronts), so
     * the single-partition sweep only ever sees Σ local-front sizes —
-    * bounded by partitions × |front|, not by x-cardinality. Without
+    * bounded by buckets × |front|, not by x-cardinality. Without
     * the pre-prune, every distinct x lands on ONE partition — the
     * classic global-window scale cliff (600 k rows at sf0.1; fatal at
-    * 100 TB). The per-partition window keys on `spark_partition_id()`,
-    * keeping the whole prune declarative.
+    * 100 TB).
+    *
+    * The local front keys on a DETERMINISTIC spread bucket
+    * (pmod(xxhash64(x), 32·shuffle-width), guide §2.5: many more
+    * distinct keys than partitions, and never rand()-derived), behind an
+    * explicit-count repartition. The first version keyed on
+    * `spark_partition_id()` of the aggregate's output — but AQE's
+    * input-size coalescing collapses the tiny-bytes aggregate to ONE
+    * partition (the pair-generation blind spot: the window's SORT cost
+    * is row-count-shaped, invisible to byte-based coalescing), making
+    * both sweeps single-task global sorts run back to back (r18
+    * JobProfile: 6 tasks total, 1.7-2.2 s of task time at sf0.1, ~85% of
+    * it the two serial sorts). The explicit repartition is exempt from
+    * AQE coalescing (the simhashPairs pattern), so the heavy sort runs
+    * at full width and the global sweep sees only Σ bucket-front rows.
     */
   def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -184,8 +197,12 @@ object Features {
         .filter(col("__mx").isNull || col("y") > col("__mx"))
         .drop("__mx")
     }
-    val local = sweepFront(perX.withColumn("__pid", spark_partition_id()),
-      Seq(col("__pid"))).drop("__pid")
+    val shuffleN = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val spread = perX
+      .withColumn("__bkt", pmod(xxhash64(col("x")), lit(32L * shuffleN)))
+      .repartition(shuffleN, col("__bkt"))
+    val local = sweepFront(spread, Seq(col("__bkt"))).drop("__bkt")
     sweepFront(local, Seq.empty)
       .select(col("x").as(xCol), col("y").as(yCol))
   }
