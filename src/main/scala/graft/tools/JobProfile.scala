@@ -65,8 +65,10 @@ object JobProfile {
           // let straggling listener events drain before reading counters
           Thread.sleep(150)
           println(f"$n%-28s $run%3d $jobs%5d $stages%7d $tasks%6d ${taskMs / 1e3}%8.2f $wall%8.2f")
-          graft.Queries.drainScratch()
         }
+        // drain BETWEEN queries only (the Bench rule): a query's repeat
+        // may re-read scratch its first construction wrote
+        graft.Queries.drainScratch()
       }
     }
     spark.stop()

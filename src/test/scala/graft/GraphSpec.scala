@@ -145,6 +145,30 @@ class GraphSpec extends SparkTestBase {
     assert(of(100000) == of(0))
   }
 
+  test("personalizedPageRankScaled: seed restart by hand; driver == distributed") {
+    // seed {1} on 1 -> 2 -> 3, 1 iteration by hand:
+    // rank0 = (1e9, 0, 0); iter1: node1 = baseShare only = 150000000,
+    // node2 = 0 + 85% of (1e9 div 1) = 850000000, node3 = 0
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val n = Seq(1L, 2L, 3L).toDF("node")
+    val s1 = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRankScaled(e, n, s1, iterations = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L))
+
+    // driver fast path == distributed rounds bit for bit: duplicate
+    // seeds collapse (distinct), a seed outside the node set is ignored,
+    // non-node sources carry no rank, non-node destinations drop
+    val messy = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 99L), (98L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 1L, 3L, 77L).toDF("node")
+    def of(driverRows: Int) =
+      Graph.personalizedPageRankScaled(messy, n, seeds, iterations = 3,
+          driverRows = driverRows)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(of(100000) == of(0))
+  }
+
   test("hitsScaled: star graph by hand, checkpoint invariance, edgeless zeros") {
     // 1 -> {2,3,4}, 5 -> 2, 6 isolated; two rounds by hand (scale 1e6):
     // r1 auth sums (2:2e6, 3:1e6, 4:1e6) -> norm (2:1e6, 3:5e5, 4:5e5);
