@@ -25,8 +25,20 @@ object Resolve {
     */
   def blockedFuzzyPairs(df: DataFrame, idCol: String, blockCol: String,
                         nameCol: String, maxEdit: Int): DataFrame = {
+    // pin the pair stage's parallelism (the simhashPairs pattern): the
+    // in-block join's OUTPUT dwarfs its input — Σ|block|² candidate rows
+    // each paying a levenshtein — which byte-based planning cannot see,
+    // so a small probe side broadcasts and the whole pair loop runs in
+    // the scan's task count (r18 JobProfile: 3 tasks, wall == task time
+    // at sf0.1; the imbalance persists at any scale because one input
+    // split fans out to GBs of pairs). An explicit-count repartition on
+    // the block key is exempt from AQE coalescing and spreads the pair
+    // generation across the shuffle width.
+    val shuffleN = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 1)
     val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
       col(nameCol).as("__name_a"))
+      .repartition(shuffleN, col("block"))
     val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
       col(nameCol).as("__name_b"))
     a.join(b, Seq("block"))
