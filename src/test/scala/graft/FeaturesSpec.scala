@@ -95,6 +95,24 @@ class FeaturesSpec extends SparkTestBase {
     assert(out == naive, s"got $out expected $naive")
   }
 
+  test("paretoFront: randomized fixture spanning many spread buckets") {
+    // the local sweep keys on pmod(xxhash64(x), 32*width): a large
+    // seeded fixture drives points through MANY buckets with y-ties
+    // ACROSS buckets — exactly the case where a bucket-local prune must
+    // not lose a global-front member (ties filter on strict >, so the
+    // largest-x holder of a tied y must survive its own bucket)
+    val rng = new scala.util.Random(7)
+    val pts = Seq.fill(5000)((rng.nextInt(800).toDouble,
+      rng.nextInt(40).toDouble)).toDF("x", "y")
+    val out = Features.paretoFront(pts, "x", "y")
+      .as[(Double, Double)].collect().toSet
+    val data = pts.as[(Double, Double)].collect().toSeq
+    val maxPerX = data.groupBy(_._1).map { case (x, g) => (x, g.map(_._2).max) }.toSeq
+    val naive = maxPerX.filter { case (x, y) =>
+      !maxPerX.exists { case (x2, y2) => x2 > x && y2 >= y } }.toSet
+    assert(out == naive, s"sizes: got ${out.size} expected ${naive.size}")
+  }
+
   test("robustOutliersMad: selection medians, Hampel threshold") {
     val df = Seq(
       // g: values 1..5 plus a wild 100 -> n=6, median = rank 3 = 3.0,
